@@ -1,0 +1,148 @@
+"""URL canonicalization — the Spark analog of the reference's invitation
+canonicalization (/root/reference/crawler.py:147-158: regex-merge + set dedup).
+
+Two bit-identical implementations of one contract:
+
+* ``canonicalize_url`` — pure Python, used by the single-node oracle.
+* ``canonicalize_col`` — pure Spark Column expressions (regexp + literal
+  replace chains, fully JVM-side / whole-stage-codegen'd; no Python in the
+  hot path).
+
+Canonical form (RFC 3986-style safe normalizations only):
+  1. strip the fragment (``#...``),
+  2. lowercase scheme and host,
+  3. drop the scheme default port (``http:80`` / ``https:443``),
+  4. percent-decode *unreserved* characters only (ALPHA / DIGIT / ``-._~``),
+     accepting upper- or lowercase hex,
+  5. empty path -> ``/``.
+
+Strings without a ``scheme://`` prefix pass through unchanged (they can't be
+fetched; the scheduler drops them via the host filter).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_UNRESERVED = string.ascii_letters + string.digits + "-._~"
+_URL_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?")
+_SCHEME_PREFIX_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+#: every percent-escape spelling that decodes to an unreserved character,
+#: e.g. {"%7E": "~", "%7e": "~", "%41": "A", ...}
+_UNRESERVED_ESCAPES: dict[str, str] = {}
+for _ch in _UNRESERVED:
+    _hex = f"{ord(_ch):02X}"
+    _UNRESERVED_ESCAPES[f"%{_hex}"] = _ch
+    if _hex != _hex.lower():
+        _UNRESERVED_ESCAPES[f"%{_hex.lower()}"] = _ch
+
+
+def _decode_unreserved(path: str) -> str:
+    def _sub(m: re.Match[str]) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else m.group(0)
+
+    return _PCT_RE.sub(_sub, path)
+
+
+def canonicalize_url(url: str) -> str:
+    """Pure-Python twin of :func:`canonicalize_col` (oracle side)."""
+    frag = url.find("#")
+    if frag >= 0:
+        url = url[:frag]
+    m = _URL_RE.match(url)
+    if not m or not m.group(2):
+        return url
+    scheme = m.group(1).lower()
+    hostport = m.group(2).lower()
+    path = m.group(3)
+    query = m.group(4) or ""
+    if scheme == "http" and hostport.endswith(":80"):
+        hostport = hostport[:-3]
+    elif scheme == "https" and hostport.endswith(":443"):
+        hostport = hostport[:-4]
+    path = _decode_unreserved(path)
+    query = _decode_unreserved(query)
+    if not path:
+        path = "/"
+    return f"{scheme}://{hostport}{path}{query}"
+
+
+def canonicalize_col(url: Column) -> Column:
+    """Canonicalize a URL column with built-in expressions only.
+
+    The percent-decode step is a bounded chain of literal ``replace`` calls
+    (one per unreserved-escape spelling, ~100 total) — constant-folded into
+    one codegen stage by Catalyst; far cheaper than any Python round-trip.
+    """
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    has_scheme = no_frag.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]")
+
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    raw_hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    pathq = F.substring(rest, F.length(raw_hostport) + F.lit(1), F.lit(2_000_000_000))
+
+    hostport = (
+        F.when(
+            (scheme == F.lit("http")) & raw_hostport.endswith(":80"),
+            raw_hostport.substr(F.lit(1), F.length(raw_hostport) - F.lit(3)),
+        )
+        .when(
+            (scheme == F.lit("https")) & raw_hostport.endswith(":443"),
+            raw_hostport.substr(F.lit(1), F.length(raw_hostport) - F.lit(4)),
+        )
+        .otherwise(raw_hostport)
+    )
+
+    decoded = pathq
+    for esc, ch in _UNRESERVED_ESCAPES.items():
+        decoded = F.replace(decoded, F.lit(esc), F.lit(ch))
+    pathq = F.when(decoded == F.lit(""), F.lit("/")).when(
+        decoded.startswith("?"), F.concat(F.lit("/"), decoded)
+    ).otherwise(decoded)
+
+    canon = F.concat(scheme, F.lit("://"), hostport, pathq)
+    return F.when(has_scheme, canon).otherwise(url)
+
+
+def host_col(canon_url: Column) -> Column:
+    """Extract the host (no port) from an already-canonical URL column."""
+    return F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", 1)
+
+
+def host_of(canon_url: str) -> str:
+    """Python twin of :func:`host_col`."""
+    m = re.match(r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)", canon_url)
+    return m.group(1) if m else ""
+
+
+def path_col(canon_url: Column) -> Column:
+    """Extract the path+query from an already-canonical URL column."""
+    return F.regexp_replace(canon_url, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
+
+
+def path_of(canon_url: str) -> str:
+    """Python twin of :func:`path_col`."""
+    return re.sub(r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "", canon_url)
+
+
+def merge_invitations_col(invitation: Column) -> Column:
+    """Spark twin of the reference's invitation wildcard merge
+    (/root/reference/crawler.py:147-158): collapse per-paper numbered path
+    segments into wildcards; callers ``distinct()`` afterwards (D2).
+    """
+    sub1 = F.regexp_replace(invitation, r"/(P|p)aper[0-9]+/", r"/$1aper.*/")
+    return F.regexp_replace(sub1, r"/(P|p)aper/[0-9]+/", r"/$1aper/.*/")
+
+
+def merge_invitation(invitation: str) -> str:
+    """Python twin of :func:`merge_invitations_col` (oracle side)."""
+    sub1 = re.sub(r"/(P|p)aper[0-9]+/", r"/\1aper.*/", invitation)
+    return re.sub(r"/(P|p)aper/[0-9]+/", r"/\1aper/.*/", sub1)
