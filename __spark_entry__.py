@@ -1,38 +1,38 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship crawl-scheduling-round query; ``queries`` /
+``oracle_sql`` expose the full operator catalog (one entry per implemented
+operator from SURVEY.md §2 plus the training-data-pipeline operators), built
+in ``openreviewcrawler_spark/catalog.py``. Non-SQL-expressible entries
+(multimodal byte plumbing would be, but even those have arithmetic oracles)
+simply have no ``oracle_sql`` key.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openreviewcrawler_spark.catalog import oracle_sql as _oracle_sql
+from openreviewcrawler_spark.catalog import q_crawl_round
+from openreviewcrawler_spark.catalog import queries as _queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one full crawl scheduling round (canonicalize -> seen
+    anti-join -> robots budgets -> per-host priority admit -> deterministic
+    fetch_seq -> fetch join) over sf0.001."""
+    return q_crawl_round(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _oracle_sql()

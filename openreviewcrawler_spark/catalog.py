@@ -1,0 +1,1270 @@
+"""Query catalog — every operator surface, as (Spark builder, DuckDB oracle) pairs.
+
+This backs ``__spark_entry__.py``: each entry is one operator from SURVEY.md §2
+(or a training-data-pipeline operator) exercised over the driver's test tables
+(region nation customer supplier part orders lineitem events documents
+embeddings). The Spark side uses the real engine operators
+(``operators/*``, ``functions/*``) through the DataFrame API; the SQL side is
+an independent ANSI formulation DuckDB runs on the same parquet — agreement is
+the correctness gate.
+
+Cross-engine determinism rules (see operators/textstats.py): md5-derived
+hashes only, floats rounded before output, identical left-fold summation
+order, explicit tie-breaks in every window.
+
+Derived inputs: the crawl operators need URL-shaped data and the dedup
+operators need actual duplicates; both are derived *deterministically* from
+``documents`` with expression snippets shared verbatim between the engines
+(input construction is shared; the operator under test is not).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.urls import canonicalize_col, host_col
+from .operators import dedup, multimodal, similarity
+from .operators.labeling import label_row
+from .operators.comment_tree import reply_forest
+from .operators.ordering import assign_seq_scalable
+from .operators.robots import apply_robots
+from .operators.scheduler import admit
+from .operators.seen import anti_join_seen
+from .operators.stats import count_histogram, note_type_col
+from .operators.textstats import (
+    fingerprint_cols,
+    lang_id_col,
+    quality_score_cols,
+    token_count_cols,
+)
+from .plans.crawl import seeds_to_frontier
+
+
+@dataclass
+class QueryDef:
+    build: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible; driver does rows-only check
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared derivation snippets (identical text evaluated by BOTH engines)
+# ---------------------------------------------------------------------------
+
+_ID_STR = "cast(doc_id as varchar(30))"
+RAW_URL_EXPR = f"""case cast(doc_id % 4 as int)
+  when 0 then 'https://' || source || '.example/d/' || {_ID_STR}
+  when 1 then 'HTTPS://' || upper(source) || '.EXAMPLE/d/' || {_ID_STR}
+  when 2 then 'https://' || source || '.example:443/d/' || {_ID_STR}
+  else 'https://' || source || '.example/d/' || {_ID_STR} || '#s'
+end"""
+RAW_URL_ALT_EXPR = f"""case cast((doc_id + 1) % 4 as int)
+  when 0 then 'https://' || source || '.example/d/' || {_ID_STR}
+  when 1 then 'HTTPS://' || upper(source) || '.EXAMPLE/d/' || {_ID_STR}
+  when 2 then 'https://' || source || '.example:443/d/' || {_ID_STR}
+  else 'https://' || source || '.example/d/' || {_ID_STR} || '#s'
+end"""
+CANON_URL_EXPR = f"'https://' || source || '.example/d/' || {_ID_STR}"
+HOST_EXPR = "source || '.example'"
+PATH_EXPR = f"'/d/' || {_ID_STR}"
+
+# robots rules per host, derived from the source suffix digit
+_RULES = {
+    "disallow": "case when source like '%1' or source like '%3' then array('/d/1') end",
+    "delay": "case when source like '%2' then 5.0d end",
+    "cap": "case when source like '%4' then 3 end",
+}
+_RULES_SQL_DISALLOW = "case when source like '%1' or source like '%3' then ['/d/1'] end"
+
+CORPUS_SQL = """
+  select doc_id, text, lang from documents
+  union all
+  select doc_id + 100000 as doc_id, substr(text, instr(text, ' ') + 1) as text, lang
+  from documents where doc_id % 4 = 1
+  union all
+  select doc_id + 200000 as doc_id, text, lang from documents where doc_id % 5 = 0
+"""
+
+VECSET_SQL = """
+  select vec_id, embedding, label from embeddings
+  union all
+  select vec_id + 100000 as vec_id, embedding, label from embeddings where vec_id % 10 = 0
+"""
+
+# DuckDB-side md5 hash32 + token/shingle helpers (twin of textstats.hash32_col)
+_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def _urlset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc-derived url table: raw (dirty) spelling + engine-canonicalized url."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.expr(RAW_URL_EXPR).alias("raw_url"),
+        F.expr(HOST_EXPR).alias("host"),
+        (F.col("doc_id") % 7).cast("int").alias("seed_index"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+        "text",
+        "lang",
+        "source",
+    )
+    return raw.withColumn("url", canonicalize_col(F.col("raw_url")))
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    near = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+        "lang",
+    )
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def _vecset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(dups)
+
+
+def _robots_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .select(
+            F.expr(HOST_EXPR).alias("host"),
+            F.expr(_RULES["disallow"]).alias("disallow_prefix"),
+            F.expr(_RULES["delay"]).alias("crawl_delay_s"),
+            F.expr(_RULES["cap"]).alias("max_per_round"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine operators (SURVEY.md §2.1-2.8; F1, D1, D2, O2, J-fetch, T1)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — engine canonicalization of dirty URL spellings; oracle constructs
+    the expected canonical closed-form directly."""
+    return _urlset(spark, sf_dir).select("doc_id", "url")
+
+
+SQL_CRAWL_CANONICALIZE = f"select doc_id, {CANON_URL_EXPR} as url from documents"
+
+
+def q_crawl_seed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/P1 — two dirty spellings per target collapse to one frontier row
+    keeping the smallest seed_index (seeds_to_frontier, plans/crawl.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    s1 = docs.select(F.col("doc_id").alias("seed_index"), F.expr(RAW_URL_EXPR).alias("url"))
+    s2 = docs.select(
+        (F.col("doc_id") + 1000000).alias("seed_index"),
+        F.expr(RAW_URL_ALT_EXPR).alias("url"),
+    )
+    fr = seeds_to_frontier(s1.unionByName(s2))
+    return fr.select("url", "host", F.col("seed_index").cast("long").alias("seed_index"))
+
+
+SQL_CRAWL_SEED_DEDUP = f"""
+with seeds as (
+  select doc_id as seed_index, {CANON_URL_EXPR} as url, {HOST_EXPR} as host from documents
+  union all
+  select doc_id + 1000000, {CANON_URL_EXPR}, {HOST_EXPR} from documents
+)
+select url, host, min(seed_index)::BIGINT as seed_index from seeds group by url, host
+"""
+
+
+def q_crawl_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 exact tier — left-anti membership probe vs the seen set."""
+    u = _urlset(spark, sf_dir)
+    seen = u.filter(F.col("doc_id") % 3 == 0).select("url")
+    return anti_join_seen(u.select("url", "host"), seen).select("url", "host")
+
+
+SQL_CRAWL_SEEN_FILTER = f"""
+with u as (select doc_id, {CANON_URL_EXPR} as url, {HOST_EXPR} as host from documents)
+select url, host from u where doc_id % 3 <> 0
+"""
+
+
+def q_crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots disallow + per-host budget (operators/robots.py): broadcast
+    host->rule map, prefix predicate, budget = min(cap, round/delay)."""
+    u = _urlset(spark, sf_dir).select("url", "host", "seed_index", "depth")
+    allowed, _denied = apply_robots(u, _robots_dim(spark, sf_dir), 8, 60.0)
+    return allowed.select("url", "host", F.col("budget").cast("long").alias("budget"))
+
+
+SQL_CRAWL_ROBOTS_FILTER = f"""
+with u as (
+  select doc_id, {CANON_URL_EXPR} as url, {HOST_EXPR} as host, {PATH_EXPR} as path, source
+  from documents
+), rules as (
+  select distinct source,
+    {_RULES_SQL_DISALLOW} as disallow,
+    case when source like '%2' then 5.0 end as delay,
+    case when source like '%4' then 3 end as cap
+  from documents
+)
+select u.url, u.host,
+  least(coalesce(r.cap, 8),
+        case when r.delay is not null and r.delay > 0
+             then greatest(1, floor(60.0 / r.delay)) else 8 end)::BIGINT as budget
+from u join rules r using (source)
+where not (r.disallow is not null and starts_with(u.path, r.disallow[1]))
+"""
+
+
+def q_crawl_politeness_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/T1 — per-host priority top-k admission (politeness), budget 5."""
+    u = _urlset(spark, sf_dir).select("url", "host", "seed_index", "depth")
+    adm = admit(u.withColumn("budget", F.lit(5)), impl="window")
+    return adm.select(
+        "url", "host",
+        F.col("seed_index").cast("long").alias("seed_index"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+SQL_CRAWL_POLITENESS_ADMIT = f"""
+with u as (
+  select {CANON_URL_EXPR} as url, {HOST_EXPR} as host,
+         (doc_id % 7)::BIGINT as seed_index, (doc_id % 3)::BIGINT as depth
+  from documents
+), r as (
+  select *, row_number() over (partition by host order by seed_index, depth, url) as rn
+  from u
+)
+select url, host, seed_index, depth from r where rn <= 5
+"""
+
+
+def q_crawl_fetch_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — deterministic global fetch_seq via the scalable zipWithIndex-style
+    stamp (operators/ordering.py); must equal a global row_number at any
+    parallelism."""
+    u = _urlset(spark, sf_dir).select("url", "seed_index", "depth")
+    out = assign_seq_scalable(u, ["seed_index", "depth", "url"], "fetch_seq")
+    return out.select("url", "fetch_seq")
+
+
+SQL_CRAWL_FETCH_SEQ = f"""
+with u as (
+  select {CANON_URL_EXPR} as url, doc_id % 7 as seed_index, doc_id % 3 as depth
+  from documents
+)
+select url, (row_number() over (order by seed_index, depth, url) - 1)::BIGINT as fetch_seq
+from u
+"""
+
+
+def q_crawl_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S8 — the fetch stage: admitted batch equi-joins pages on url,
+    pulling the payload columns only for admitted rows."""
+    pages = _urlset(spark, sf_dir)
+    frontier = pages.filter(F.col("doc_id") % 2 == 0).select("url", "seed_index")
+    fetched = frontier.join(pages.select("url", "host", "lang", "text"), "url")
+    return fetched.select(
+        "url", "host", "lang", "text",
+        F.col("seed_index").cast("long").alias("seed_index"),
+    )
+
+
+SQL_CRAWL_FETCH_JOIN = f"""
+with pages as (
+  select doc_id, {CANON_URL_EXPR} as url, {HOST_EXPR} as host, lang, text,
+         (doc_id % 7)::BIGINT as seed_index
+  from documents
+)
+select url, host, lang, text, seed_index from pages where doc_id % 2 = 0
+"""
+
+
+def q_crawl_frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier min-merge — duplicate discoveries of one url keep the best
+    (seed_index, depth) priority (plans/crawl.py frontier_next)."""
+    u = _urlset(spark, sf_dir)
+    c1 = u.select("url", "seed_index", "depth")
+    c2 = u.select(
+        "url",
+        ((F.col("doc_id") + 3) % 7).cast("int").alias("seed_index"),
+        ((F.col("doc_id") + 1) % 3).cast("int").alias("depth"),
+    )
+    merged = (
+        c1.unionByName(c2)
+        .groupBy("url")
+        .agg(F.min(F.struct("seed_index", "depth")).alias("p"))
+        .select(
+            "url",
+            F.col("p.seed_index").cast("long").alias("seed_index"),
+            F.col("p.depth").cast("long").alias("depth"),
+        )
+    )
+    return merged
+
+
+SQL_CRAWL_FRONTIER_MERGE = f"""
+with cand as (
+  select {CANON_URL_EXPR} as url, (doc_id % 7)::BIGINT as seed_index,
+         (doc_id % 3)::BIGINT as depth from documents
+  union all
+  select {CANON_URL_EXPR}, ((doc_id + 3) % 7)::BIGINT, ((doc_id + 1) % 3)::BIGINT
+  from documents
+), r as (
+  select *, row_number() over (partition by url order by seed_index, depth) as rn from cand
+)
+select url, seed_index, depth from r where rn = 1
+"""
+
+
+def q_crawl_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage metrics shape — per-host rollup."""
+    u = _urlset(spark, sf_dir)
+    return u.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.max("depth").cast("long").alias("max_depth"),
+    )
+
+
+SQL_CRAWL_HOST_ROLLUP = f"""
+select {HOST_EXPR} as host, count(*)::BIGINT as n_urls,
+       count(distinct lang)::BIGINT as n_langs, max(doc_id % 3)::BIGINT as max_depth
+from documents group by 1
+"""
+
+
+def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: one full scheduling round — canonicalize -> seen anti-join ->
+    robots filter + budgets -> per-host priority admit -> deterministic
+    fetch_seq -> fetch join pages (SURVEY.md §3.1 Spark lifecycle)."""
+    u = _urlset(spark, sf_dir)
+    seen = u.filter(F.col("doc_id") % 3 == 0).select("url")
+    cand = anti_join_seen(u.select("url", "host", "seed_index", "depth"), seen)
+    allowed, _denied = apply_robots(cand, _robots_dim(spark, sf_dir), 8, 60.0)
+    admitted = admit(allowed, impl="window")
+    stamped = assign_seq_scalable(
+        admitted.drop("budget"), ["seed_index", "depth", "url"], "fetch_seq"
+    )
+    fetched = stamped.join(u.select("url", "lang", "text"), "url")
+    return fetched.select("fetch_seq", "url", "host", "lang")
+
+
+SQL_CRAWL_ROUND = f"""
+with u as (
+  select doc_id, {CANON_URL_EXPR} as url, {HOST_EXPR} as host, {PATH_EXPR} as path,
+         source, lang, (doc_id % 7)::BIGINT as seed_index, (doc_id % 3)::BIGINT as depth
+  from documents
+), rules as (
+  select distinct source,
+    {_RULES_SQL_DISALLOW} as disallow,
+    case when source like '%2' then 5.0 end as delay,
+    case when source like '%4' then 3 end as cap
+  from documents
+), cand as (
+  select u.* from u where doc_id % 3 <> 0
+), allowed as (
+  select c.*,
+    least(coalesce(r.cap, 8),
+          case when r.delay is not null and r.delay > 0
+               then greatest(1, floor(60.0 / r.delay)) else 8 end)::BIGINT as budget
+  from cand c join rules r using (source)
+  where not (r.disallow is not null and starts_with(c.path, r.disallow[1]))
+), admitted as (
+  select *, row_number() over (partition by host order by seed_index, depth, url) as rn
+  from allowed
+), batch as (
+  select * from admitted where rn <= budget
+)
+select (row_number() over (order by seed_index, depth, url) - 1)::BIGINT as fetch_seq,
+       url, host, lang
+from batch
+"""
+
+
+# ---------------------------------------------------------------------------
+# OpenReview analytics parity (P6, P8, P9, A1-A8, O1, J5, F3-F8)
+# ---------------------------------------------------------------------------
+
+_INV_MAP_EXPR = """case event_type
+  when 'click' then 'Conf/-/Paper12/Official_Review'
+  when 'view' then 'Conf/-/Paper12/Public_Comment'
+  when 'purchase' then 'Conf/-/Paper12/Acceptance_Decision'
+  when 'signup' then 'Conf/-/Paper12/Desk_Rejection'
+  else 'Conf/-/Paper12/Withdrawn_Submission'
+end"""
+
+
+def q_note_type_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — invitation-substring note-type classifier (stats.note_type_col),
+    reference precedence review > comment > decision|acceptance > other."""
+    ev = _t(spark, sf_dir, "events").withColumn("invitation", F.expr(_INV_MAP_EXPR))
+    return (
+        ev.select(note_type_col(F.col("invitation")).alias("note_type"))
+        .groupBy("note_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_NOTE_TYPE_CLASSIFY = f"""
+with inv as (select {_INV_MAP_EXPR} as invitation from events)
+select case
+  when contains(lower(invitation), 'review') then 'review'
+  when contains(lower(invitation), 'comment') then 'plain_comment'
+  when contains(lower(invitation), 'decision') or contains(lower(invitation), 'acceptance')
+       then 'decision'
+  else 'other' end as note_type,
+  count(*)::BIGINT as n
+from inv group by 1
+"""
+
+_SUB_VENUE_EXPR = "case when doc_id % 7 = 0 then 'ICLR.cc' else 'Conf' || cast(doc_id % 3 as varchar(10)) end"
+_SUB_YEAR_EXPR = "case when doc_id % 7 = 0 then 2014 else 2020 + cast(doc_id % 3 as int) end"
+_SUB_INV_EXPR = (
+    "case when doc_id % 6 = 0 then 'Conf/-/Withdrawn_Submission'"
+    " else 'Conf/-/Blind_Submission' end"
+)
+_SUB_DECISION_EXPR = """case cast(doc_id % 5 as int)
+  when 0 then 'Accept (Oral)'
+  when 1 then 'Reject'
+  when 2 then 'Accept and Reject unclear'
+  when 3 then 'Borderline'
+end"""
+
+
+def q_label_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — the reference's acceptance-labeling cascade
+    (/root/reference/acceptance_labeling.py:10-96) through the engine's
+    real ``label_row`` in an Arrow batch UDF; the decision-content rule
+    branches (rule 1 + rule 2 incl. the ICLR.cc-2014 quirk) are
+    SQL-expressible, so the oracle replays them declaratively. (The
+    ordered-notes-scan branch is golden-file-tested in tests/.)"""
+    subs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SUB_VENUE_EXPR).alias("venue"),
+        F.expr(_SUB_YEAR_EXPR).alias("year"),
+        F.expr(_SUB_INV_EXPR).alias("invitation"),
+        F.expr(_SUB_DECISION_EXPR).alias("decision"),
+    )
+    subs = subs.withColumn(
+        "content_json",
+        F.when(
+            F.col("decision").isNotNull(),
+            F.concat(F.lit('{"decision": "'), F.col("decision"), F.lit('"}')),
+        ).otherwise(F.lit("{}")),
+    )
+
+    @F.pandas_udf("string")
+    def _label(inv: pd.Series, cj: pd.Series, venue: pd.Series, year: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                label_row(inv.iloc[i], cj.iloc[i], venue.iloc[i], int(year.iloc[i]), [])
+                for i in range(len(inv))
+            ]
+        )
+
+    return subs.select(
+        "doc_id",
+        _label(
+            F.col("invitation"), F.col("content_json"), F.col("venue"), F.col("year")
+        ).alias("acceptance_tag"),
+    )
+
+
+SQL_LABEL_CASCADE = f"""
+with subs as (
+  select doc_id, {_SUB_VENUE_EXPR} as venue, {_SUB_YEAR_EXPR} as year,
+         {_SUB_INV_EXPR} as invitation, {_SUB_DECISION_EXPR} as decision
+  from documents
+)
+select doc_id, case
+  when contains(lower(invitation), 'withdraw') then 'withdrawn'
+  when decision is null then 'unknown'
+  when contains(lower(decision), 'reject') and contains(lower(decision), 'accept') then 'unknown'
+  when contains(lower(decision), 'reject') then 'rejected'
+  when contains(lower(decision), 'accept') then 'accepted'
+  when venue = 'ICLR.cc' and year = 2014 then 'unknown'
+  else 'accepted' end as acceptance_tag
+from subs
+"""
+
+
+def q_venue_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog — per (year, group) conditional counts, one shuffle with
+    map-side partials (stats.venue_year_rollup shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            *[
+                F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{s.lower()}")
+                for s in ("O", "F", "P")
+            ],
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_VENUE_YEAR_ROLLUP = """
+select year(o_orderdate)::BIGINT as year, count(*)::BIGINT as n_orders,
+  sum(case when o_orderstatus = 'O' then 1 else 0 end)::BIGINT as n_o,
+  sum(case when o_orderstatus = 'F' then 1 else 0 end)::BIGINT as n_f,
+  sum(case when o_orderstatus = 'P' then 1 else 0 end)::BIGINT as n_p,
+  round(sum(o_totalprice), 2) as revenue
+from orders group by 1
+"""
+
+
+def q_label_share_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 — pivot-style share matrix with div-by-zero guard (try_divide)."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy(F.year("o_orderdate").cast("long").alias("year")).agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0)).alias(f"c_{s}")
+            for s in ("O", "F", "P")
+        ],
+    )
+    return counts.select(
+        "year",
+        *[
+            F.round(F.try_divide(F.col(f"c_{s}"), F.col("total")), 4).alias(
+                f"{s.lower()}_share"
+            )
+            for s in ("O", "F", "P")
+        ],
+    )
+
+
+SQL_LABEL_SHARE_PIVOT = """
+with c as (
+  select year(o_orderdate)::BIGINT as year, count(*) as total,
+    sum(case when o_orderstatus = 'O' then 1 else 0 end) as c_o,
+    sum(case when o_orderstatus = 'F' then 1 else 0 end) as c_f,
+    sum(case when o_orderstatus = 'P' then 1 else 0 end) as c_p
+  from orders group by 1
+)
+select year, round(c_o / total::DOUBLE, 4) as o_share,
+       round(c_f / total::DOUBLE, 4) as f_share,
+       round(c_p / total::DOUBLE, 4) as p_share
+from c
+"""
+
+
+def q_comment_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/F8 — unit-bin histogram with outlier cap and density normalization
+    (stats.count_histogram over per-customer order counts)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    hist = count_histogram(per_cust, "cnt", cap=30)
+    return hist.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.round("density", 4).alias("density"),
+    )
+
+
+SQL_COMMENT_HISTOGRAM = """
+with per_cust as (
+  select o_custkey, count(*) as cnt from orders group by 1
+), hist as (
+  select cnt as bin, count(*) as n from per_cust where cnt <= 30 group by 1
+)
+select bin::BIGINT as bin, n::BIGINT as n,
+       round(n / (sum(n) over ())::DOUBLE, 4) as density
+from hist
+"""
+
+
+def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — exact (interpolated) median per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price")
+    )
+
+
+SQL_MEDIAN_BY_GROUP = """
+select o_orderpriority, round(median(o_totalprice), 4) as median_price
+from orders group by 1
+"""
+
+
+def q_revision_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — newest-first ordering: latest event per user (window + row_number
+    with explicit tie-break, the revision-ordering plan)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            # parquet timestamps load as TIMESTAMP_NTZ; session TZ is UTC so
+            # the cast is an identity relabel, matching DuckDB epoch_ms
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+    )
+
+
+SQL_REVISION_LATEST = """
+with r as (
+  select user_id, event_id, epoch_ms(ts) as ts_ms,
+         row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+  from events
+)
+select user_id, event_id, ts_ms from r where rn = 1
+"""
+
+_FORUM_EXPR = "'f' || cast(doc_id % 25 as varchar(10))"
+_NOTE_ID_EXPR = "'n' || cast(doc_id as varchar(30))"
+_REPLYTO_EXPR = (
+    "case when doc_id < 25 then 'f' || cast(doc_id % 25 as varchar(10))"
+    " else 'n' || cast(doc_id - 25 as varchar(30)) end"
+)
+
+
+def q_reply_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — reply-forest assembly with broken-chain dropping
+    (operators/comment_tree.reply_forest, applyInPandas per forum); oracle is
+    a recursive CTE. Docs with doc_id % 37 == 0 are withheld, so their
+    descendants' chains break and are silently dropped — the reference's
+    lone-leaf semantics (/root/reference/comment_tree.py:56-60)."""
+    notes = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 != 0)
+        .select(
+            F.expr(_FORUM_EXPR).alias("forum"),
+            F.expr(_NOTE_ID_EXPR).alias("id"),
+            F.expr(_REPLYTO_EXPR).alias("replyto"),
+            F.col("doc_id").cast("int").alias("rec_order"),
+        )
+    )
+    out = reply_forest(notes)
+    return out.select(
+        "forum", "id", "parent_id", "root_id", F.col("depth").cast("long").alias("depth")
+    )
+
+
+SQL_REPLY_FOREST = f"""
+with recursive notes as (
+  select {_FORUM_EXPR} as forum, {_NOTE_ID_EXPR} as id, {_REPLYTO_EXPR} as replyto
+  from documents where doc_id % 37 <> 0
+), kept as (
+  select forum, id, replyto as parent_id, id as root_id, 0 as depth
+  from notes where replyto = forum
+  union all
+  select n.forum, n.id, n.replyto, k.root_id, k.depth + 1
+  from notes n join kept k on n.replyto = k.id and n.forum = k.forum
+)
+select forum, id, parent_id, root_id, depth::BIGINT as depth from kept
+"""
+
+
+def q_flatten_authors_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — positional list->column pivot with truncation (the reference's
+    author0..author12 flattening, database.py:129-133), on part names."""
+    p = _t(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        *[F.try_element_at(toks, F.lit(i + 1)).alias(f"author{i}") for i in range(4)],
+    )
+
+
+SQL_FLATTEN_AUTHORS_PIVOT = """
+with t as (select p_partkey, string_split(p_name, ' ') as toks from part)
+select p_partkey, toks[1] as author0, toks[2] as author1,
+       toks[3] as author2, toks[4] as author3
+from t
+"""
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 twin — extract the numeric field out of the stringified props dict,
+    aggregate per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+SQL_PROPS_EXTRACT = """
+select event_type, sum(regexp_extract(props, '([0-9]+)', 1)::BIGINT)::BIGINT as sum_k,
+       count(*)::BIGINT as n
+from events group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational coverage (scan/filter/join/agg/window pushdown)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_Q1_PRICING = """
+select l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) as sum_qty,
+  round(sum(l_extendedprice), 2) as sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+  round(avg(l_quantity), 4) as avg_qty,
+  count(*)::BIGINT as count_order
+from lineitem
+where l_shipdate <= timestamp '2000-12-01 00:00:00'
+group by 1, 2
+"""
+
+
+def q_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: selective dim filter -> join -> grouped revenue. Customer
+    filter is broadcast; lineitem never scans non-needed columns."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1999-01-01"))
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+SQL_Q3_SHIPPING = """
+select o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1999-01-01 00:00:00'
+  and l_shipdate > timestamp '1999-01-01 00:00:00'
+group by 1
+"""
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: snowflake joins with small dims broadcast, revenue per nation."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+SQL_Q5_REGION_REVENUE = """
+select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+group by 1
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+with r as (
+  select o_custkey, o_orderkey,
+         row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rnk
+  from orders
+)
+select o_custkey, o_orderkey, rnk::BIGINT as rnk from r where rnk <= 3
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization: gap > 30 min starts a new session (lag +
+    running sum — the stateful-stream analog expressed as batch windows)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZATION = """
+with g as (
+  select user_id,
+         epoch_ms(ts) - epoch_ms(lag(ts) over (partition by user_id order by ts, event_id)) as gap
+  from events
+)
+select user_id,
+  sum(case when gap is null or gap > 1800000 then 1 else 0 end)::BIGINT as n_sessions,
+  count(*)::BIGINT as n_events
+from g group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = "string_split(text, ' ')"
+
+
+def _sw_sql(words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_SQL_TOKENS}, t -> t in ({quoted})))"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col(tokens_col(F.col("text"))).alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    from .operators.textstats import STOPWORDS
+
+    keys = []
+    for lang, ws in sorted(STOPWORDS.items()):
+        keys.append(
+            f"lpad(((1000000 + -1 * {_sw_sql(ws)}))::VARCHAR, 7, '0') || '{lang}'"
+        )
+    least = "least(" + ", ".join(keys) + ")"
+    anyhit = " + ".join(_sw_sql(ws) for _, ws in sorted(STOPWORDS.items()))
+    return f"""
+select doc_id,
+  case when ({anyhit}) = 0 then 'und' else substr({least}, 8) end as lang_pred
+from documents
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = quality_score_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+SQL_TEXT_QUALITY = f"""
+with base as (
+  select doc_id, text, len({_SQL_TOKENS})::BIGINT as n_tokens,
+         length(text)::BIGINT as n_chars,
+         {_sw_sql(("the", "a", "of", "and", "is", "to"))}::BIGINT as stop_en
+  from documents
+), m as (
+  select doc_id, n_tokens,
+    (n_chars - (n_tokens - 1)) / n_tokens::DOUBLE as mean_tok,
+    stop_en / n_tokens::DOUBLE as stop_ratio,
+    (n_chars - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n_chars::DOUBLE as punct_ratio
+  from base
+)
+select doc_id, n_tokens, round(mean_tok, 4) as mean_token_len,
+  round(stop_ratio, 4) as stopword_ratio, round(punct_ratio, 4) as punct_ratio,
+  round(((case when n_tokens between 10 and 100000 then 0.4 else 0.0 end)
+      + (case when mean_tok between 2.0 and 12.0 then 0.3 else 0.0 end)
+      + (case when stop_ratio >= 0.01 then 0.2 else 0.0 end)
+      + (case when punct_ratio <= 0.2 then 0.1 else 0.0 end))::DOUBLE, 2) as quality_score
+from m
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = token_count_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+SQL_TOKEN_COUNT = f"""
+select doc_id, len({_SQL_TOKENS})::BIGINT as ws_tokens,
+       ceil(length(text) / 4.0)::BIGINT as bpe_est_tokens
+from documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = fingerprint_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+SQL_DOC_FINGERPRINT = f"""
+with norm as (
+  select doc_id, lower(regexp_replace(trim(text), ' +', ' ', 'g')) as t from documents
+)
+select doc_id, md5(t) as fp_md5,
+  list_reduce(
+    list_transform(string_split(t, ' '), tok -> {_H32.format(x='tok')}),
+    (a, b) -> (a * 31 + b) % 2147483647
+  ) as fp_roll
+from norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup family (over the derived corpus with
+# constructed exact + near duplicates)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+with corpus as ({CORPUS_SQL})
+select md5(text) as text_md5, min(doc_id)::BIGINT as keeper_id,
+       count(*)::BIGINT as n_copies
+from corpus group by 1 having count(*) > 1
+"""
+
+# shared DuckDB shingle CTE: distinct 3-token shingles per doc (docs >= 3 tokens)
+_SQL_SHINGLES = f"""
+shingled as (
+  select doc_id, {_SQL_TOKENS} as toks from corpus where len({_SQL_TOKENS}) >= 3
+), sh as (
+  select doc_id, unnest(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+  )) as shingle
+  from shingled
+)
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_corpus(spark, sf_dir))
+
+
+def _sql_minhash() -> str:
+    salted = ["'{}|' || shingle".format(j) for j in range(dedup.N_MINHASH)]
+    h = ", ".join(
+        "min({}) as mh{}".format(_H32.format(x=salted[j]), j)
+        for j in range(dedup.N_MINHASH)
+    )
+    band_rows = []
+    rpb = dedup.N_MINHASH // dedup.N_BANDS
+    for b in range(dedup.N_BANDS):
+        cols = " || '/' || ".join(
+            f"mh{b * rpb + r}::VARCHAR" for r in range(rpb)
+        )
+        band_rows.append(f"select doc_id, {b} as band, {cols} as bkey from sig")
+    banded = " union all ".join(band_rows)
+    return f"""
+with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
+sig as (select doc_id, {h} from sh group by doc_id),
+banded as ({banded})
+select l.doc_id::BIGINT as doc_a, r.doc_id::BIGINT as doc_b, count(*)::BIGINT as n_bands
+from banded l join banded r on l.band = r.band and l.bkey = r.bkey and l.doc_id < r.doc_id
+group by 1, 2
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_minhash()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(_corpus(spark, sf_dir))
+
+
+SQL_DEDUP_SIMHASH = f"""
+with corpus as ({CORPUS_SQL}),
+toks as (
+  select doc_id, {_H32.format(x='tok')} as h
+  from (select doc_id, unnest({_SQL_TOKENS}) as tok from corpus)
+), votes as (
+  select doc_id, bit, sum(case when (h >> bit) & 1 = 1 then 1 else -1 end) as s
+  from toks, (select unnest(range(0, {dedup.SIMHASH_BITS})) as bit)
+  group by 1, 2
+), sig as (
+  select doc_id, sum(case when s > 0 then (1::BIGINT << bit) else 0 end)::BIGINT as simhash
+  from votes group by 1
+), withlang as (
+  select s.doc_id, s.simhash, c.lang from sig s join corpus c using (doc_id)
+)
+select l.doc_id::BIGINT as doc_a, r.doc_id::BIGINT as doc_b,
+       bit_count(xor(l.simhash, r.simhash))::BIGINT as hamming
+from withlang l join withlang r on l.lang = r.lang and l.doc_id < r.doc_id
+where bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_corpus(spark, sf_dir))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
+sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+inter as (
+  select l.doc_id as doc_a, r.doc_id as doc_b, count(*) as i
+  from sh l join sh r on l.shingle = r.shingle and l.doc_id < r.doc_id
+  group by 1, 2
+)
+select doc_a::BIGINT as doc_a, doc_b::BIGINT as doc_b,
+       round(i / (sa.n_sh + sb.n_sh - i)::DOUBLE, 4) as jaccard
+from inter join sizes sa on inter.doc_a = sa.doc_id
+join sizes sb on inter.doc_b = sb.doc_id
+where round(i / (sa.n_sh + sb.n_sh - i)::DOUBLE, 4) >= 0.5
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_pairs(_vecset(spark, sf_dir))
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+_SQL_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+with vecset as ({VECSET_SQL}),
+v as (
+  select vec_id, label, embedding::DOUBLE[] as e,
+         {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
+  from vecset
+)
+select l.vec_id::BIGINT as vec_a, r.vec_id::BIGINT as vec_b,
+       round({_SQL_DOT.format(a='l.e', b='r.e')} / (l.nrm * r.nrm), 3) as cos
+from v l join v r on l.label = r.label and l.vec_id < r.vec_id
+where round({_SQL_DOT.format(a='l.e', b='r.e')} / (l.nrm * r.nrm), 3) >= 0.95
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_topk(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_ANN_BRUTE_TOPK = f"""
+with v as (
+  select vec_id, label, embedding::DOUBLE[] as e,
+         {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
+  from embeddings
+), scored as (
+  select q.vec_id as query_id, c.vec_id as cand_id,
+         {_SQL_DOT.format(a='q.e', b='c.e')} / (q.nrm * c.nrm) as cos_raw
+  from v q join v c on c.vec_id <> q.vec_id
+  where q.vec_id < 16
+), ranked as (
+  select *, row_number() over (partition by query_id order by cos_raw desc, cand_id asc) as rank
+  from scored
+)
+select query_id, cand_id, rank::BIGINT as rank, round(cos_raw, 3) as cos
+from ranked where rank <= 5
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_ANN_IVF_TOPK = f"""
+with v as (
+  select vec_id, label, embedding::DOUBLE[] as e,
+         {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
+  from embeddings
+), scored as (
+  select q.vec_id as query_id, c.vec_id as cand_id,
+         {_SQL_DOT.format(a='q.e', b='c.e')} / (q.nrm * c.nrm) as cos_raw
+  from v q join v c on c.label = q.label and c.vec_id <> q.vec_id
+  where q.vec_id < 16
+), ranked as (
+  select *, row_number() over (partition by query_id order by cos_raw desc, cand_id asc) as rank
+  from scored
+)
+select query_id, cand_id, rank::BIGINT as rank, round(cos_raw, 3) as cos
+from ranked where rank <= 3
+"""
+
+
+def q_ann_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_signatures(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_lsh_sig() -> str:
+    terms = []
+    for j in range(similarity.N_PLANES):
+        salt = "'p{}|' || i::VARCHAR".format(j)
+        plane = (
+            "list_reduce(list_transform(range(1, len(e) + 1),"
+            " i -> e[i] * (({h} % 2000) / 1000.0 - 1.0)),"
+            " (x, y) -> x + y)"
+        ).format(h=_H32.format(x=salt))
+        terms.append(f"(case when {plane} > 0 then {1 << j}::BIGINT else 0 end)")
+    return f"""
+with v as (select vec_id, embedding::DOUBLE[] as e from embeddings)
+select vec_id, ({' + '.join(terms)})::BIGINT as sig from v
+"""
+
+
+SQL_ANN_LSH_SIGNATURE = _sql_lsh_sig()
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_metadata(assets)
+
+
+SQL_MM_DECODE_META = """
+select doc_id::BIGINT as asset_id,
+  case (doc_id % 3) when 0 then 'image' when 1 then 'audio' else 'video' end as kind,
+  octet_length(encode(text))::BIGINT as n_bytes,
+  (octet_length(encode(text)) % 640 + 1)::BIGINT as width,
+  (ascii(substr(text, 1, 1)) + 1)::BIGINT as height
+from documents
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.assets_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(assets).select("asset_id", "frame_idx", "frame_len")
+
+
+SQL_MM_FRAME_SAMPLE = """
+select doc_id::BIGINT as asset_id, f.frame_idx::BIGINT as frame_idx,
+       (octet_length(encode(text)) // 3)::BIGINT as frame_len
+from documents, (select unnest(range(0, 3)) as frame_idx) f
+where doc_id % 3 = 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+CATALOG: dict[str, QueryDef] = {
+    # crawl engine
+    "crawl_canonicalize": QueryDef(q_crawl_canonicalize, SQL_CRAWL_CANONICALIZE),
+    "crawl_seed_dedup": QueryDef(q_crawl_seed_dedup, SQL_CRAWL_SEED_DEDUP),
+    "crawl_seen_filter": QueryDef(q_crawl_seen_filter, SQL_CRAWL_SEEN_FILTER),
+    "crawl_robots_filter": QueryDef(q_crawl_robots_filter, SQL_CRAWL_ROBOTS_FILTER),
+    "crawl_politeness_admit": QueryDef(q_crawl_politeness_admit, SQL_CRAWL_POLITENESS_ADMIT),
+    "crawl_fetch_seq": QueryDef(q_crawl_fetch_seq, SQL_CRAWL_FETCH_SEQ),
+    "crawl_fetch_join": QueryDef(q_crawl_fetch_join, SQL_CRAWL_FETCH_JOIN),
+    "crawl_frontier_merge": QueryDef(q_crawl_frontier_merge, SQL_CRAWL_FRONTIER_MERGE),
+    "crawl_host_rollup": QueryDef(q_crawl_host_rollup, SQL_CRAWL_HOST_ROLLUP),
+    "crawl_round": QueryDef(q_crawl_round, SQL_CRAWL_ROUND),
+    # OpenReview analytics parity
+    "note_type_classify": QueryDef(q_note_type_classify, SQL_NOTE_TYPE_CLASSIFY),
+    "label_cascade": QueryDef(q_label_cascade, SQL_LABEL_CASCADE),
+    "venue_year_rollup": QueryDef(q_venue_year_rollup, SQL_VENUE_YEAR_ROLLUP),
+    "label_share_pivot": QueryDef(q_label_share_pivot, SQL_LABEL_SHARE_PIVOT),
+    "comment_histogram": QueryDef(q_comment_histogram, SQL_COMMENT_HISTOGRAM),
+    "median_by_group": QueryDef(q_median_by_group, SQL_MEDIAN_BY_GROUP),
+    "revision_latest": QueryDef(q_revision_latest, SQL_REVISION_LATEST),
+    "reply_forest": QueryDef(q_reply_forest, SQL_REPLY_FOREST),
+    "flatten_authors_pivot": QueryDef(q_flatten_authors_pivot, SQL_FLATTEN_AUTHORS_PIVOT),
+    "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
+    # relational coverage
+    "q1_pricing": QueryDef(q_q1_pricing, SQL_Q1_PRICING),
+    "q3_shipping": QueryDef(q_q3_shipping, SQL_Q3_SHIPPING),
+    "q5_region_revenue": QueryDef(q_q5_region_revenue, SQL_Q5_REGION_REVENUE),
+    "top_orders_per_customer": QueryDef(q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
+    "sessionization": QueryDef(q_sessionization, SQL_SESSIONIZATION),
+    # text analysis
+    "lang_id": QueryDef(q_lang_id, SQL_LANG_ID),
+    "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
+    "token_count": QueryDef(q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": QueryDef(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    # dedup family
+    "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    # similarity search
+    "ann_brute_topk": QueryDef(q_ann_brute_topk, SQL_ANN_BRUTE_TOPK),
+    "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_lsh_signature": QueryDef(q_ann_lsh_signature, SQL_ANN_LSH_SIGNATURE),
+    # multimodal plumbing
+    "mm_decode_meta": QueryDef(q_mm_decode_meta, SQL_MM_DECODE_META),
+    "mm_frame_sample": QueryDef(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.build for name, qd in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.sql for name, qd in CATALOG.items() if qd.sql is not None}

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own operators (its parse pass extracts and classifies
+note content, /root/reference/acceptance_labeling.py:10-96), a 100 TB web-text
+corpus needs per-document quality signals. Everything here is pure JVM-side
+column expressions (whole-stage-codegen'd, no Python in the hot path); each
+operator has a matching ANSI-SQL twin registered in ``__spark_entry__`` so
+DuckDB oracle-checks it at sf0.01.
+
+Cross-engine determinism rules used throughout this repo:
+  * token split = regex-free single-space split (corpus text is
+    single-space-joined; empties preserved identically by both engines),
+  * all hashes derive from md5 (identical in Spark and DuckDB):
+    ``hash32(s) = int(md5(s)[:8], 16)`` — Spark ``conv(substr(md5(x),1,8),16,10)``,
+    DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT``,
+  * floats rounded to a fixed scale before comparison (both engines round
+    half-away-from-zero on doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic argmax with alphabetical-language tie-break.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "y", "los", "que", "de"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def hash32_col(s: Column) -> Column:
+    """Cross-engine 32-bit hash: int value of the first 8 md5 hex chars."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    """Single-space tokenization (cross-engine identical)."""
+    return F.split(text, " ")
+
+
+def stopword_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    """Count (with multiplicity) tokens that are in ``words``."""
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def lang_id_col(tokens: Column) -> Column:
+    """Language-ID heuristic: argmax stopword hits, ties broken by language
+    code ascending, zero hits -> 'und'. Pure column expressions."""
+    # build array<struct<neg_hits, lang>>, take array_min => (max hits, min lang)
+    entries = [
+        F.struct(
+            (-stopword_hits(tokens, ws)).cast("long").alias("neg_hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    best = F.array_min(F.array(*entries))
+    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Quality signals: token count, mean token length, stopword ratio,
+    punctuation ratio, and a composite [0,1] score.
+
+    Mirrors the shape of C4/Gopher-style quality rules; thresholds are
+    arbitrary but deterministic and documented in the SQL twin.
+    """
+    toks = tokens_col(text)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    # mean token length over single-space-joined text: (chars - (n-1)) / n
+    mean_tok = (n_chars - (n_tokens - F.lit(1))) / n_tokens
+    stop_en = stopword_hits(toks, STOPWORDS["en"]).cast("long")
+    stop_ratio = stop_en / n_tokens
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    punct_ratio = n_punct / n_chars
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_tok >= 2.0) & (mean_tok <= 12.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return {
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(mean_tok, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "quality_score": F.round(score, 2),
+    }
+
+
+def token_count_cols(text: Column) -> dict[str, Column]:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(chars/4), the common ~4-chars-per-token heuristic)."""
+    toks = tokens_col(text)
+    n_chars = F.length(text).cast("long")
+    return {
+        "ws_tokens": F.size(toks).cast("long"),
+        "bpe_est_tokens": F.ceil(n_chars / F.lit(4.0)).cast("long"),
+    }
+
+
+def fingerprint_cols(text: Column) -> dict[str, Column]:
+    """Document fingerprints:
+    * ``fp_md5``  — md5 of the whitespace-normalized, lowercased text,
+    * ``fp_roll`` — 31-ary rolling hash over token hash32s mod 2^31-1.
+      DuckDB's ``list_reduce`` has no initial accumulator (folds from the
+      first element), so the Spark fold mirrors that shape exactly:
+      init = hash32(tok[0]) un-modded, then acc = (acc*31 + h) % p.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(text), r" +", " "))
+    toks = tokens_col(norm)
+    hashes = F.transform(toks, hash32_col)
+    roll = F.aggregate(
+        F.slice(hashes, 2, F.greatest(F.size(hashes) - 1, F.lit(0))),
+        F.element_at(hashes, 1),
+        lambda acc, h: (acc * F.lit(31) + h) % F.lit(2147483647),
+    )
+    return {"fp_md5": F.md5(norm), "fp_roll": roll}
