@@ -1,0 +1,194 @@
+"""Benchmark harness — headline queries + crawl-round throughput + scaling.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "crawl": {"urls_per_sec_hi": ..., "urls_per_sec_lo": ...,
+             "cores_hi": ..., "cores_lo": ..., "scaling_efficiency": ...,
+             "ordering_identical": ..., "n_urls": ...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_PAGES (default 120000),
+     SPARK_GRAFT_SCALING=0 to skip the two-level scaling run.
+
+The crawl throughput bench is the BASELINE.json target metric: URLs
+scheduled+fetched+parsed per second over a synthetic Common-Crawl-style
+frontier, at two parallelism levels (local[N/4] vs local[N], standing in for
+N vs 4N executors), with the determinism invariant checked across levels
+(identical fetch_seq assignment => identical crawl ordering, north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "crawl_round",
+    "crawl_fetch_seq",
+    "crawl_seed_dedup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_brute_topk",
+    "ann_lsh_signature",
+    "lang_id",
+    "text_quality",
+    "doc_fingerprint",
+    "q1_pricing",
+    "q3_shipping",
+    "q5_region_revenue",
+    "sessionization",
+    "reply_forest",
+    "mm_decode_meta",
+]
+
+
+def _materialize(df) -> int:
+    """Force full execution without driver collect (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from openreviewcrawler_spark.catalog import CATALOG
+
+    # warmup: JVM codegen, Arrow python workers, noop sink — not part of any
+    # query's timing
+    _materialize(CATALOG["crawl_canonicalize"].build(spark, sf_dir))
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(CATALOG[name].build(spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def crawl_round_bench(spark, n_pages: int, n_hosts: int) -> tuple[float, int, int]:
+    """One full scheduling round over a synthetic frontier; returns
+    (seconds, n_processed, order_fingerprint).
+
+    n_processed counts URLs that went through schedule+fetch+parse
+    (admitted) plus the scheduler work on denied/seen candidates.
+    The fingerprint is an order-sensitive checksum of (fetch_seq, url) —
+    equal fingerprints at different parallelism = identical crawl ordering.
+    """
+    from pyspark.sql import functions as F
+
+    from openreviewcrawler_spark.plans.crawl import CrawlConfig, run_round, seeds_to_frontier
+    from openreviewcrawler_spark.sources.bench_data import (
+        synth_pages,
+        synth_robots,
+        synth_seeds,
+        synth_seen,
+    )
+
+    budget = max(64, (n_pages // n_hosts) * 2)
+    pages = synth_pages(spark, n_pages, n_hosts)
+    seeds = synth_seeds(spark, n_pages, n_hosts)
+    seen = synth_seen(spark, n_pages, n_hosts)
+    robots = synth_robots(spark, n_hosts, budget)
+
+    cfg = CrawlConfig(
+        max_rounds=1,
+        default_budget=budget,
+        round_seconds=60.0,
+        n_salts=1,
+        admit_impl="window",
+        use_bloom=False,
+        seq_small_threshold=0,  # force the scalable fetch_seq path
+    )
+
+    t0 = time.time()
+    frontier = seeds_to_frontier(seeds)
+    r = run_round(spark, pages, frontier, seen, robots, cfg, 1, 0)
+    fetched = r["fetched"]
+    fp_row = fetched.agg(
+        F.sum(
+            F.conv(F.substring(F.md5(F.concat_ws("|", "fetch_seq", "url")), 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias("fp"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    elapsed = time.time() - t0
+    for df in r["_cached"]:
+        df.unpersist()
+    n_processed = r["n_admitted"]
+    assert fp_row["n"] == n_processed, (fp_row["n"], n_processed)
+    return elapsed, n_processed, int(fp_row["fp"])
+
+
+def run_scaling(cpus_hi: int, n_pages: int) -> dict:
+    from openreviewcrawler_spark.session import get_spark, stop_spark
+
+    cpus_lo = max(1, cpus_hi // 4)
+    n_hosts = max(256, cpus_hi * 32)  # >= O(cores) hosts so admit can't starve
+    out = {"cores_hi": cpus_hi, "cores_lo": cpus_lo, "n_pages": n_pages}
+    fps = {}
+    for tag, k in (("lo", cpus_lo), ("hi", cpus_hi)):
+        stop_spark()
+        spark = get_spark(
+            app_name=f"crawl-bench-{k}",
+            master=f"local[{k}]",
+            shuffle_partitions=k,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        # warmup: JIT + arrow init, excluded from timing
+        crawl_round_bench(spark, max(2000, n_pages // 20), n_hosts)
+        sec, n, fp = crawl_round_bench(spark, n_pages, n_hosts)
+        out[f"urls_per_sec_{tag}"] = round(n / sec, 1)
+        out[f"sec_{tag}"] = round(sec, 2)
+        fps[tag] = fp
+        out["n_urls"] = n
+    out["ordering_identical"] = fps["lo"] == fps["hi"]
+    ratio = out["cores_hi"] / out["cores_lo"]
+    out["scaling_efficiency"] = round(
+        out["urls_per_sec_hi"] / (ratio * out["urls_per_sec_lo"]), 3
+    )
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from openreviewcrawler_spark.session import get_spark, stop_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = run_headline(spark, sf_dir)
+    total = round(sum(queries.values()), 3)
+
+    crawl = run_scaling(cpus, n_pages) if do_scaling else None
+    stop_spark()
+
+    result = {
+        "metric": "headline suite seconds (see crawl.urls_per_sec_* for the "
+        "BASELINE.json URLs/sec target and crawl.scaling_efficiency for N->4N)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+    if crawl is not None:
+        result["crawl"] = crawl
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -110,16 +110,29 @@ def run_round(
     """Execute one scheduling round; returns the round's result DataFrames
     and counts. Caller materializes/commits."""
     cand = anti_join_seen(frontier, seen, bloom=bloom).persist()
-    n_candidates = cand.count()
-    if n_candidates == 0:
-        cand.unpersist()
-        return {"n_candidates": 0}
-
     allowed, denied = apply_robots(cand, robots, cfg.default_budget, cfg.round_seconds)
     denied = denied.persist()
     admitted = admit(allowed, impl=cfg.admit_impl, n_salts=cfg.n_salts).persist()
-    n_admitted = admitted.count()
-    n_denied = denied.count()
+
+    # One driver barrier for all three stage counts (instead of three count()
+    # jobs): a union-tagged aggregation materializes cand/denied/admitted into
+    # the block cache in a single job. At 10^10-frontier scale every driver
+    # round-trip is a full-cluster barrier — this is the difference between 1
+    # and 3 stalls per scheduling round.
+    tagged = (
+        cand.select(F.lit("cand").alias("__k"))
+        .unionByName(denied.select(F.lit("denied").alias("__k")))
+        .unionByName(admitted.select(F.lit("admitted").alias("__k")))
+    )
+    counts = {r["__k"]: r["n"] for r in tagged.groupBy("__k").agg(F.count("*").alias("n")).collect()}
+    n_candidates = counts.get("cand", 0)
+    n_admitted = counts.get("admitted", 0)
+    n_denied = counts.get("denied", 0)
+    if n_candidates == 0:
+        cand.unpersist()
+        denied.unpersist()
+        admitted.unpersist()
+        return {"n_candidates": 0}
 
     stamped = assign_fetch_seq(
         admitted.drop("budget"),

@@ -38,14 +38,30 @@ def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int) -> DataFrame:
     l2 = _url((i * 13 + 5) % n_pages, n_hosts)
     istr = i.cast("string")
     title = F.concat(F.lit("T"), istr, F.lit(" "), host, F.lit(" page"))
-    p1 = F.concat(F.lit("para "), istr, F.lit(" alpha"))
-    p2 = F.concat(F.lit("para "), istr, F.lit(" beta"))
-    html = F.concat(
-        F.lit("<html><head><title>"), title, F.lit("</title></head><body><p>"),
-        p1, F.lit("</p><p>"), p2, F.lit('</p><a href="'), l1,
-        F.lit('">x</a><a href="'), l2, F.lit('">x</a></body></html>'),
-    )
-    text = F.concat(title, F.lit("\n"), p1, F.lit("\n"), p2)
+    # 8 paragraphs with inner markup + entities so the parse stage does
+    # realistic per-page work (tag strip, entity decode, ws collapse)
+    filler = "lorem ipsum dolor sit amet " * 4
+    paras_html = []
+    paras_text = []
+    for p in range(8):
+        ph = F.concat(
+            F.lit(f"para {p} <b>bold"), istr, F.lit(f"</b> {filler}&amp;tail")
+        )
+        pt = F.concat(
+            F.lit(f"para {p} bold"), istr, F.lit(f" {filler}&tail")
+        )
+        paras_html.append(ph)
+        paras_text.append(pt)
+    body_parts = [F.lit("<html><head><title>"), title, F.lit("</title></head><body>")]
+    for ph in paras_html:
+        body_parts += [F.lit("<p>"), ph, F.lit("</p>")]
+    body_parts += [F.lit('<a href="'), l1, F.lit('">x</a><a href="'), l2,
+                   F.lit('">x</a></body></html>')]
+    html = F.concat(*body_parts)
+    text_parts = [title]
+    for pt in paras_text:
+        text_parts += [F.lit("\n"), pt]
+    text = F.concat(*text_parts)
     lang = F.element_at(
         F.array(*[F.lit(x) for x in ("en", "en", "en", "de", "fr")]),
         (i % 5 + 1).cast("int"),
