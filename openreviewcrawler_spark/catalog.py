@@ -718,6 +718,110 @@ from events group by 1
 """
 
 
+def q_merge_invitations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/D2 — the reference's invitation wildcard-merge + set dedup
+    (/root/reference/crawler.py:147-158) via functions.urls.merge_invitations_col:
+    numbered per-paper path segments collapse to wildcards, then distinct."""
+    from .functions.urls import merge_invitations_col
+
+    ev = _t(spark, sf_dir, "events")
+    inv = ev.select(
+        F.concat(
+            F.lit("Conf/Paper"),
+            (F.col("event_id") % 40).cast("string"),
+            F.lit("/-/"),
+            F.col("event_type"),
+        ).alias("invitation")
+    )
+    return (
+        inv.select(merge_invitations_col(F.col("invitation")).alias("merged"))
+        .groupBy("merged")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_MERGE_INVITATIONS = r"""
+with inv as (
+  select 'Conf/Paper' || cast(event_id % 40 as varchar(20)) || '/-/' || event_type
+         as invitation
+  from events
+)
+select regexp_replace(regexp_replace(invitation, '/(P|p)aper[0-9]+/', '/\1aper.*/'),
+                      '/(P|p)aper/[0-9]+/', '/\1aper/.*/') as merged,
+       count(*)::BIGINT as n
+from inv group by 1
+"""
+
+
+def q_global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — one-row cross-table totals (statistics_from_json.py:304-312
+    shape), via cheap single-row crossJoins."""
+    o = _t(spark, sf_dir, "orders").agg(F.count("*").alias("total_orders"))
+    li = _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("total_lineitems"))
+    c = _t(spark, sf_dir, "customer").agg(
+        F.countDistinct("c_custkey").alias("total_customers")
+    )
+    return o.crossJoin(li).crossJoin(c)
+
+
+SQL_GLOBAL_TOTALS = """
+select (select count(*) from orders)::BIGINT as total_orders,
+       (select count(*) from lineitem)::BIGINT as total_lineitems,
+       (select count(distinct c_custkey) from customer)::BIGINT as total_customers
+"""
+
+
+def q_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-group note-type share matrix with div-by-zero guard
+    (stats.type_share shape; statistics_from_json.py:79-82)."""
+    ev = _t(spark, sf_dir, "events").withColumn("invitation", F.expr(_INV_MAP_EXPR))
+    typed = ev.select(
+        F.dayofmonth("ts").cast("long").alias("day"),
+        note_type_col(F.col("invitation")).alias("t"),
+    )
+    counts = typed.groupBy("day").agg(
+        *[
+            F.sum(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"c_{t}")
+            for t in ("review", "plain_comment", "decision", "other")
+        ]
+    )
+    total = sum(F.col(f"c_{t}") for t in ("review", "plain_comment", "decision", "other"))
+    return counts.select(
+        "day",
+        *[
+            F.round(F.try_divide(F.col(f"c_{t}"), total), 4).alias(f"{t}_share")
+            for t in ("review", "plain_comment", "decision", "other")
+        ],
+    )
+
+
+SQL_TYPE_SHARE = f"""
+with inv as (select day(ts) as day, {_INV_MAP_EXPR} as invitation from events),
+typed as (
+  select day, case
+    when contains(lower(invitation), 'review') then 'review'
+    when contains(lower(invitation), 'comment') then 'plain_comment'
+    when contains(lower(invitation), 'decision') or contains(lower(invitation), 'acceptance')
+         then 'decision'
+    else 'other' end as t
+  from inv
+), c as (
+  select day,
+    sum(case when t = 'review' then 1 else 0 end) as c_review,
+    sum(case when t = 'plain_comment' then 1 else 0 end) as c_plain,
+    sum(case when t = 'decision' then 1 else 0 end) as c_decision,
+    sum(case when t = 'other' then 1 else 0 end) as c_other
+  from typed group by 1
+)
+select day::BIGINT as day,
+  round(c_review / nullif(c_review + c_plain + c_decision + c_other, 0)::DOUBLE, 4) as review_share,
+  round(c_plain / nullif(c_review + c_plain + c_decision + c_other, 0)::DOUBLE, 4) as plain_comment_share,
+  round(c_decision / nullif(c_review + c_plain + c_decision + c_other, 0)::DOUBLE, 4) as decision_share,
+  round(c_other / nullif(c_review + c_plain + c_decision + c_other, 0)::DOUBLE, 4) as other_share
+from c
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style relational coverage (scan/filter/join/agg/window pushdown)
 # ---------------------------------------------------------------------------
@@ -1021,7 +1125,15 @@ def _sql_minhash() -> str:
     return f"""
 with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
 sig as (select doc_id, {h} from sh group by doc_id),
-banded as ({banded})
+banded_all as ({banded}),
+hot as (
+  select band, bkey from banded_all group by band, bkey
+  having count(*) > {dedup.MAX_BUCKET}
+),
+banded as (
+  select b.* from banded_all b
+  where not exists (select 1 from hot h where h.band = b.band and h.bkey = b.bkey)
+)
 select l.doc_id::BIGINT as doc_a, r.doc_id::BIGINT as doc_b, count(*)::BIGINT as n_bands
 from banded l join banded r on l.band = r.band and l.bkey = r.bkey and l.doc_id < r.doc_id
 group by 1, 2
@@ -1063,10 +1175,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
-sizes as (select doc_id, count(*) as n_sh from sh group by 1),
+hot as (
+  select shingle from sh group by shingle having count(*) > {dedup.MAX_SHINGLE_DF}
+),
+kept as (
+  select s.* from sh s where not exists (select 1 from hot h where h.shingle = s.shingle)
+),
+sizes as (select doc_id, count(*) as n_sh from kept group by 1),
 inter as (
   select l.doc_id as doc_a, r.doc_id as doc_b, count(*) as i
-  from sh l join sh r on l.shingle = r.shingle and l.doc_id < r.doc_id
+  from kept l join kept r on l.shingle = r.shingle and l.doc_id < r.doc_id
   group by 1, 2
 )
 select doc_a::BIGINT as doc_a, doc_b::BIGINT as doc_b,
@@ -1235,6 +1353,9 @@ CATALOG: dict[str, QueryDef] = {
     "reply_forest": QueryDef(q_reply_forest, SQL_REPLY_FOREST),
     "flatten_authors_pivot": QueryDef(q_flatten_authors_pivot, SQL_FLATTEN_AUTHORS_PIVOT),
     "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
+    "merge_invitations": QueryDef(q_merge_invitations, SQL_MERGE_INVITATIONS),
+    "global_totals": QueryDef(q_global_totals, SQL_GLOBAL_TOTALS),
+    "type_share": QueryDef(q_type_share, SQL_TYPE_SHARE),
     # relational coverage
     "q1_pricing": QueryDef(q_q1_pricing, SQL_Q1_PRICING),
     "q3_shipping": QueryDef(q_q3_shipping, SQL_Q3_SHIPPING),

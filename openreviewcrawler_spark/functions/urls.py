@@ -77,74 +77,61 @@ def canonicalize_url(url: str) -> str:
     return f"{scheme}://{hostport}{path}{query}"
 
 
-_DECODE_UDF = None
+_CANON_UDF = None
 
 
-def _decode_unreserved_udf(col: Column) -> Column:
-    """Vectorized percent-decode of unreserved escapes (Arrow batch, no
-    per-row Python): rows without '%' pass through untouched; the escaped
-    minority gets ~100 C-level ``str.replace`` passes.
+def canonicalize_series(s: "pd.Series") -> "pd.Series":
+    """Vectorized canonicalization of a pandas string Series — the engine's
+    hot-path implementation (wrapped in an Arrow UDF by
+    :func:`canonicalize_col`). All ops are C-level pandas string kernels; the
+    percent-decode pass runs only on the '%'-containing minority.
 
-    Why a UDF and not column expressions: the equivalent nested chain of
-    ~100 ``replace`` calls is a single codegen expression that blows the
-    JVM's 64 KB method limit, knocking the *whole stage* back to interpreted
-    mode. Measured on 2M urls (50% dirty): interpreted chain 17.9s vs this
-    8.5s warm — and every other operator in the stage keeps codegen.
-
-    Built lazily: the decorator needs an active SparkSession, and this
-    module is also imported by the Spark-free single-node oracle.
+    Why one UDF instead of column expressions: the expression-tree version
+    (10+ regexps + a ~100-replace decode chain, all nested in CASE branches)
+    re-inlines its subexpressions at every use site, producing generated Java
+    far past the JVM's 64 KB method limit. The observed costs were seconds of
+    Janino compilation per plan variant *and* interpreted-mode fallback with
+    cross-thread contention (measured: a canonicalize->host->groupBy pipeline
+    took 47 s first-run at local[32] vs 0.2 s warm; with this UDF the plan is
+    ArrowEvalPython + tiny projections and first-run cost collapses). The
+    north rule sanctions exactly this: URL canonicalization inside
+    vectorized pandas/Arrow UDFs, no per-row Python.
     """
-    global _DECODE_UDF
-    if _DECODE_UDF is None:
-
-        @pandas_udf("string")
-        def _decode(s: pd.Series) -> pd.Series:
-            mask = s.str.contains("%", regex=False)
-            if not mask.any():
-                return s
-            sub = s[mask]
-            for esc, ch in _UNRESERVED_ESCAPES.items():
-                sub = sub.str.replace(esc, ch, regex=False)
-            out = s.copy()
-            out[mask] = sub
-            return out
-
-        _DECODE_UDF = _decode
-    return _DECODE_UDF(col)
+    s2 = s.str.replace(r"#.*$", "", regex=True)
+    m = s2.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)$")
+    has = m[0].notna() & m[1].notna() & (m[1] != "")
+    scheme = m[0].str.lower()
+    hostport = m[1].str.lower()
+    pathq = m[2].fillna("")
+    http80 = (scheme == "http") & hostport.str.endswith(":80")
+    https443 = (scheme == "https") & hostport.str.endswith(":443")
+    hostport = hostport.mask(http80, hostport.str[:-3]).mask(https443, hostport.str[:-4])
+    mask = pathq.str.contains("%", regex=False).fillna(False)
+    if mask.any():
+        sub = pathq[mask]
+        for esc, ch in _UNRESERVED_ESCAPES.items():
+            sub = sub.str.replace(esc, ch, regex=False)
+        pathq = pathq.copy()
+        pathq[mask] = sub
+    pathq = pathq.mask(pathq == "", "/")
+    pathq = pathq.mask(pathq.str.startswith("?"), "/" + pathq)
+    out = scheme + "://" + hostport + pathq
+    return out.where(has, s)
 
 
 def canonicalize_col(url: Column) -> Column:
-    """Canonicalize a URL column: built-in expressions for fragment/scheme/
-    host/port (codegen'd JVM), Arrow-vectorized UDF for the percent-decode
-    minority (see :func:`_decode_unreserved_udf`).
+    """Canonicalize a URL column via one Arrow-vectorized pandas UDF
+    (:func:`canonicalize_series`); downstream operators (host extraction,
+    dedup shuffles, hashing) then reference the *materialized* column instead
+    of re-inlining a giant expression tree.
+
+    Built lazily: the pandas_udf decorator needs an active SparkSession, and
+    this module is also imported by the Spark-free single-node oracle.
     """
-    no_frag = F.regexp_replace(url, r"#.*$", "")
-    has_scheme = no_frag.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]")
-
-    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    raw_hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
-    pathq = F.substring(rest, F.length(raw_hostport) + F.lit(1), F.lit(2_000_000_000))
-
-    hostport = (
-        F.when(
-            (scheme == F.lit("http")) & raw_hostport.endswith(":80"),
-            raw_hostport.substr(F.lit(1), F.length(raw_hostport) - F.lit(3)),
-        )
-        .when(
-            (scheme == F.lit("https")) & raw_hostport.endswith(":443"),
-            raw_hostport.substr(F.lit(1), F.length(raw_hostport) - F.lit(4)),
-        )
-        .otherwise(raw_hostport)
-    )
-
-    decoded = _decode_unreserved_udf(pathq)
-    pathq = F.when(decoded == F.lit(""), F.lit("/")).when(
-        decoded.startswith("?"), F.concat(F.lit("/"), decoded)
-    ).otherwise(decoded)
-
-    canon = F.concat(scheme, F.lit("://"), hostport, pathq)
-    return F.when(has_scheme, canon).otherwise(url)
+    global _CANON_UDF
+    if _CANON_UDF is None:
+        _CANON_UDF = pandas_udf(canonicalize_series, "string")
+    return _CANON_UDF(url)
 
 
 def host_col(canon_url: Column) -> Column:

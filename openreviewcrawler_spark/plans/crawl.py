@@ -59,6 +59,13 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     n_buckets: int = 32
     seq_small_threshold: int = 200_000
+    # Map-side fetch threshold: admitted batches at or below this use the
+    # broadcast-semi + map-side-parse path (html never shuffled); larger
+    # batches fall back to a shuffle join. A full inner broadcast of the
+    # batch measured badly (driver relation build serialized); the semi +
+    # small-broadcast pair measured at parity on small inputs and wins as
+    # page payloads grow.
+    broadcast_fetch_threshold: int = 4_000_000
 
 
 @dataclass
@@ -143,18 +150,47 @@ def run_round(
         known_count=n_admitted,
     ).persist()
 
-    # fetch: equi-join the admitted batch against pages on canonical url.
-    # Column-pruned scan: never touch pages.text (engine recomputes it) and
-    # only admitted rows pull the fat html column.
+    # fetch + parse. Two physical strategies, same result:
+    #
+    # * map-side (default when the admitted batch fits a broadcast): pages
+    #   are SEMI-joined against the broadcast batch-url set and parsed inside
+    #   the scan tasks — the fat html column never enters a shuffle; only the
+    #   small stamped batch (url, fetch_seq, priority) is broadcast again to
+    #   attach scheduling columns. At 100 TB this is the difference between
+    #   shuffling the corpus and shuffling nothing.
+    # * shuffle (both sides huge): classic shuffle hash/sort-merge join.
+    #
+    # Column-pruned either way: pages.text is never read (engine recomputes
+    # it); only matching rows pull html.
     page_side = pages.select("url", "html", "lang", "warc_ts")
-    fetch = stamped.join(page_side, "url", "inner")
-
-    parsed = extract_batch(
-        fetch.select(
-            "url", "fetch_seq", "host", "seed_index", "depth", "lang", "warc_ts", "html"
-        ),
-        schema=_PARSED_SCHEMA,
-    ).persist()
+    if 0 < n_admitted <= cfg.broadcast_fetch_threshold:
+        keep = page_side.join(F.broadcast(stamped.select("url")), "url", "left_semi")
+        parsed_raw = extract_batch(
+            keep.select(
+                "url",
+                F.lit(0).cast("long").alias("fetch_seq"),
+                F.lit("").alias("host"),
+                F.lit(0).cast("int").alias("seed_index"),
+                F.lit(0).cast("int").alias("depth"),
+                "lang",
+                "warc_ts",
+                "html",
+            ),
+            schema=_PARSED_SCHEMA,
+        ).drop("fetch_seq", "host", "seed_index", "depth")
+        parsed = parsed_raw.join(
+            F.broadcast(stamped.select("url", "fetch_seq", "host", "seed_index", "depth")),
+            "url",
+            "inner",  # inner: drops any semi-join false positives (none here)
+        ).persist()
+    else:
+        fetch = stamped.join(page_side, "url", "inner")
+        parsed = extract_batch(
+            fetch.select(
+                "url", "fetch_seq", "host", "seed_index", "depth", "lang", "warc_ts", "html"
+            ),
+            schema=_PARSED_SCHEMA,
+        ).persist()
 
     fetched = parsed.select(
         "url",

@@ -29,8 +29,14 @@ def _url(i, n_hosts: int):
     return F.concat(F.lit("https://"), _host(i, n_hosts), F.lit("/p/"), i.cast("string"))
 
 
-def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int) -> DataFrame:
-    """pages(url, warc_ts, html binary, text, lang) — generated distributively."""
+def synth_pages(
+    spark: SparkSession, n_pages: int, n_hosts: int, n_paras: int = 8
+) -> DataFrame:
+    """pages(url, warc_ts, html binary, text, lang) — generated distributively.
+
+    ``n_paras`` scales per-page size/parse cost (8 paras ~ 1.3 KB html;
+    real web pages are an order larger — the bench raises this so the parse
+    stage carries realistic CPU weight)."""
     i = F.col("id")
     host = _host(i, n_hosts)
     url = _url(i, n_hosts)
@@ -38,12 +44,12 @@ def synth_pages(spark: SparkSession, n_pages: int, n_hosts: int) -> DataFrame:
     l2 = _url((i * 13 + 5) % n_pages, n_hosts)
     istr = i.cast("string")
     title = F.concat(F.lit("T"), istr, F.lit(" "), host, F.lit(" page"))
-    # 8 paragraphs with inner markup + entities so the parse stage does
+    # paragraphs with inner markup + entities so the parse stage does
     # realistic per-page work (tag strip, entity decode, ws collapse)
     filler = "lorem ipsum dolor sit amet " * 4
     paras_html = []
     paras_text = []
-    for p in range(8):
+    for p in range(n_paras):
         ph = F.concat(
             F.lit(f"para {p} <b>bold"), istr, F.lit(f"</b> {filler}&amp;tail")
         )

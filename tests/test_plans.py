@@ -1,0 +1,104 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely on at
+100 TB must actually appear in the plan — predicate pushdown to the parquet
+scan, column pruning of fat payload columns, broadcast hash joins for dims,
+and no Exchange where co-partitioning should be reused."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+
+
+@pytest.fixture()
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, lineitem):
+    df = lineitem.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+
+
+def test_column_pruning_drops_fat_columns(spark, sf_dir):
+    """The documents scan for a 2-column projection must not read text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select("doc_id", "lang")
+    plan = plan_of(df)
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "text" not in rs[0]
+
+
+def test_fetch_join_prunes_html_until_join(spark, sf_dir):
+    """catalog fetch join: only url/host/lang/text are read — the projection
+    reaches the scan (no full-width documents read)."""
+    from openreviewcrawler_spark.catalog import q_crawl_fetch_join
+
+    plan = plan_of(q_crawl_fetch_join(spark, sf_dir))
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs
+    assert all("n_chars" not in ln for ln in rs)  # untouched column never read
+
+
+def test_robots_is_broadcast_join(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_robots_filter
+
+    plan = plan_of(q_crawl_robots_filter(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the candidate side must NOT be shuffled for this join
+    assert "SortMergeJoin" not in plan
+
+
+def test_seen_anti_join_shape(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_seen_filter
+
+    plan = plan_of(q_crawl_seen_filter(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_q5_region_revenue
+
+    plan = plan_of(q_q5_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region (+supplier)
+
+
+def test_agg_has_map_side_partial(spark, sf_dir, lineitem):
+    df = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = plan_of(df)
+    # partial_sum before the exchange, final after: exactly one shuffle
+    assert "partial_sum" in plan
+    assert n_exchanges(plan) == 1
+    assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_canonicalize_stage_keeps_codegen(spark, sf_dir):
+    """The decode UDF must not knock the surrounding stage out of
+    whole-stage codegen (the 64KB-blowup regression this replaced)."""
+    from openreviewcrawler_spark.catalog import q_crawl_canonicalize
+
+    df = q_crawl_canonicalize(spark, sf_dir)
+    plan = plan_of(df)
+    # formatted explain marks codegen'd operators with a '*' prefix
+    assert "* Project" in plan
+    assert "ArrowEvalPython" in plan  # the decode UDF is Arrow, not row-Python
+    assert "BatchEvalPython" not in plan  # never a row-at-a-time Python UDF
+
+
+def test_admit_single_shuffle_on_host(spark, sf_dir):
+    """Politeness admit = one exchange on host, no extra repartition."""
+    from openreviewcrawler_spark.catalog import q_crawl_politeness_admit
+
+    plan = plan_of(q_crawl_politeness_admit(spark, sf_dir))
+    assert n_exchanges(plan) == 1
+    assert "hashpartitioning(host" in plan
