@@ -256,6 +256,38 @@ select url, host, seed_index, depth from r where rn <= 5
 """
 
 
+def q_crawl_politeness_admit_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 + hot-host salting — the skew-breaking two-pass admit
+    (operators/scheduler.admit_window_salted) must produce EXACTLY the same
+    admitted set as the plain window (same oracle SQL): the salted pre-pass
+    keeps top-budget per (host, salt), a superset of the global per-host
+    top-budget."""
+    u = _urlset(spark, sf_dir).select("url", "host", "seed_index", "depth")
+    adm = admit(u.withColumn("budget", F.lit(5)), impl="window", n_salts=4)
+    return adm.select(
+        "url", "host",
+        F.col("seed_index").cast("long").alias("seed_index"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+def q_crawl_seen_filter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 fast tier — Bloom pre-filter + exact confirm anti-join. Same oracle
+    as the exact tier: the Bloom can never drop an unseen URL (no false
+    negatives) and false positives are re-checked exactly, so the result is
+    identical by construction — and this entry proves it against SQL."""
+    from .operators.seen import BloomFilter, build_bloom
+
+    u = _urlset(spark, sf_dir)
+    seen = u.filter(F.col("doc_id") % 3 == 0).select(
+        "url", F.hash("url").alias("url_hash")
+    )
+    flt = BloomFilter.sized_for(2048, 0.01)
+    bloom = build_bloom(seen, "url_hash", flt.n_bits, flt.k)
+    cand = u.select("url", "host", F.hash("url").alias("url_hash"))
+    return anti_join_seen(cand, seen, bloom=bloom).select("url", "host")
+
+
 def q_crawl_fetch_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 — deterministic global fetch_seq via the scalable zipWithIndex-style
     stamp (operators/ordering.py); must equal a global row_number at any
@@ -1337,6 +1369,10 @@ CATALOG: dict[str, QueryDef] = {
     "crawl_seen_filter": QueryDef(q_crawl_seen_filter, SQL_CRAWL_SEEN_FILTER),
     "crawl_robots_filter": QueryDef(q_crawl_robots_filter, SQL_CRAWL_ROBOTS_FILTER),
     "crawl_politeness_admit": QueryDef(q_crawl_politeness_admit, SQL_CRAWL_POLITENESS_ADMIT),
+    "crawl_politeness_admit_salted": QueryDef(
+        q_crawl_politeness_admit_salted, SQL_CRAWL_POLITENESS_ADMIT
+    ),
+    "crawl_seen_filter_bloom": QueryDef(q_crawl_seen_filter_bloom, SQL_CRAWL_SEEN_FILTER),
     "crawl_fetch_seq": QueryDef(q_crawl_fetch_seq, SQL_CRAWL_FETCH_SEQ),
     "crawl_fetch_join": QueryDef(q_crawl_fetch_join, SQL_CRAWL_FETCH_JOIN),
     "crawl_frontier_merge": QueryDef(q_crawl_frontier_merge, SQL_CRAWL_FRONTIER_MERGE),

@@ -30,6 +30,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
 
+    # Shuffle/spill dir: this sandbox's disk-backed /tmp serializes all
+    # shuffle I/O (measured: local[32] was no faster than local[8] until the
+    # local dir moved to tmpfs — 18 s -> 8.9 s per round, scaling efficiency
+    # 0.25 -> 0.88). On a real cluster this is the node-local NVMe that
+    # spark.local.dir always points at; tmpfs is this VM's stand-in.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None:
+        shm = "/dev/shm/spark-local"
+        try:
+            os.makedirs(shm, exist_ok=True)
+            local_dir = shm
+        except OSError:
+            local_dir = None
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -44,6 +58,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -1,0 +1,124 @@
+"""Structured Streaming ingestion — the streaming face of the fetch/parse
+pipeline.
+
+The batch round loop (plans/crawl.py) is the *scheduler*: it must replay a
+deterministic crawl order, so it stays micro-batch-by-construction
+(SURVEY.md §2.9). But a production crawler also has a continuous ingest
+side — fetched WARC records arriving as files — where Structured Streaming
+is the right surface: exactly-once file tracking, watermarked event-time
+windows for late-arriving captures, incremental sinks.
+
+This module runs the SAME parse/analysis operators (htmltext extraction,
+textstats columns) inside a stream:
+
+    pages files (parquet dir)  --readStream-->
+      canonicalize + parse (Arrow batch)  -->
+      [sink A] fetched_text parquet append (exactly-once per file)
+      [sink B] per-host windowed metrics with watermark (late-data safe)
+
+Scale notes: file-source listing is incremental (maxFilesPerTrigger bounds
+batch size); the parse is the identical mapInPandas as the batch engine, so
+one implementation serves both; the windowed aggregate is a streaming
+stateful op whose state is bounded by (hosts x windows inside watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.htmltext import extract_batch
+from ..functions.urls import canonicalize_col, host_col
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+_STREAM_PARSED_SCHEMA = (
+    "url string, host string, lang string, warc_ts timestamp,"
+    " extracted_text string, outlinks array<string>"
+)
+
+
+def read_page_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Incremental scan over a growing directory of page parquet files."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def parse_stream(pages: DataFrame) -> DataFrame:
+    """Canonicalize + extract text/outlinks on a streaming DataFrame — the
+    exact operators the batch engine uses (streams and rounds share one
+    parse implementation, so byte-identity holds on both paths)."""
+    canon = pages.select(
+        canonicalize_col(F.col("url")).alias("url"),
+        "warc_ts",
+        "html",
+        "lang",
+    ).withColumn("host", host_col(F.col("url")))
+    return extract_batch(
+        canon.select("url", "host", "lang", "warc_ts", "html"),
+        schema=_STREAM_PARSED_SCHEMA,
+    )
+
+
+def host_window_metrics(
+    parsed: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Per-host event-time windowed fetch metrics with late-data handling:
+    rows later than the watermark are dropped, state is pruned."""
+    return (
+        parsed.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "host")
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.length("extracted_text")).alias("text_bytes"),
+            F.sum(F.size("outlinks")).alias("n_outlinks"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_fetched",
+            "text_bytes",
+            "n_outlinks",
+        )
+    )
+
+
+def run_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Start both sinks; returns (text_query, metrics_query).
+
+    * ``fetched_text``  — append sink, exactly-once per input file,
+    * ``host_metrics``  — complete-mode in-memory table (small: bounded by
+      hosts x windows), queryable as ``host_metrics`` while running.
+    Callers drive with ``processAllAvailable()`` (tests) or let the trigger
+    run (production).
+    """
+    parsed = parse_stream(read_page_stream(spark, src_dir, max_files_per_trigger))
+    text_q = (
+        parsed.select("url", "host", "lang", "warc_ts", "extracted_text")
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/fetched_text")
+        .option("checkpointLocation", f"{checkpoint_dir}/text")
+        .outputMode("append")
+        .start()
+    )
+    metrics_q = (
+        host_window_metrics(parsed)
+        .writeStream.format("memory")
+        .queryName("host_metrics")
+        .option("checkpointLocation", f"{checkpoint_dir}/metrics")
+        .outputMode("complete")
+        .start()
+    )
+    return text_q, metrics_q

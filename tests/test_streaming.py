@@ -1,0 +1,75 @@
+"""Structured Streaming ingest: exactly-once file processing, byte-identical
+parse vs the batch path, watermarked windowed metrics."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from openreviewcrawler_spark.sources.bench_data import synth_pages
+from openreviewcrawler_spark.streaming.ingest import run_ingest
+
+
+@pytest.fixture()
+def stream_dirs(spark):
+    base = tempfile.mkdtemp(prefix="orc_stream_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    return src, out, ckpt
+
+
+def _write_batch(spark, src, lo, hi, n, hosts):
+    """Append one parquet file covering page ids [lo, hi)."""
+    pages = synth_pages(spark, n, hosts)
+    batch = pages.join(
+        spark.range(lo, hi).select(
+            F.concat(
+                F.lit("https://host"),
+                F.lpad((F.col("id") % hosts).cast("string"), 5, "0"),
+                F.lit(".example/p/"),
+                F.col("id").cast("string"),
+            ).alias("url")
+        ),
+        "url",
+        "left_semi",
+    )
+    batch.coalesce(1).write.mode("append").parquet(src)
+
+
+def test_stream_matches_batch_parse_and_windows(spark, stream_dirs):
+    src, out, ckpt = stream_dirs
+    N, H = 200, 10
+    _write_batch(spark, src, 0, 120, N, H)
+
+    text_q, metrics_q = run_ingest(spark, src, out, ckpt, max_files_per_trigger=2)
+    try:
+        text_q.processAllAvailable()
+        metrics_q.processAllAvailable()
+
+        # second file arrives late -> picked up incrementally, no reprocessing
+        _write_batch(spark, src, 120, 200, N, H)
+        text_q.processAllAvailable()
+        metrics_q.processAllAvailable()
+
+        got = spark.read.parquet(f"{out}/fetched_text")
+        assert got.count() == N
+        # exactly-once: no duplicate urls despite two triggers
+        assert got.select("url").distinct().count() == N
+
+        # byte-identical text vs the batch-side expectation column
+        expected = synth_pages(spark, N, H).select("url", F.col("text").alias("exp"))
+        joined = got.join(expected, "url")
+        assert joined.filter(F.col("extracted_text") != F.col("exp")).count() == 0
+
+        m = spark.sql("select * from host_metrics")
+        rows = m.collect()
+        assert sum(r["n_fetched"] for r in rows) == N
+        assert {r["host"] for r in rows} == {f"host{h:05d}.example" for h in range(H)}
+        # windowed: warc_ts spreads over >1 minute -> multiple windows exist
+        assert m.select("window_start").distinct().count() > 1
+    finally:
+        text_q.stop()
+        metrics_q.stop()
