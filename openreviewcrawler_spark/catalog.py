@@ -1251,6 +1251,88 @@ where round({_SQL_DOT.format(a='l.e', b='r.e')} / (l.nrm * r.nrm), 3) >= 0.95
 """
 
 
+def q_traindata_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pass over the derived corpus:
+    exact-dedup (md5 keeper), language filter (en by the heuristic), quality
+    gate (score >= 0.5), token budget stats — the composed pipeline a 100 TB
+    pretraining corpus runs nightly, as one declarative plan."""
+    from .operators.textstats import tokens_col
+
+    corpus = _corpus(spark, sf_dir)
+    h = F.md5("text").alias("text_md5")
+    keeper = (
+        corpus.select("doc_id", "text", "lang", h)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("text_md5").orderBy(F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "text_md5")
+    )
+    toks = tokens_col(F.col("text"))
+    q = quality_score_cols(F.col("text"))
+    cleaned = (
+        keeper.withColumn("lang_pred", lang_id_col(toks))
+        .withColumn("quality_score", q["quality_score"])
+        .withColumn("n_tokens", q["n_tokens"])
+        .filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5))
+    )
+    return cleaned.select("doc_id", "lang", "n_tokens", "quality_score")
+
+
+def _sql_traindata() -> str:
+    from .operators.textstats import STOPWORDS
+
+    keys = []
+    for lang, ws in sorted(STOPWORDS.items()):
+        keys.append(
+            f"lpad(((1000000 + -1 * {_sw_sql(ws)}))::VARCHAR, 7, '0') || '{lang}'"
+        )
+    least = "least(" + ", ".join(keys) + ")"
+    anyhit = " + ".join(_sw_sql(ws) for _, ws in sorted(STOPWORDS.items()))
+    return f"""
+with corpus as ({CORPUS_SQL}),
+keeper as (
+  select * from (
+    select doc_id, text, lang,
+           row_number() over (partition by md5(text) order by doc_id asc) as rn
+    from corpus
+  ) where rn = 1
+),
+scored as (
+  select doc_id, lang, text,
+    len({_SQL_TOKENS})::BIGINT as n_tokens,
+    length(text)::BIGINT as n_chars,
+    {_sw_sql(("the", "a", "of", "and", "is", "to"))}::BIGINT as stop_en,
+    case when ({anyhit}) = 0 then 'und' else substr({least}, 8) end as lang_pred
+  from keeper
+),
+m as (
+  select doc_id, lang, n_tokens, lang_pred,
+    (n_chars - (n_tokens - 1)) / n_tokens::DOUBLE as mean_tok,
+    stop_en / n_tokens::DOUBLE as stop_ratio,
+    (n_chars - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n_chars::DOUBLE as punct_ratio
+  from scored
+)
+select doc_id, lang, n_tokens,
+  round(((case when n_tokens between 10 and 100000 then 0.4 else 0.0 end)
+      + (case when mean_tok between 2.0 and 12.0 then 0.3 else 0.0 end)
+      + (case when stop_ratio >= 0.01 then 0.2 else 0.0 end)
+      + (case when punct_ratio <= 0.2 then 0.1 else 0.0 end))::DOUBLE, 2) as quality_score
+from m
+where lang_pred = 'en'
+  and ((case when n_tokens between 10 and 100000 then 0.4 else 0.0 end)
+      + (case when mean_tok between 2.0 and 12.0 then 0.3 else 0.0 end)
+      + (case when stop_ratio >= 0.01 then 0.2 else 0.0 end)
+      + (case when punct_ratio <= 0.2 then 0.1 else 0.0 end)) >= 0.5
+"""
+
+
+SQL_TRAINDATA_CLEAN_CORPUS = _sql_traindata()
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -1409,6 +1491,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_simhash": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "traindata_clean_corpus": QueryDef(q_traindata_clean_corpus, SQL_TRAINDATA_CLEAN_CORPUS),
     # similarity search
     "ann_brute_topk": QueryDef(q_ann_brute_topk, SQL_ANN_BRUTE_TOPK),
     "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
