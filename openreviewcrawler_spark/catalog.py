@@ -750,6 +750,51 @@ from events group by 1
 """
 
 
+def q_venue_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — stable-id dim upsert (sources/sinks.assign_venue_ids): existing
+    (venue, year) keys keep their id (the reference's resume guarantee,
+    /root/reference/crawler.py:46-53, README.md:105-107); new keys get
+    max(id) + row_number() over key order — deterministic, replayable."""
+    from .sources.sinks import assign_venue_ids
+
+    src = _t(spark, sf_dir, "documents").select("source").distinct()
+    existing = src.filter(
+        F.expr("cast(substr(source, 4) as int) % 2 = 0")
+    ).select(
+        (F.expr("cast(substr(source, 4) as int)") + 1).cast("int").alias("venue_id"),
+        F.col("source").alias("venue"),
+        F.lit(2020).cast("int").alias("year"),
+    )
+    keys = src.select(F.col("source").alias("venue"), F.lit(2020).cast("int").alias("year"))
+    out = assign_venue_ids(existing, keys)
+    return out.select(F.col("venue_id").cast("long").alias("venue_id"), "venue", F.col("year").cast("long").alias("year"))
+
+
+SQL_VENUE_ID_ASSIGN = """
+with src as (select distinct source from documents),
+existing as (
+  select substr(source, 4)::INT + 1 as venue_id, source as venue, 2020 as year
+  from src where substr(source, 4)::INT % 2 = 0
+),
+keys as (select source as venue, 2020 as year from src),
+known as (
+  select e.venue_id, k.venue, k.year from keys k join existing e using (venue, year)
+),
+newk as (
+  select k.venue, k.year from keys k
+  where not exists (select 1 from existing e where e.venue = k.venue and e.year = k.year)
+),
+alloc as (
+  select (select max(venue_id) from existing)
+         + row_number() over (order by venue, year) as venue_id, venue, year
+  from newk
+)
+select venue_id::BIGINT as venue_id, venue, year::BIGINT as year from known
+union all
+select venue_id::BIGINT, venue, year::BIGINT from alloc
+"""
+
+
 def q_merge_invitations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/D2 — the reference's invitation wildcard-merge + set dedup
     (/root/reference/crawler.py:147-158) via functions.urls.merge_invitations_col:
@@ -1472,6 +1517,7 @@ CATALOG: dict[str, QueryDef] = {
     "flatten_authors_pivot": QueryDef(q_flatten_authors_pivot, SQL_FLATTEN_AUTHORS_PIVOT),
     "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
     "merge_invitations": QueryDef(q_merge_invitations, SQL_MERGE_INVITATIONS),
+    "venue_id_assign": QueryDef(q_venue_id_assign, SQL_VENUE_ID_ASSIGN),
     "global_totals": QueryDef(q_global_totals, SQL_GLOBAL_TOTALS),
     "type_share": QueryDef(q_type_share, SQL_TYPE_SHARE),
     # relational coverage
