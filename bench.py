@@ -9,7 +9,7 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_PAGES (default 120000),
+     SPARK_GRAFT_BENCH_PAGES (default 1000000),
      SPARK_GRAFT_SCALING=0 to skip the two-level scaling run.
 
 The crawl throughput bench is the BASELINE.json target metric: URLs
@@ -257,7 +257,7 @@ def host_cpu_probe(cpus: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 

@@ -41,7 +41,7 @@ def main() -> int:
     from openreviewcrawler_spark.catalog import CATALOG
     from openreviewcrawler_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8, extra_conf={"spark.ui.showConsoleProgress": "false"})
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
