@@ -162,7 +162,7 @@ def crawl_phase_main(cores: int, n_pages: int, n_hosts: int) -> None:
     # least-interference estimator under the steal spikes described above.
     crawl_round_bench(spark, n_pages, n_hosts)
     best = None
-    t_budget = time.time() + 70
+    t_budget = time.time() + 45
     for _ in range(3):
         sec, n, fp = crawl_round_bench(spark, n_pages, n_hosts)
         if best is None or sec < best[0]:
