@@ -904,27 +904,43 @@ from c
 # ---------------------------------------------------------------------------
 
 
+def _dec_sum(col: F.Column, scale: int = 2) -> F.Column:
+    """Order-independent float aggregation: the per-row double value is
+    bit-identical in Spark and DuckDB, the DECIMAL(18,4) cast has no rounding
+    ties (no binary double lands exactly on a .00005 boundary), and decimal
+    summation is exact/associative — so partial-agg order can't flip the last
+    rounded digit (the q3_shipping hash-fail root cause, VERDICT r1)."""
+    return F.round(F.sum(col.cast("decimal(18,4)")), scale).cast("double")
+
+
+_SQL_DEC_SUM = "round(sum(({x})::DECIMAL(18,4)), {s})::DOUBLE"
+
+
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "sum_disc_price"
         ),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_qty"),
         F.count("*").alias("count_order"),
     )
 
 
-SQL_Q1_PRICING = """
+SQL_Q1_PRICING = f"""
 select l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) as sum_qty,
-  round(sum(l_extendedprice), 2) as sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
-  round(avg(l_quantity), 4) as avg_qty,
+  {_SQL_DEC_SUM.format(x='l_quantity', s=2)} as sum_qty,
+  {_SQL_DEC_SUM.format(x='l_extendedprice', s=2)} as sum_base_price,
+  {_SQL_DEC_SUM.format(x='l_extendedprice * (1 - l_discount)', s=2)} as sum_disc_price,
+  round(sum((l_quantity)::DECIMAL(18,4))::DOUBLE / count(*), 4) as avg_qty,
   count(*)::BIGINT as count_order
 from lineitem
 where l_shipdate <= timestamp '2000-12-01 00:00:00'
@@ -942,14 +958,12 @@ def q_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(c), o.o_custkey == c.c_custkey
     )
     return j.groupBy("o_orderkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
-SQL_Q3_SHIPPING = """
-select o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+SQL_Q3_SHIPPING = f"""
+select o_orderkey, {_SQL_DEC_SUM.format(x='l_extendedprice * (1 - l_discount)', s=2)} as revenue
 from lineitem join orders on l_orderkey = o_orderkey
 join customer on o_custkey = c_custkey
 where c_mktsegment = 'BUILDING'
@@ -975,14 +989,12 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return j.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
-SQL_Q5_REGION_REVENUE = """
-select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+SQL_Q5_REGION_REVENUE = f"""
+select n_name, {_SQL_DEC_SUM.format(x='l_extendedprice * (1 - l_discount)', s=2)} as revenue
 from lineitem
 join orders on l_orderkey = o_orderkey
 join customer on o_custkey = c_custkey

@@ -17,8 +17,9 @@ Canonical form (RFC 3986-style safe normalizations only):
      accepting upper- or lowercase hex,
   5. empty path -> ``/``.
 
-Strings without a ``scheme://`` prefix pass through unchanged (they can't be
-fetched; the scheduler drops them via the host filter).
+Strings without a ``scheme://`` prefix pass through with only the fragment
+stripped (step 1 applies to every input; they can't be fetched and the
+scheduler drops them via the host filter).
 """
 
 from __future__ import annotations
@@ -108,15 +109,20 @@ def canonicalize_series(s: "pd.Series") -> "pd.Series":
     hostport = hostport.mask(http80, hostport.str[:-3]).mask(https443, hostport.str[:-4])
     mask = pathq.str.contains("%", regex=False).fillna(False)
     if mask.any():
-        sub = pathq[mask]
-        for esc, ch in _UNRESERVED_ESCAPES.items():
-            sub = sub.str.replace(esc, ch, regex=False)
+        # Single-pass decode (same _PCT_RE.sub as the Python twin): a
+        # sequential per-escape replace chain double-decodes spellings its own
+        # earlier replacements create ('%2%65' -> '%2e' -> '.'). Runs only on
+        # the '%'-containing minority, so the Python-level map stays off the
+        # common path.
         pathq = pathq.copy()
-        pathq[mask] = sub
+        pathq[mask] = pathq[mask].map(_decode_unreserved)
     pathq = pathq.mask(pathq == "", "/")
     pathq = pathq.mask(pathq.str.startswith("?"), "/" + pathq)
     out = scheme + "://" + hostport + pathq
-    return out.where(has, s)
+    # fall back to the fragment-STRIPPED input for scheme-less strings: the
+    # Python twin strips the fragment before the scheme check, so
+    # 'notaurl#frag' must canonicalize to 'notaurl' in both implementations.
+    return out.where(has, s2)
 
 
 def canonicalize_col(url: Column) -> Column:

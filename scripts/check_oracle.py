@@ -22,8 +22,15 @@ TABLES = (
 
 def norm_cell(v):
     if isinstance(v, float):
-        # driver-style: format floats to kill representation noise
-        return f"{v:.6g}"
+        # Full round-trip precision: STRICTER than the driver's value hash, so
+        # local green predicts driver green (r1's %.6g masked the q3_shipping
+        # partial-agg-order mismatch). Engines must produce bit-identical
+        # doubles; only -0.0/NaN representation noise is normalized.
+        if v != v:
+            return "nan"
+        if v == 0.0:
+            return "0.0"
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
