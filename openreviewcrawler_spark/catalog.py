@@ -1198,10 +1198,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash() -> str:
-    salted = ["'{}|' || shingle".format(j) for j in range(dedup.N_MINHASH)]
-    h = ", ".join(
-        "min({}) as mh{}".format(_H32.format(x=salted[j]), j)
-        for j in range(dedup.N_MINHASH)
+    # one md5 per shingle; the N streams are affine-mixed (same constants as
+    # dedup.MINHASH_MIX, bounded so DuckDB's overflow-checked BIGINT agrees
+    # with Spark)
+    mixed = ", ".join(
+        f"min((h * {a} + {b}) % {dedup.MINHASH_P}) as mh{j}"
+        for j, (a, b) in enumerate(dedup.MINHASH_MIX)
     )
     band_rows = []
     rpb = dedup.N_MINHASH // dedup.N_BANDS
@@ -1213,7 +1215,8 @@ def _sql_minhash() -> str:
     banded = " union all ".join(band_rows)
     return f"""
 with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
-sig as (select doc_id, {h} from sh group by doc_id),
+hashed as (select doc_id, {_H32.format(x='shingle')} as h from sh),
+sig as (select doc_id, {mixed} from hashed group by doc_id),
 banded_all as ({banded}),
 hot as (
   select band, bkey from banded_all group by band, bkey
@@ -1236,26 +1239,59 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(_corpus(spark, sf_dir))
 
 
-SQL_DEDUP_SIMHASH = f"""
+def _sql_simhash() -> str:
+    bb = dedup.SIMHASH_BAND_BITS
+    ham = " + ".join(
+        f"bit_count(xor(wl.b{b}, wr.b{b}))" for b in range(dedup.SIMHASH_BANDS)
+    )
+    votes = ", ".join(
+        "sum(case when (({src}) & 1) = 1 then 1 else -1 end) as s{bit}".format(
+            src=f"h_lo >> {bit}" if bit < 32 else f"h_hi >> {bit - 32}", bit=bit
+        )
+        for bit in range(dedup.SIMHASH_BITS)
+    )
+    bvals = []
+    for b in range(dedup.SIMHASH_BANDS):
+        terms = " + ".join(
+            f"(case when s{b * bb + r} > 0 then {1 << r}::BIGINT else 0 end)"
+            for r in range(bb)
+        )
+        bvals.append(f"({terms}) as b{b}")
+    band_rows = " union all ".join(
+        f"select doc_id, {b}::BIGINT as band, b{b} as bval from wide"
+        for b in range(dedup.SIMHASH_BANDS)
+    )
+    return f"""
 with corpus as ({CORPUS_SQL}),
 toks as (
-  select doc_id, {_H32.format(x='tok')} as h
+  select doc_id, {_H32.format(x='tok')} as h_lo,
+         {_H32.format(x="'hi|' || tok")} as h_hi
   from (select doc_id, unnest({_SQL_TOKENS}) as tok from corpus)
-), votes as (
-  select doc_id, bit, sum(case when (h >> bit) & 1 = 1 then 1 else -1 end) as s
-  from toks, (select unnest(range(0, {dedup.SIMHASH_BITS})) as bit)
-  group by 1, 2
-), sig as (
-  select doc_id, sum(case when s > 0 then (1::BIGINT << bit) else 0 end)::BIGINT as simhash
-  from votes group by 1
-), withlang as (
-  select s.doc_id, s.simhash, c.lang from sig s join corpus c using (doc_id)
+), sums as (
+  select doc_id, {votes} from toks group by doc_id
+), wide as (
+  select doc_id, {', '.join(bvals)} from sums
+), bands as (
+  {band_rows}
+), hot as (
+  select band, bval from bands group by 1, 2 having count(*) > {dedup.MAX_BUCKET}
+), kept as (
+  select b.* from bands b
+  where not exists (select 1 from hot h where h.band = b.band and h.bval = b.bval)
+), pairs as (
+  select distinct l.doc_id as doc_a, r.doc_id as doc_b
+  from kept l join kept r
+    on l.band = r.band and l.bval = r.bval and l.doc_id < r.doc_id
 )
-select l.doc_id::BIGINT as doc_a, r.doc_id::BIGINT as doc_b,
-       bit_count(xor(l.simhash, r.simhash))::BIGINT as hamming
-from withlang l join withlang r on l.lang = r.lang and l.doc_id < r.doc_id
-where bit_count(xor(l.simhash, r.simhash)) <= 3
+select p.doc_a::BIGINT as doc_a, p.doc_b::BIGINT as doc_b, ({ham})::BIGINT as hamming
+from pairs p
+join wide wl on p.doc_a = wl.doc_id
+join wide wr on p.doc_b = wr.doc_id
+where ({ham}) <= {dedup.SIMHASH_MAX_HAMMING}
 """
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1294,17 +1330,64 @@ _SQL_DOT = (
 )
 _SQL_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
 
+def _sql_plane_lit(j: int) -> str:
+    """DuckDB literal for hyperplane r_j — same md5-derived constants the
+    Spark plan bakes in (similarity.plane_components); repr round-trips."""
+    return "[" + ", ".join(repr(v) for v in similarity.plane_components(j)) + "]"
+
+
+def _sql_plane_dot(j: int, e: str = "e") -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({e}) + 1),"
+        f" i -> {e}[i] * ({_sql_plane_lit(j)})[i]), (x, y) -> x + y)"
+    )
+
+
+def _sql_lsh_bands_cte(source_cte: str) -> str:
+    """CTE fragment `sigb`,`bands`: banded LSH signature rows (vec_id, band,
+    bval) over a CTE named ``source_cte`` with columns (vec_id, e)."""
+    bvals = []
+    for b in range(similarity.LSH_BANDS):
+        terms = []
+        for r in range(similarity.LSH_BAND_BITS):
+            j = b * similarity.LSH_BAND_BITS + r
+            terms.append(
+                f"(case when {_sql_plane_dot(j)} > 0 then {1 << r}::BIGINT else 0 end)"
+            )
+        bvals.append("(" + " + ".join(terms) + f") as bv{b}")
+    sigb = f"select vec_id, {', '.join(bvals)} from {source_cte}"
+    band_rows = " union all ".join(
+        f"select vec_id, {b}::BIGINT as band, bv{b} as bval from sigb"
+        for b in range(similarity.LSH_BANDS)
+    )
+    return f"sigb as ({sigb}), bands as ({band_rows})"
+
+
 SQL_DEDUP_EMBEDDING_COSINE = f"""
 with vecset as ({VECSET_SQL}),
 v as (
-  select vec_id, label, embedding::DOUBLE[] as e,
+  select vec_id, embedding::DOUBLE[] as e,
          {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
   from vecset
+),
+{_sql_lsh_bands_cte('v')},
+hot as (
+  select band, bval from bands group by 1, 2
+  having count(*) > {similarity.MAX_VEC_BUCKET}
+),
+kept as (
+  select b.* from bands b
+  where not exists (select 1 from hot h where h.band = b.band and h.bval = b.bval)
+),
+pairs as (
+  select distinct l.vec_id as vec_a, r.vec_id as vec_b
+  from kept l join kept r
+    on l.band = r.band and l.bval = r.bval and l.vec_id < r.vec_id
 )
-select l.vec_id::BIGINT as vec_a, r.vec_id::BIGINT as vec_b,
-       round({_SQL_DOT.format(a='l.e', b='r.e')} / (l.nrm * r.nrm), 3) as cos
-from v l join v r on l.label = r.label and l.vec_id < r.vec_id
-where round({_SQL_DOT.format(a='l.e', b='r.e')} / (l.nrm * r.nrm), 3) >= 0.95
+select p.vec_a::BIGINT as vec_a, p.vec_b::BIGINT as vec_b,
+       round({_SQL_DOT.format(a='vl.e', b='vr.e')} / (vl.nrm * vr.nrm), 3) as cos
+from pairs p join v vl on p.vec_a = vl.vec_id join v vr on p.vec_b = vr.vec_id
+where round({_SQL_DOT.format(a='vl.e', b='vr.e')} / (vl.nrm * vr.nrm), 3) >= 0.95
 """
 
 
@@ -1424,14 +1507,33 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ANN_IVF_TOPK = f"""
 with v as (
-  select vec_id, label, embedding::DOUBLE[] as e,
+  select vec_id, embedding::DOUBLE[] as e,
          {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
   from embeddings
+), cents as (
+  select row_number() over (order by vec_id) - 1 as cell, e as ce, nrm as cnrm
+  from (select * from v order by vec_id limit {similarity.IVF_K})
+), assign as (
+  select vec_id, cell,
+    row_number() over (partition by vec_id order by csim desc, cell asc) as cell_rank
+  from (
+    select v.vec_id, c.cell,
+           {_SQL_DOT.format(a='c.ce', b='v.e')} / (c.cnrm * v.nrm) as csim
+    from v cross join cents c
+  )
+), storage as (
+  select vec_id, cell from assign where cell_rank <= 1
+), qprobe as (
+  select vec_id as query_id, cell from assign
+  where cell_rank <= {similarity.IVF_PROBE} and vec_id < 16
+), cand as (
+  select distinct query_id, s.vec_id as cand_id
+  from qprobe join storage s using (cell)
+  where s.vec_id <> query_id
 ), scored as (
-  select q.vec_id as query_id, c.vec_id as cand_id,
+  select query_id, cand_id,
          {_SQL_DOT.format(a='q.e', b='c.e')} / (q.nrm * c.nrm) as cos_raw
-  from v q join v c on c.label = q.label and c.vec_id <> q.vec_id
-  where q.vec_id < 16
+  from cand join v q on q.vec_id = query_id join v c on c.vec_id = cand_id
 ), ranked as (
   select *, row_number() over (partition by query_id order by cos_raw desc, cand_id asc) as rank
   from scored
@@ -1446,15 +1548,12 @@ def q_ann_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lsh_sig() -> str:
-    terms = []
-    for j in range(similarity.N_PLANES):
-        salt = "'p{}|' || i::VARCHAR".format(j)
-        plane = (
-            "list_reduce(list_transform(range(1, len(e) + 1),"
-            " i -> e[i] * (({h} % 2000) / 1000.0 - 1.0)),"
-            " (x, y) -> x + y)"
-        ).format(h=_H32.format(x=salt))
-        terms.append(f"(case when {plane} > 0 then {1 << j}::BIGINT else 0 end)")
+    # literal-plane version: same md5-derived values as r1's runtime-hash
+    # expression (bit-identical output), no per-row md5 in either engine.
+    terms = [
+        f"(case when {_sql_plane_dot(j)} > 0 then {1 << j}::BIGINT else 0 end)"
+        for j in range(similarity.N_PLANES)
+    ]
     return f"""
 with v as (select vec_id, embedding::DOUBLE[] as e from embeddings)
 select vec_id, ({' + '.join(terms)})::BIGINT as sig from v
@@ -1462,6 +1561,34 @@ select vec_id, ({' + '.join(terms)})::BIGINT as sig from v
 
 
 SQL_ANN_LSH_SIGNATURE = _sql_lsh_sig()
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_ANN_LSH_TOPK = f"""
+with v as (
+  select vec_id, embedding::DOUBLE[] as e,
+         {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
+  from embeddings
+),
+{_sql_lsh_bands_cte('v')},
+cand as (
+  select distinct q.vec_id as query_id, c.vec_id as cand_id
+  from bands q join bands c on q.band = c.band and q.bval = c.bval
+  where q.vec_id < 16 and c.vec_id <> q.vec_id
+), scored as (
+  select query_id, cand_id,
+         {_SQL_DOT.format(a='q.e', b='c.e')} / (q.nrm * c.nrm) as cos_raw
+  from cand join v q on q.vec_id = query_id join v c on c.vec_id = cand_id
+), ranked as (
+  select *, row_number() over (partition by query_id order by cos_raw desc, cand_id asc) as rank
+  from scored
+)
+select query_id, cand_id, rank::BIGINT as rank, round(cos_raw, 3) as cos
+from ranked where rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1554,6 +1681,7 @@ CATALOG: dict[str, QueryDef] = {
     "ann_brute_topk": QueryDef(q_ann_brute_topk, SQL_ANN_BRUTE_TOPK),
     "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_lsh_signature": QueryDef(q_ann_lsh_signature, SQL_ANN_LSH_SIGNATURE),
+    "ann_lsh_topk": QueryDef(q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     # multimodal plumbing
     "mm_decode_meta": QueryDef(q_mm_decode_meta, SQL_MM_DECODE_META),
     "mm_frame_sample": QueryDef(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

@@ -12,8 +12,10 @@ DuckDB SQL twin (registered in ``__spark_entry__``):
                      bucket, so the join is an equi-join Catalyst can shuffle
                      on the (band, key) pair — never a cross join. This is
                      the shape that survives 10^9 documents.
-  * SimHash        — per-token hash bit votes -> 16-bit signature ->
-                     near-pairs by Hamming distance inside lang blocks.
+  * SimHash        — per-token hash bit votes -> 64-bit signature as
+                     4 x 16-bit bands -> candidates by band equi-join
+                     (pigeonhole: Hamming<=3 pairs always share a band) ->
+                     exact Hamming verify. Never all-pairs.
   * n-gram Jaccard — exact pairwise Jaccard, computed by shingle equi-join
                      (inverted-index style), not by pairwise cross join.
   * embedding cosine near-dup — exact cosine over an ``array<float>`` column
@@ -31,15 +33,41 @@ band signature so false buckets are rare.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import hash32_col, tokens_col
 
-N_MINHASH = 8
-N_BANDS = 2  # 4 rows per band: discriminative enough that buckets stay small
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band: discriminative enough that buckets stay small
+
+#: affine mixing constants for the minhash streams: stream j hashes a shingle
+#: as (A[j] * h + B[j]) % P where h = hash32(shingle) is computed ONCE.
+#: P = 2^31-1 (Mersenne prime), A[j] < 2^30 so A*h < 2^62 stays inside BIGINT
+#: in DuckDB too (it errors on overflow; Spark silently wraps — bounded
+#: intermediates are the only arithmetic both engines agree on). Constants
+#: are md5-derived so any engine/language reproduces them.
+MINHASH_P = 2147483647
+
+
+def _mix_constants(n: int = N_MINHASH) -> tuple[tuple[int, int], ...]:
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return tuple(
+        (h32(f"a{j}") % ((1 << 30) - 1) + 1, h32(f"b{j}") % MINHASH_P)
+        for j in range(n)
+    )
+
+
+MINHASH_MIX = _mix_constants()
 MAX_BUCKET = 50  # hot-bucket cap: degenerate/boilerplate buckets are dropped
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit bands; Hamming<=3 pairs always share a band
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3
 
 
 def shingles_df(corpus: DataFrame, n: int = 3) -> DataFrame:
@@ -47,35 +75,47 @@ def shingles_df(corpus: DataFrame, n: int = 3) -> DataFrame:
 
     Docs shorter than ``n`` tokens emit no shingles (same rule in the SQL
     twin). Shingle construction is pure array expressions: no UDF.
-    """
+
+    Shape matters: shingles are built by zipping ``n`` shifted SLICES of the
+    token array, so every lambda references only its own arguments. The r1
+    version indexed ``element_at(toks, i+j)`` inside a transform lambda —
+    captured expressions are re-inlined at every use site, so Spark
+    re-evaluated the full ``split(text)`` n times PER SHINGLE (~5 s/run at
+    sf0.1 for 378k shingles; this shape takes it to sub-second with
+    identical output)."""
     toks = tokens_col(F.col("text"))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-        ),
-    )
+    m = F.size(toks) - F.lit(n - 1)  # number of shingles
+    zipped = F.slice(toks, 1, m)
+    for j in range(1, n):
+        zipped = F.zip_with(
+            zipped,
+            F.slice(toks, 1 + j, m),
+            lambda acc, t: F.concat_ws(" ", acc, t),
+        )
     return (
         corpus.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .select("doc_id", F.explode(F.array_distinct(zipped)).alias("shingle"))
     )
 
 
 def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """(doc_id, mh0..mh{H-1}) — minhash signature per document.
 
-    One explode + one groupBy: the H hash functions are computed per shingle
-    as H column expressions (md5-salted), min-aggregated map-side.
-    """
+    One explode + one groupBy: each shingle is md5-hashed ONCE, and the H
+    hash streams are derived by cheap affine integer mixing (MINHASH_MIX) —
+    r1 spent 64% of the headline suite computing H separate md5s per
+    shingle. All streams are min-aggregated map-side (partial agg), so the
+    only shuffle carries one row per (doc, signature)."""
     sh = shingles_df(corpus)
-    hashed = sh.select(
+    hashed = sh.select("doc_id", hash32_col(F.col("shingle")).alias("h"))
+    mixed = hashed.select(
         "doc_id",
         *[
-            hash32_col(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
-            for j in range(n_hashes)
+            ((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_MIX[:n_hashes])
         ],
     )
-    return hashed.groupBy("doc_id").agg(
+    return mixed.groupBy("doc_id").agg(
         *[F.min(f"h{j}").alias(f"mh{j}") for j in range(n_hashes)]
     )
 
@@ -129,53 +169,107 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
     )
 
 
-def simhash_signatures(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash) — classic bit-vote simhash over token multiset."""
+def simhash_band_values(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band, bval) — 64-bit bit-vote simhash, emitted as 4 x 16-bit
+    band values (band ``b`` holds overall bits ``16b..16b+15``).
+
+    Two independent md5-derived 32-bit hashes per token supply the 64 bit
+    sources. Band values stay below 2^16, so no engine ever shifts into the
+    BIGINT sign bit (DuckDB errors on BIGINT overflow; Spark wraps silently —
+    keeping every intermediate small is the only representation both agree
+    on).
+    """
     toks = corpus.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
-    ).withColumn("h", hash32_col(F.col("tok")))
-    votes = toks.select(
+    ).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        "vote",
-        F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        hash32_col(F.col("tok")).alias("h_lo"),
+        hash32_col(F.concat(F.lit("hi|"), F.col("tok"))).alias("h_hi"),
     )
-    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+    # all 64 bit-vote sums in ONE groupBy (64 conditional-sum agg exprs,
+    # map-side partial): no 64x bit explode and no distinct-token
+    # pre-shuffle — votes are additive, so duplicate tokens combine in the
+    # partial aggregate and the only shuffle carries one 64-col row per doc.
+    def _vote(bit: int):
+        src = f"shiftright(h_lo, {bit})" if bit < 32 else f"shiftright(h_hi, {bit - 32})"
+        return F.sum(
+            F.when(F.expr(f"({src}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{bit}")
+
+    sums = toks.groupBy("doc_id").agg(*[_vote(b) for b in range(SIMHASH_BITS)])
+    band_structs = []
+    for b in range(SIMHASH_BANDS):
+        bval = None
+        for r in range(SIMHASH_BAND_BITS):
+            bit = b * SIMHASH_BAND_BITS + r
+            term = F.when(F.col(f"s{bit}") > 0, F.lit(1 << r).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bval = term if bval is None else bval + term
+        band_structs.append(
+            F.struct(F.lit(b).cast("long").alias("band"), bval.alias("bval"))
         )
-        .cast("long")
-        .alias("simhash")
+    return sums.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+
+def simhash_near_pairs(
+    corpus: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs within Hamming distance over the
+    64-bit simhash, blocked by signature bands (never all-pairs).
+
+    Candidate generation is an equi-join on (band, bval): two docs meet only
+    if one of their four 16-bit signature bands is identical. By pigeonhole,
+    any pair within Hamming 3 of a 64-bit signature differs in at most 3 of
+    the 4 bands, so band-blocking loses NO qualifying pair — the blocked plan
+    computes exactly the all-pairs result while shuffling on a key. Buckets
+    above MAX_BUCKET (degenerate near-empty docs whose bands are all zero,
+    boilerplate) are dropped before the join, same discipline and cap as the
+    MinHash-LSH tier; the SQL oracle mirrors the drop.
+    """
+    bands = simhash_band_values(corpus)
+    wide = bands.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("band") == b, F.col("bval"))).alias(f"b{b}")
+            for b in range(SIMHASH_BANDS)
+        ]
     )
-
-
-def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(doc_a, doc_b, hamming) — pairs within Hamming distance, blocked by
-    lang so the pairwise comparison stays inside small partitions.
-
-    At 10^10 docs the blocking key would be a simhash prefix (trading recall
-    for join size) — the lang block here keeps the same plan shape at test
-    scale."""
-    sig = simhash_signatures(corpus).join(
-        corpus.select("doc_id", "lang"), "doc_id"
+    hot = (
+        bands.groupBy("band", "bval")
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") > MAX_BUCKET)
+        .select("band", "bval")
     )
-    l, r = sig.alias("l"), sig.alias("r")
-    return (
+    kept = bands.join(F.broadcast(hot), ["band", "bval"], "left_anti")
+    l, r = kept.alias("l"), kept.alias("r")
+    pairs = (
         l.join(
             r,
-            (F.col("l.lang") == F.col("r.lang"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).cast("long").alias("hamming"),
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wl = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{b}").alias(f"la{b}") for b in range(SIMHASH_BANDS)],
+    )
+    wr = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{b}").alias(f"rb{b}") for b in range(SIMHASH_BANDS)],
+    )
+    hamming = None
+    for b in range(SIMHASH_BANDS):
+        term = F.bit_count(F.col(f"la{b}").bitwiseXOR(F.col(f"rb{b}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        pairs.join(wl, "doc_a")
+        .join(wr, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -232,35 +326,64 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def embedding_near_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """(vec_a, vec_b, cos) — cosine near-dups inside label blocks.
+    """(vec_a, vec_b, cos) — cosine near-dups, candidates from the LSH
+    signature-band equi-join (operators.similarity), exact-cosine verified.
+
+    The r1 label-blocked brute force is gone: two vectors meet only when an
+    8-bit random-hyperplane signature band matches, so the join shuffles on
+    (band, bval) and never materializes a block cross-product. Exact
+    duplicates share every band (always found); cos>=0.95 pairs share a band
+    with ~0.8 probability at these parameters (3 bands x 8 planes) — the
+    standard LSH recall/cost dial, raise LSH_BANDS for more recall. Hot
+    buckets above MAX_VEC_BUCKET are dropped (mirrored in the SQL oracle).
 
     Dot product / norms in pure array expressions over array<double> (cast
     from float so Spark and DuckDB sum the same doubles in the same order).
     """
+    from .similarity import MAX_VEC_BUCKET, lsh_band_values
+
     v = vectors.select(
         "vec_id",
-        "label",
         F.col("embedding").cast("array<double>").alias("e"),
     ).withColumn(
         "norm",
         F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)),
     )
-    l, r = v.alias("l"), v.alias("r")
+    bands = lsh_band_values(vectors)
+    hot = (
+        bands.groupBy("band", "bval")
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") > MAX_VEC_BUCKET)
+        .select("band", "bval")
+    )
+    kept = bands.join(F.broadcast(hot), ["band", "bval"], "left_anti")
+    bl, br = kept.alias("bl"), kept.alias("br")
+    pairs = (
+        bl.join(
+            br,
+            (F.col("bl.band") == F.col("br.band"))
+            & (F.col("bl.bval") == F.col("br.bval"))
+            & (F.col("bl.vec_id") < F.col("br.vec_id")),
+        )
+        .select(F.col("bl.vec_id").alias("vec_a"), F.col("br.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vl = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("le"),
+                  F.col("norm").alias("lnorm"))
+    vr = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("re"),
+                  F.col("norm").alias("rnorm"))
     dot = F.aggregate(
-        F.zip_with(F.col("l.e"), F.col("r.e"), lambda x, y: x * y),
+        F.zip_with(F.col("le"), F.col("re"), lambda x, y: x * y),
         F.lit(0.0),
         lambda a, x: a + x,
     )
     return (
-        l.join(
-            r,
-            (F.col("l.label") == F.col("r.label"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
+        pairs.join(vl, "vec_a")
+        .join(vr, "vec_b")
         .select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("r.vec_id").alias("vec_b"),
-            F.round(dot / (F.col("l.norm") * F.col("r.norm")), 3).alias("cos"),
+            "vec_a",
+            "vec_b",
+            F.round(dot / (F.col("lnorm") * F.col("rnorm")), 3).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -1,23 +1,27 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
 Not present in the reference (it has no vector data); required for the
-training-data-pipeline surface. Three tiers, all pure array expressions
+training-data-pipeline surface. Tiers, all pure array expressions
 (JVM-side, codegen'd — no Python in the scoring loop):
 
-  * ``brute_topk``   — exact cosine top-k: broadcast the (small) query set
-                       against the full corpus, score, per-query window.
-                       The baseline and the recall oracle.
-  * ``ivf_topk``     — IVF-style: candidates are restricted to the query's
-                       coarse cell, so the join is an equi-join on cell id
-                       and the scan prunes to matching cells. At 100 TB the
-                       cell id comes from a trained coarse quantizer; here
-                       the precomputed ``label`` column plays that role
-                       (same plan shape, deterministic).
-  * ``lsh_signatures`` — random-hyperplane cosine LSH: sign(v . r_j) bits,
-                       hyperplane components derived from md5 so Spark and
-                       DuckDB generate identical planes. Bucketing on the
-                       signature turns ANN into an equi-join, the 10^10-row
-                       scale path.
+  * ``brute_topk``     — exact cosine top-k: broadcast the (small) query set
+                         against the full corpus, score, per-query window.
+                         The baseline and the recall oracle.
+  * ``ivf_topk``       — IVF: deterministic seeded coarse quantizer (first K
+                         corpus vectors are the centroids), every vector
+                         assigned to its nearest centroid, queries probe
+                         their P nearest cells. The candidate join is an
+                         equi-join on cell id; at 100 TB the centroid table
+                         stays a broadcast-side constant and the corpus
+                         shuffles once on cell.
+  * ``lsh_signatures`` / ``lsh_band_values`` — random-hyperplane cosine LSH:
+                         bit j = [v . r_j > 0]. Hyperplane components are
+                         md5-derived CONSTANTS baked into the plan as literal
+                         arrays (identical values in Spark, DuckDB, and
+                         Python — no per-row hash evaluation, the r1 cost).
+  * ``ann_lsh_topk``   — LSH retrieval: candidates via signature-band
+                         equi-join, exact-cosine verify, per-query top-k.
+                         The 10^10-row scale path: no brute-force stage.
 
 All floats are summed in identical left-fold order in both engines and
 rounded before comparison.
@@ -25,12 +29,36 @@ rounded before comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import hash32_col
+N_PLANES = 8  # legacy full-signature width (ann_lsh_signature)
+LSH_PLANES = 24  # banded retrieval: 3 bands x 8 bits
+LSH_BAND_BITS = 8
+LSH_BANDS = LSH_PLANES // LSH_BAND_BITS
+MAX_VEC_BUCKET = 50  # hot-bucket cap, same discipline as operators.dedup
+MAX_DIM = 64  # plane constants are generated to this length (testdata dim)
+IVF_K = 8  # coarse centroids
+IVF_PROBE = 2  # cells probed per query
 
-N_PLANES = 8
+
+def _h32(s: str) -> int:
+    """Python twin of textstats.hash32_col: int(md5[:8], 16)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def plane_components(j: int, dim: int = MAX_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane r_j, component i (1-based) =
+    (hash32('p{j}|{i}') % 2000) / 1000 - 1 — the exact value the r1
+    runtime-hash expression produced, now a plan-time constant. Reproducible
+    in any engine that parses a float literal (round-trip repr)."""
+    return [(_h32(f"p{j}|{i}") % 2000) / 1000.0 - 1.0 for i in range(1, dim + 1)]
+
+
+def _plane_lit(j: int) -> Column:
+    return F.array(*[F.lit(v) for v in plane_components(j)])
 
 
 def _as_double(vectors: DataFrame) -> DataFrame:
@@ -51,6 +79,16 @@ def _cos(l_e: str, r_e: str, l_norm: str, r_norm: str):
         lambda a, x: a + x,
     )
     return dot / (F.col(l_norm) * F.col(r_norm))
+
+
+def _plane_dot(e: Column, j: int) -> Column:
+    """e . r_j with the plane as a literal array (sliced to the vector's
+    length; vectors longer than MAX_DIM are unsupported by construction)."""
+    return F.aggregate(
+        F.zip_with(e, F.slice(_plane_lit(j), 1, F.size(e)), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
 
 
 def brute_topk(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFrame:
@@ -79,26 +117,81 @@ def brute_topk(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFrame
     )
 
 
-def ivf_topk(vectors: DataFrame, n_queries: int = 16, k: int = 3) -> DataFrame:
-    """(query_id, cand_id, rank, cos) — top-k within the query's coarse cell.
+def ivf_centroids(vectors: DataFrame, n_centroids: int = IVF_K) -> DataFrame:
+    """(cell, ce, cnorm) — deterministic seeded coarse quantizer: the first
+    K corpus vectors (by vec_id) ARE the centroids, cell id = their rank.
 
-    The equi-join on cell bounds work to |cell| candidates per query; with a
-    real quantizer this is the IVF probe=1 plan. Cell id = ``label``.
-    """
+    No floating-point averaging means no cross-engine summation-order risk;
+    a trained k-means would refine these but needs exact-decimal means to
+    stay oracle-comparable. At 100 TB this table is K rows — broadcast.
+    Selection is sort+limit (TakeOrderedAndProject: per-partition top-K,
+    driver merge), NOT a global window over the corpus."""
+    firstk = _as_double(vectors).orderBy(F.asc("vec_id")).limit(n_centroids)
+    w = Window.orderBy(F.asc("vec_id"))  # window over K rows only
+    return (
+        firstk.withColumn("rn", F.row_number().over(w))
+        .select(
+            (F.col("rn") - 1).cast("long").alias("cell"),
+            F.col("e").alias("ce"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+
+
+def ivf_assign(vectors: DataFrame, n_centroids: int = IVF_K,
+               probe: int = 1) -> DataFrame:
+    """(vec_id, cell, cell_rank) — each vector's ``probe`` nearest centroids
+    by cosine (rank 1 = nearest, ties broken by cell id). probe=1 is the
+    storage assignment; probe>1 is the query-side multi-probe."""
     v = _as_double(vectors)
+    cents = ivf_centroids(vectors, n_centroids)
+    scored = v.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        _cos("ce", "e", "cnorm", "norm").alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= probe)
+        .select("vec_id", "cell", F.col("cell_rank").cast("long").alias("cell_rank"))
+    )
+
+
+def ivf_topk(vectors: DataFrame, n_queries: int = 16, k: int = 3,
+             n_centroids: int = IVF_K, probe: int = IVF_PROBE) -> DataFrame:
+    """(query_id, cand_id, rank, cos) — top-k within the query's probed
+    cells. Corpus vectors live in their single nearest cell; each query
+    probes its ``probe`` nearest cells, so the candidate join is an
+    equi-join on cell id (broadcast query side), then exact-cosine verify
+    and a per-query window. The real-IVF replacement for the r1 ``label``
+    stand-in quantizer."""
+    v = _as_double(vectors)
+    storage = ivf_assign(vectors, n_centroids, probe=1)
+    # probe assignments use the same full-corpus centroids, then keep queries
+    qprobe = ivf_assign(vectors, n_centroids, probe=probe).filter(
+        F.col("vec_id") < n_queries
+    )
+    cand = (
+        qprobe.select(F.col("vec_id").alias("query_id"), "cell")
+        .join(storage.select(F.col("vec_id").alias("cand_id"), "cell"), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
     q = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qcell"),
         F.col("e").alias("qe"),
         F.col("norm").alias("qnorm"),
     )
-    scored = v.join(
-        F.broadcast(q),
-        (F.col("label") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        _cos("qe", "e", "qnorm", "norm").alias("cos_raw"),
+    scored = (
+        cand.join(v.select(F.col("vec_id").alias("cand_id"), "e", "norm"), "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _cos("qe", "e", "qnorm", "norm").alias("cos_raw"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
     return (
@@ -112,31 +205,83 @@ def ivf_topk(vectors: DataFrame, n_queries: int = 16, k: int = 3) -> DataFrame:
 def lsh_signatures(vectors: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, sig) — random-hyperplane signature, bit j = [v . r_j > 0].
 
-    Plane component r_j[i] is a deterministic pseudo-random value in
-    [-1, 1): (hash32('p{j}|{i}') % 2000) / 1000 - 1 — reproducible in SQL,
-    stable across runs/engines (no ``rand()``; the engine bans
-    nondeterminism, SURVEY.md §4)."""
+    Identical output to the r1 runtime-hash version (same md5-derived plane
+    values), but the planes are literal arrays: the per-row cost is one
+    fused zip_with/fold per plane, no md5 calls in the hot path."""
     v = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-
-    def plane_dot(j: int):
-        return F.aggregate(
-            F.zip_with(
-                F.col("e"),
-                F.sequence(F.lit(1), F.size(F.col("e"))),
-                lambda x, i: x
-                * (
-                    (hash32_col(F.concat(F.lit(f"p{j}|"), i.cast("string"))) % 2000)
-                    / F.lit(1000.0)
-                    - F.lit(1.0)
-                ),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-
     sig = None
     for j in range(n_planes):
-        bit = F.when(plane_dot(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        bit = F.when(_plane_dot(F.col("e"), j) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0)
+        )
         term = bit * F.lit(1 << j).cast("long")
         sig = term if sig is None else sig + term
     return v.select("vec_id", sig.alias("sig"))
+
+
+def lsh_band_values(vectors: DataFrame, n_planes: int = LSH_PLANES,
+                    band_bits: int = LSH_BAND_BITS) -> DataFrame:
+    """(vec_id, band, bval) — banded signature for bucket-join retrieval:
+    band b packs plane bits [b*band_bits, (b+1)*band_bits). Two vectors are
+    candidates iff some band value matches exactly — an equi-join key."""
+    v = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    n_bands = n_planes // band_bits
+    band_exprs = []
+    for b in range(n_bands):
+        bval = None
+        for r in range(band_bits):
+            j = b * band_bits + r
+            bit = F.when(_plane_dot(F.col("e"), j) > 0, F.lit(1 << r).cast("long")
+                         ).otherwise(F.lit(0).cast("long"))
+            bval = bit if bval is None else bval + bit
+        band_exprs.append(
+            F.struct(F.lit(b).cast("long").alias("band"), bval.alias("bval"))
+        )
+    return v.select(
+        "vec_id", F.explode(F.array(*band_exprs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+
+def ann_lsh_topk(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFrame:
+    """(query_id, cand_id, rank, cos) — LSH-retrieved top-k: candidates are
+    corpus vectors sharing >=1 signature band with the query (equi-join on
+    (band, bval)), verified by exact cosine, ranked per query.
+
+    This is the ANN *answer* path the r1 round left half-built: signature ->
+    bucket join -> verify -> top-k, with no brute-force fallback. Queries
+    whose buckets contain no other vector return no rows (honest ANN miss).
+    """
+    v = _as_double(vectors)
+    bands = lsh_band_values(vectors)
+    qb = bands.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band", "bval"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(bands.select(F.col("vec_id").alias("cand_id"), "band", "bval"),
+              ["band", "bval"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(v.select(F.col("vec_id").alias("cand_id"), "e", "norm"), "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _cos("qe", "e", "qnorm", "norm").alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.col("rank").cast("long").alias("rank"),
+                F.round(F.col("cos_raw"), 3).alias("cos"))
+    )

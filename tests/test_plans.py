@@ -95,6 +95,28 @@ def test_canonicalize_stage_keeps_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # never a row-at-a-time Python UDF
 
 
+def test_simhash_plan_is_equi_join_only(spark, sf_dir):
+    """Candidate generation must block on signature bands: every join in the
+    simhash plan is an equi-join (hash/sort-merge on keys) — no cartesian
+    product or nested-loop fallback anywhere (the r1 all-pairs-within-lang
+    plan is banned)."""
+    from openreviewcrawler_spark.catalog import q_dedup_simhash
+
+    plan = plan_of(q_dedup_simhash(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_cosine_plan_is_equi_join_only(spark, sf_dir):
+    """Same discipline for embedding near-dup: candidates come from an LSH
+    signature-band equi-join, never label-blocked brute force."""
+    from openreviewcrawler_spark.catalog import q_dedup_embedding_cosine
+
+    plan = plan_of(q_dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_admit_single_shuffle_on_host(spark, sf_dir):
     """Politeness admit = one exchange on host, no extra repartition."""
     from openreviewcrawler_spark.catalog import q_crawl_politeness_admit

@@ -58,11 +58,17 @@ def test_minhash_signature_identical_for_exact_dup(corpus):
 
 
 def test_simhash_near_pairs(corpus):
+    # max_hamming=64 keeps every banded CANDIDATE: band blocking itself must
+    # pair duplicates and near-dups but never unrelated docs.
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
              for r in dedup.simhash_near_pairs(corpus, max_hamming=dedup.SIMHASH_BITS).collect()}
-    assert pairs[(0, 1)] == 0  # identical text -> identical signature
-    assert pairs[(0, 2)] <= 4  # near dup -> small hamming
-    assert pairs[(0, 3)] > pairs[(0, 2)]  # unrelated is farther
+    assert pairs[(0, 1)] == 0  # identical text -> identical 64-bit signature
+    assert 0 < pairs[(0, 2)] <= 16  # near dup -> small hamming, shares a band
+    assert (0, 3) not in pairs  # unrelated doc shares no 16-bit band
+    assert (0, 4) not in pairs
+    # default threshold (Hamming <= 3, the standard 64-bit near-dup setting)
+    strict = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_near_pairs(corpus).collect()}
+    assert (0, 1) in strict
 
 
 def test_ngram_jaccard_exact(corpus):
@@ -93,6 +99,44 @@ def test_embedding_near_dups_and_ann(spark):
 
     sig = {r["vec_id"]: r["sig"] for r in similarity.lsh_signatures(df).collect()}
     assert sig[0] == sig[1]  # identical vectors -> identical signature
+
+    # LSH retrieval answers the ANN query: the exact dup is always in a
+    # shared bucket and ranks first with cos 1.0.
+    lsh = similarity.ann_lsh_topk(df, n_queries=1, k=3).collect()
+    first = [r for r in lsh if r["rank"] == 1]
+    assert first and first[0]["cand_id"] == 1 and first[0]["cos"] == 1.0
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    """VERDICT r1 item 9 gate: seeded-quantizer IVF with probe=2 must agree
+    with brute-force top-k on a healthy fraction of hits (it's approximate —
+    cells prune candidates — but on real embeddings recall@3 should be well
+    above random)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {(r["query_id"], r["cand_id"])
+             for r in similarity.brute_topk(emb, n_queries=16, k=3).collect()}
+    ivf = {(r["query_id"], r["cand_id"])
+           for r in similarity.ivf_topk(emb, n_queries=16, k=3).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall@3 {recall:.2f} vs brute force"
+
+
+def test_lsh_topk_finds_duplicates(spark, sf_dir):
+    """LSH retrieval guarantee: a query with an exact duplicate in the corpus
+    ALWAYS retrieves it at rank 1 / cos 1.0 (identical vector -> identical
+    signature -> same bucket in every band). Random sf embeddings have no
+    high-cos neighbors (top-1 cos ~0.37), so — correctly — LSH is not
+    expected to reproduce brute-force results there; near-dup recall is what
+    the operator promises and what's asserted."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") % 8 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)
+    lsh = similarity.ann_lsh_topk(corpus, n_queries=16, k=5).collect()
+    got_rank1 = {r["query_id"]: (r["cand_id"], r["cos"]) for r in lsh if r["rank"] == 1}
+    for q in (0, 8):  # queries whose exact duplicate exists at q+100000
+        assert got_rank1[q] == (q + 100000, 1.0), got_rank1.get(q)
 
 
 def test_lang_id_and_fingerprint(spark):
@@ -140,12 +184,19 @@ ORACLE_SUBSET = [
     "label_cascade",
     "q1_pricing",
     "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_simhash",
 ]
 
 
 def _norm(v):
+    # same strict full-precision comparison as scripts/check_oracle.py
     if isinstance(v, float):
-        return f"{v:.6g}"
+        if v != v:
+            return "nan"
+        if v == 0.0:
+            return "0.0"
+        return repr(v)
     return str(v)
 
 
