@@ -35,7 +35,12 @@ from .operators.ordering import assign_seq_scalable
 from .operators.robots import apply_robots
 from .operators.scheduler import admit
 from .operators.seen import anti_join_seen
-from .operators.stats import count_histogram, note_type_col
+from .operators.stats import (
+    attach_notes_with_misses,
+    count_histogram,
+    note_type_col,
+    orphan_metrics,
+)
 from .operators.textstats import (
     fingerprint_cols,
     lang_id_col,
@@ -714,6 +719,36 @@ select forum, id, parent_id, root_id, depth::BIGINT as depth from kept
 """
 
 
+def q_orphan_note_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — other-notes whose forum has no crawled submission, counted to a
+    metrics table instead of the reference's silent debug-log drop
+    (/root/reference/crawler.py:104-108). Submissions exist for forums
+    f0..f19; notes land on f0..f24, so f20..f24 are known misses."""
+    docs = _t(spark, sf_dir, "documents")
+    notes = docs.select(
+        F.expr(_NOTE_ID_EXPR).alias("id"), F.expr(_FORUM_EXPR).alias("forum")
+    )
+    subs = (
+        docs.filter(F.col("doc_id") % 25 < 20)
+        .select(F.expr(_FORUM_EXPR).alias("id"))
+        .distinct()
+    )
+    _attached, orphans = attach_notes_with_misses(subs, notes)
+    return orphan_metrics(orphans)
+
+
+SQL_ORPHAN_NOTE_METRICS = f"""
+with notes as (
+  select {_NOTE_ID_EXPR} as id, {_FORUM_EXPR} as forum from documents
+), subs as (
+  select distinct {_FORUM_EXPR} as id from documents where doc_id % 25 < 20
+)
+select forum, count(*)::BIGINT as n_orphans, min(id) as first_orphan_id
+from notes where not exists (select 1 from subs where subs.id = notes.forum)
+group by 1
+"""
+
+
 def q_flatten_authors_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — positional list->column pivot with truncation (the reference's
     author0..author12 flattening, database.py:129-133), on part names."""
@@ -785,7 +820,7 @@ newk as (
   where not exists (select 1 from existing e where e.venue = k.venue and e.year = k.year)
 ),
 alloc as (
-  select (select max(venue_id) from existing)
+  select (select coalesce(max(venue_id), 0) from existing)
          + row_number() over (order by venue, year) as venue_id, venue, year
   from newk
 )
@@ -1653,6 +1688,7 @@ CATALOG: dict[str, QueryDef] = {
     "median_by_group": QueryDef(q_median_by_group, SQL_MEDIAN_BY_GROUP),
     "revision_latest": QueryDef(q_revision_latest, SQL_REVISION_LATEST),
     "reply_forest": QueryDef(q_reply_forest, SQL_REPLY_FOREST),
+    "orphan_note_metrics": QueryDef(q_orphan_note_metrics, SQL_ORPHAN_NOTE_METRICS),
     "flatten_authors_pivot": QueryDef(q_flatten_authors_pivot, SQL_FLATTEN_AUTHORS_PIVOT),
     "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
     "merge_invitations": QueryDef(q_merge_invitations, SQL_MERGE_INVITATIONS),

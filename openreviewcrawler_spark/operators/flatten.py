@@ -26,6 +26,114 @@ N_AUTHOR_COLS = 13  # model declares 13; reference fills at most 12
 _TRUNCATE_AT = 12
 
 
+def drop_original_refs(raw_refs: DataFrame) -> DataFrame:
+    """O1 ``refs[1:]`` semantics (/root/reference/crawler.py:86-87): element
+    0 of a note's references list is the note itself (the "original");
+    ``revisions`` excludes it. ``raw_refs`` carries ``rec_order`` = position
+    in the raw references list; revision rows keep their RAW position, so a
+    revision's pdf index below equals its rec_order (enumerate over refs[1:]
+    is rec_order - 1, and the reference names pdfs with enumerate + 1)."""
+    return raw_refs.filter(F.col("rec_order") >= 1)
+
+
+def _set_map_key(m: Column, key: str, val: Column) -> Column:
+    """content[key] = val without relying on a map-key dedup policy."""
+    return F.map_concat(
+        F.map_filter(m, lambda k, _v: k != F.lit(key)),
+        F.create_map(F.lit(key), val),
+    )
+
+
+def _set_json_key(content_json: Column, key: str, val: Column) -> Column:
+    """``d[key] = val`` on the serialized content (the reference mutates the
+    dict BEFORE the JSON dump, crawler.py:116-117, so the sink JSON carries
+    the local path too). Mirrors Python dict semantics: an existing key is
+    rewritten in place, a missing key appends at the end. Pdf values are
+    URL-ish paths — never embedded quotes — so the regex surgery is exact."""
+    quoted = F.concat(F.lit(f'"{key}": "'), val, F.lit('"'))
+    replaced = F.regexp_replace(content_json, f'"{key}": "[^"]*"', quoted)
+    appended = F.when(
+        content_json == "{}", F.concat(F.lit("{"), quoted, F.lit("}"))
+    ).otherwise(
+        F.concat(F.regexp_replace(content_json, r"\}$", ""), F.lit(", "), quoted, F.lit("}"))
+    )
+    return F.when(content_json.contains(f'"{key}": "'), replaced).otherwise(appended)
+
+
+def pdf_eligible_parents(raw_refs: DataFrame) -> DataFrame:
+    """(parent_id) of notes whose ORIGINAL reference carries a pdf — the
+    reference's rewrite/download gate (crawler.py:90-94: ``"pdf" in
+    refs[0].to_json()['content']``)."""
+    return (
+        raw_refs.filter(
+            (F.col("rec_order") == 0) & F.map_contains_key("content", "pdf")
+        )
+        .select(F.col("parent_id").alias("__pdf_parent"))
+        .distinct()
+    )
+
+
+def rewrite_pdf_paths(
+    submissions: DataFrame, raw_refs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """P10 pdf path rewrite (/root/reference/crawler.py:116-117,132-133):
+    for every pdf-eligible submission, point the pdf refs at the local crawl
+    layout — submission content['pdf'] = '/pdf/{id}_0.pdf', revision at raw
+    list position j (j >= 1) = '/pdf/{id}_{j}.pdf'. Returns the rewritten
+    (submissions, revisions) pair; revisions come out refs[1:]-filtered.
+
+    Both the queryable ``content`` map and the serialized ``content_json``
+    are rewritten (the reference mutates the dict before the JSON dump).
+    The joins are key-equi on the submission id — co-partitioned at scale,
+    no broadcast needed for the big sides."""
+    eligible = pdf_eligible_parents(raw_refs)
+    sub_path = F.concat(F.lit("/pdf/"), F.col("id"), F.lit("_0.pdf"))
+    subs = (
+        submissions.join(
+            eligible, submissions["id"] == eligible["__pdf_parent"], "left"
+        )
+        .withColumn(
+            "content",
+            F.when(
+                F.col("__pdf_parent").isNotNull(),
+                _set_map_key(F.col("content"), "pdf", sub_path),
+            ).otherwise(F.col("content")),
+        )
+        .withColumn(
+            "content_json",
+            F.when(
+                F.col("__pdf_parent").isNotNull(),
+                _set_json_key(F.col("content_json"), "pdf", sub_path),
+            ).otherwise(F.col("content_json")),
+        )
+        .drop("__pdf_parent")
+    )
+    rev_path = F.concat(
+        F.lit("/pdf/"), F.col("parent_id"), F.lit("_"),
+        F.col("rec_order").cast("string"), F.lit(".pdf"),
+    )
+    revs = (
+        drop_original_refs(raw_refs)
+        .join(eligible, F.col("parent_id") == eligible["__pdf_parent"], "left")
+        .withColumn(
+            "content",
+            F.when(
+                F.col("__pdf_parent").isNotNull(),
+                _set_map_key(F.col("content"), "pdf", rev_path),
+            ).otherwise(F.col("content")),
+        )
+        .withColumn(
+            "content_json",
+            F.when(
+                F.col("__pdf_parent").isNotNull(),
+                _set_json_key(F.col("content_json"), "pdf", rev_path),
+            ).otherwise(F.col("content_json")),
+        )
+        .drop("__pdf_parent")
+    )
+    return subs, revs
+
+
 def _author_cols(prefix: str, key: str) -> list[Column]:
     cols = []
     for i in range(N_AUTHOR_COLS):
@@ -50,8 +158,24 @@ def flatten_venues(venues: DataFrame) -> DataFrame:
     )
 
 
-def flatten_submissions(labeled_submissions: DataFrame) -> DataFrame:
-    df = labeled_submissions
+def _with_pdf_binary(df: DataFrame, pdf_blobs: DataFrame | None) -> DataFrame:
+    """Attach the fetched PDF blob column (database_model.py:62
+    ``LargeBinary``; database.py stores the downloaded bytes on the
+    submission/revision row). ``pdf_blobs`` = (note_id, pdf_binary); rows
+    without a fetched blob carry NULL — the reference's timeout failure mode
+    (README.md:159-162) leaves the same hole. Equi-join on the row key."""
+    if pdf_blobs is None:
+        return df.withColumn("pdf_binary", F.lit(None).cast("binary"))
+    blobs = pdf_blobs.select(
+        F.col("note_id").alias("__blob_id"), F.col("pdf_binary")
+    )
+    return df.join(blobs, df["id"] == blobs["__blob_id"], "left").drop("__blob_id")
+
+
+def flatten_submissions(
+    labeled_submissions: DataFrame, pdf_blobs: DataFrame | None = None
+) -> DataFrame:
+    df = _with_pdf_binary(labeled_submissions, pdf_blobs)
     has_tag = "acceptance_tag" in df.columns
     return df.select(
         "id",
@@ -72,6 +196,7 @@ def flatten_submissions(labeled_submissions: DataFrame) -> DataFrame:
             "acceptance_tag"
         ),
         _content_str("pdf").alias("pdf_ref"),
+        "pdf_binary",
         "forum",
         "referent",
         "invitation",
@@ -82,8 +207,10 @@ def flatten_submissions(labeled_submissions: DataFrame) -> DataFrame:
     )
 
 
-def flatten_revisions(revisions: DataFrame) -> DataFrame:
-    return revisions.select(
+def flatten_revisions(
+    revisions: DataFrame, pdf_blobs: DataFrame | None = None
+) -> DataFrame:
+    return _with_pdf_binary(revisions, pdf_blobs).select(
         "id",
         F.col("parent_id").alias("submission"),
         "original",
@@ -98,6 +225,7 @@ def flatten_revisions(revisions: DataFrame) -> DataFrame:
         .otherwise(F.lit(""))
         .alias("replyto"),
         _content_str("pdf").alias("pdf_ref"),
+        "pdf_binary",
         "forum",
         "referent",
         "invitation",
@@ -166,11 +294,12 @@ def flatten_all(
     revisions: DataFrame,
     notes: DataFrame,
     note_revisions: DataFrame,
+    pdf_blobs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     return {
         "venue": flatten_venues(venues),
-        "submission": flatten_submissions(labeled_submissions),
-        "revisions": flatten_revisions(revisions),
+        "submission": flatten_submissions(labeled_submissions, pdf_blobs),
+        "revisions": flatten_revisions(revisions, pdf_blobs),
         "notes": flatten_notes(notes),
         "note_revision": flatten_note_revisions(note_revisions, notes),
     }

@@ -120,3 +120,35 @@ def median_of(df: DataFrame, col: str, by: list[str] | None = None) -> DataFrame
     if by:
         return df.groupBy(*by).agg(F.median(col).alias("median"))
     return df.agg(F.median(col).alias("median"))
+
+
+def attach_notes_with_misses(
+    submissions: DataFrame, other_notes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """J2 — attach other-notes to their forum's submission, SURFACING misses.
+
+    The reference drops a note whose forum has no crawled submission with a
+    debug log (/root/reference/crawler.py:104-108: ``KeyError`` on
+    ``forum_idx_map`` -> ``log.debug``); a silent drop is exactly the row
+    loss a crawl operator must count. Returns ``(attached, orphans)``:
+    ``attached`` = notes whose forum exists (left-semi, note columns
+    unchanged), ``orphans`` = the left-anti complement, ready for a metrics
+    sink. Both joins are key-equi on the submission id — co-partitioned at
+    scale, one shuffle shared by AQE."""
+    sub_ids = submissions.select(F.col("id").alias("__sub_id"))
+    attached = other_notes.join(
+        sub_ids, other_notes["forum"] == sub_ids["__sub_id"], "left_semi"
+    )
+    orphans = other_notes.join(
+        sub_ids, other_notes["forum"] == sub_ids["__sub_id"], "left_anti"
+    )
+    return attached, orphans
+
+
+def orphan_metrics(orphans: DataFrame) -> DataFrame:
+    """Per-forum orphan counts — the metrics table J2 promises (SURVEY.md):
+    what the reference logs at debug level and forgets, kept queryable."""
+    return orphans.groupBy("forum").agg(
+        F.count("*").cast("long").alias("n_orphans"),
+        F.min("id").alias("first_orphan_id"),
+    )

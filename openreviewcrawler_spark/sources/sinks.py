@@ -34,9 +34,18 @@ def upsert_parquet(
     """Idempotent set-level upsert: MERGE-by-key semantics on a parquet dir.
 
     Survivors = existing rows whose key is NOT in updates (left_anti), plus
-    all update rows. The rewrite commits via write-to-tmp + atomic rename,
-    so readers never see a partial table and re-running the same upsert is a
-    no-op (the reference's resume guarantee).
+    all update rows. The rewrite commits via write-to-tmp then rename, so a
+    reader never sees a HALF-WRITTEN table and re-running the same upsert is
+    a no-op (the reference's resume guarantee).
+
+    Concurrency contract (single-writer, like the reference's one FIFO
+    writer thread, database.py:45-61): the commit is two renames
+    (path->old, tmp->path), so between them a concurrent reader finds NO
+    table at ``path``, and concurrent upserts have no mutual exclusion —
+    this sink assumes exactly one writer and retry-on-missing readers. On a
+    real deployment the same call maps to an Iceberg ``MERGE INTO`` whose
+    snapshot commit removes both gaps (the SnapshotStore pattern:
+    versioned directory + atomically replaced pointer).
     """
     if os.path.exists(path):
         existing = spark.read.parquet(path)
@@ -71,8 +80,12 @@ def assign_venue_ids(existing: DataFrame, keys: DataFrame) -> DataFrame:
 
     ``existing``: (venue_id, venue, year); ``keys``: (venue, year).
     Returns (venue_id, venue, year) covering every input key. Deterministic
-    and replayable: same inputs -> same ids at any parallelism.
+    and replayable: same inputs -> same ids at any parallelism. ``keys`` is
+    deduplicated here — the stable-id contract is per DISTINCT key, and a
+    caller passing duplicate (venue, year) rows must not mint one id each
+    (ADVICE r1).
     """
+    keys = keys.select("venue", "year").distinct()
     known = keys.join(existing, ["venue", "year"], "inner").select(
         "venue_id", "venue", "year"
     )

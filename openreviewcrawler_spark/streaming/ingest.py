@@ -68,8 +68,14 @@ def parse_stream(pages: DataFrame) -> DataFrame:
 def host_window_metrics(
     parsed: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:
-    """Per-host event-time windowed fetch metrics with late-data handling:
-    rows later than the watermark are dropped, state is pruned."""
+    """Per-host event-time windowed fetch metrics.
+
+    Whether the watermark actually drops late rows and prunes state depends
+    on the SINK's output mode (ADVICE r1): in ``append``/``update`` modes it
+    does — that's :func:`run_finalized_metrics`, the production path with
+    bounded state; in ``complete`` mode Spark ignores the watermark and
+    retains every window ever seen (the queryable demo table in
+    :func:`run_ingest`)."""
     return (
         parsed.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("w"), "host")
@@ -99,8 +105,12 @@ def run_ingest(
     """Start both sinks; returns (text_query, metrics_query).
 
     * ``fetched_text``  — append sink, exactly-once per input file,
-    * ``host_metrics``  — complete-mode in-memory table (small: bounded by
-      hosts x windows), queryable as ``host_metrics`` while running.
+    * ``host_metrics``  — COMPLETE-mode in-memory table, queryable as
+      ``host_metrics`` while running. Complete mode ignores the watermark:
+      every window ever seen is retained, so this table grows with distinct
+      (host, window) pairs — an interactive/debug surface, not the
+      long-running path. For bounded state + late-row dropping use
+      :func:`run_finalized_metrics`.
     Callers drive with ``processAllAvailable()`` (tests) or let the trigger
     run (production).
     """
@@ -122,3 +132,29 @@ def run_ingest(
         .start()
     )
     return text_q, metrics_q
+
+
+def run_finalized_metrics(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Watermark-governed metrics sink — the long-running production path.
+
+    ``append`` output mode + watermark means: a (host, window) row is
+    emitted exactly once, only after the watermark passes the window end;
+    rows arriving later than the watermark are DROPPED; and the windowed
+    aggregation state is pruned to windows inside the watermark — bounded
+    state for an unbounded crawl. Fault-tolerant parquet + checkpoint, so a
+    restart resumes without re-emitting finalized windows."""
+    parsed = parse_stream(read_page_stream(spark, src_dir, max_files_per_trigger))
+    return (
+        host_window_metrics(parsed)
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/host_metrics_final")
+        .option("checkpointLocation", f"{checkpoint_dir}/metrics_final")
+        .outputMode("append")
+        .start()
+    )

@@ -73,3 +73,34 @@ def test_stream_matches_batch_parse_and_windows(spark, stream_dirs):
     finally:
         text_q.stop()
         metrics_q.stop()
+
+
+def test_finalized_metrics_watermark_semantics(spark, stream_dirs):
+    """Append-mode metrics: a window is emitted exactly once, only after the
+    watermark (2 min) passes its end — bounded state, late rows dropped."""
+    from openreviewcrawler_spark.streaming.ingest import run_finalized_metrics
+
+    src, out, ckpt = stream_dirs
+    N, H = 200, 10
+    q = run_finalized_metrics(spark, src, out, ckpt, max_files_per_trigger=2)
+    try:
+        # batch 1: events in [0s, 120s) -> nothing finalized yet
+        _write_batch(spark, src, 0, 120, N, H)
+        q.processAllAvailable()
+        # batch 2: events to 199s -> watermark 199s-120s=79s -> the [0,60s)
+        # window is finalized and emitted exactly once
+        _write_batch(spark, src, 120, 200, N, H)
+        q.processAllAvailable()
+        got = spark.read.parquet(f"{out}/host_metrics_final")
+        rows = got.collect()
+        assert rows, "no finalized windows emitted"
+        # only fully-watermarked windows appear, one row per (host, window)
+        assert all(r["window_end"].second <= 60 for r in rows)
+        keys = [(r["host"], r["window_start"]) for r in rows]
+        assert len(keys) == len(set(keys))
+        # every emitted row covers the [0,60s) window across all hosts
+        assert {r["host"] for r in rows} == {f"host{h:05d}.example" for h in range(H)}
+        # counts: ids 0..59 land in the finalized window (one per id)
+        assert sum(r["n_fetched"] for r in rows) == 60
+    finally:
+        q.stop()
