@@ -719,6 +719,42 @@ select forum, id, parent_id, root_id, depth::BIGINT as depth from kept
 """
 
 
+def q_venue_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — venue listing (reference --help_venues: members of the root
+    'venues' group, crawler.py:219-230). Groups table derived from
+    documents: the 'venues' group holds two venue ids per source; a decoy
+    group must be filtered out."""
+    from .sources.openreview_json import list_venues
+
+    src = _t(spark, sf_dir, "documents").select("source").distinct()
+    groups = src.select(
+        F.lit("venues").alias("group_id"),
+        F.array(
+            F.concat(F.col("source"), F.lit(".cc/2019/Conference")),
+            F.concat(F.col("source"), F.lit(".cc/2020/Workshop")),
+        ).alias("members"),
+    ).unionByName(
+        src.select(
+            F.lit("hosts").alias("group_id"),
+            F.array(F.concat(F.col("source"), F.lit(".example"))).alias("members"),
+        )
+    )
+    return list_venues(groups)
+
+
+SQL_VENUE_LISTING = """
+with src as (select distinct source from documents),
+groups as (
+  select 'venues' as group_id,
+         [source || '.cc/2019/Conference', source || '.cc/2020/Workshop'] as members
+  from src
+  union all
+  select 'hosts' as group_id, [source || '.example'] as members from src
+)
+select distinct unnest(members) as venue from groups where group_id = 'venues'
+"""
+
+
 def q_orphan_note_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — other-notes whose forum has no crawled submission, counted to a
     metrics table instead of the reference's silent debug-log drop
@@ -1689,6 +1725,7 @@ CATALOG: dict[str, QueryDef] = {
     "revision_latest": QueryDef(q_revision_latest, SQL_REVISION_LATEST),
     "reply_forest": QueryDef(q_reply_forest, SQL_REPLY_FOREST),
     "orphan_note_metrics": QueryDef(q_orphan_note_metrics, SQL_ORPHAN_NOTE_METRICS),
+    "venue_listing": QueryDef(q_venue_listing, SQL_VENUE_LISTING),
     "flatten_authors_pivot": QueryDef(q_flatten_authors_pivot, SQL_FLATTEN_AUTHORS_PIVOT),
     "props_extract": QueryDef(q_props_extract, SQL_PROPS_EXTRACT),
     "merge_invitations": QueryDef(q_merge_invitations, SQL_MERGE_INVITATIONS),

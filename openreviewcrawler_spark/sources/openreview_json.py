@@ -258,3 +258,21 @@ def gen_notes_fixture(seed: int = 42, n_venues: int = 12, subs_per_venue: int = 
             subs.append(sub)
         data.append({"venue_id": vi, "venue": venue, "year": year, "submissions": subs})
     return data
+
+
+def list_venues(groups: "DataFrame"):
+    """S9 venue listing (/root/reference/crawler.py:219-230
+    ``get_all_available_venues`` -> ``openreview.tools.get_all_venues``: the
+    members of the root "venues" group), distributed: filter the group table
+    to the venues group, explode the membership array, distinct.
+
+    ``groups``: (group_id string, members array<string>) — the shape the
+    OpenReview groups endpoint returns. Output: one ``venue`` column, the
+    exact list the reference prints for --help_venues."""
+    from pyspark.sql import functions as F
+
+    return (
+        groups.filter(F.col("group_id") == "venues")
+        .select(F.explode("members").alias("venue"))
+        .distinct()
+    )
