@@ -1462,6 +1462,38 @@ where round({_SQL_DOT.format(a='vl.e', b='vr.e')} / (vl.nrm * vr.nrm), 3) >= 0.9
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs -> connected components -> every
+    corpus doc labeled with its canonical keeper (min reachable doc_id).
+    A~B and B~C collapse to one keeper even when A~C was never emitted —
+    the decision a 100 TB dedup actually has to make per document."""
+    corpus = _corpus(spark, sf_dir)
+    edges = dedup.minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    comp = dedup.connected_components(edges, corpus.select("doc_id"))
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""
+with recursive pairs as ({SQL_DEDUP_MINHASH_LSH}),
+nodes as (select doc_id from ({CORPUS_SQL})),
+edges as (
+  select doc_a as n, doc_b as m from pairs
+  union all
+  select doc_b as n, doc_a as m from pairs
+),
+reach(node, comp) as (
+  select doc_id, doc_id from nodes
+  union
+  select e.n, r.comp from edges e join reach r on e.m = r.node
+)
+select node::BIGINT as doc_id, min(comp)::BIGINT as component
+from reach group by 1
+"""
+
+
 def q_traindata_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data cleaning pass over the derived corpus:
     exact-dedup (md5 keeper), language filter (en by the heuristic), quality
@@ -1581,9 +1613,27 @@ with v as (
   select vec_id, embedding::DOUBLE[] as e,
          {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
   from embeddings
-), cents as (
+), cents0 as (
   select row_number() over (order by vec_id) - 1 as cell, e as ce, nrm as cnrm
   from (select * from v order by vec_id limit {similarity.IVF_K})
+), assign0 as (
+  select vec_id, cell from (
+    select v.vec_id, c.cell,
+      row_number() over (partition by v.vec_id order by
+        {_SQL_DOT.format(a='c.ce', b='v.e')} / (c.cnrm * v.nrm) desc, c.cell asc) as r
+    from v cross join cents0 c
+  ) where r = 1
+), dim as (
+  -- one Lloyd iteration with EXACT decimal means (bit-identical to Spark)
+  select a.cell, unnest(range(1, len(v.e) + 1)) as i, unnest(v.e) as val
+  from assign0 a join v on a.vec_id = v.vec_id
+), means as (
+  select cell, i, sum(val::DECIMAL(28,12))::DOUBLE / count(*) as m
+  from dim group by 1, 2
+), cents as (
+  select cell, ce, {_SQL_NORM.format(a='ce')} as cnrm from (
+    select cell, list(m order by i) as ce from means group by cell
+  )
 ), assign as (
   select vec_id, cell,
     row_number() over (partition by vec_id order by csim desc, cell asc) as cell_rank
@@ -1749,6 +1799,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_simhash": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "dedup_components": QueryDef(q_dedup_components, SQL_DEDUP_COMPONENTS),
     "traindata_clean_corpus": QueryDef(q_traindata_clean_corpus, SQL_TRAINDATA_CLEAN_CORPUS),
     # similarity search
     "ann_brute_topk": QueryDef(q_ann_brute_topk, SQL_ANN_BRUTE_TOPK),

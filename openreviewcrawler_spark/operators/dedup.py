@@ -18,8 +18,11 @@ DuckDB SQL twin (registered in ``__spark_entry__``):
                      exact Hamming verify. Never all-pairs.
   * n-gram Jaccard — exact pairwise Jaccard, computed by shingle equi-join
                      (inverted-index style), not by pairwise cross join.
-  * embedding cosine near-dup — exact cosine over an ``array<float>`` column
-                     inside label blocks (blocked brute force).
+  * embedding cosine near-dup — candidates from random-hyperplane LSH
+                     signature-band equi-joins (operators/similarity),
+                     exact-cosine verified. Never label-blocked brute force.
+  * connected components — near-dup pairs -> clusters -> canonical keeper
+                     per cluster (min-label propagation to fixpoint).
 
 All hashing is md5-derived (``textstats.hash32_col``) so Spark and DuckDB
 agree bit-for-bit; no Spark-internal murmur3 leaks into results.
@@ -386,4 +389,50 @@ def embedding_near_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFra
             F.round(dot / (F.col("lnorm") * F.col("rnorm")), 3).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(doc_id, component) — connected components over near-dup pairs:
+    component = the MINIMUM doc_id reachable through the dup graph, i.e. the
+    canonical keeper every member deduplicates to. Pairs alone don't answer
+    "which copy do I keep?" on a real corpus — A~B and B~C must collapse to
+    one keeper even when A~C was never emitted.
+
+    Algorithm: min-label propagation to fixpoint. Each iteration is one
+    equi-join (neighbor labels) + one groupBy(min) — all shuffle-on-key,
+    map-side combined; the driver loop runs until the label sum stops
+    changing (labels only ever decrease, so sum-equality IS the fixpoint
+    test, one tiny agg job per iteration). Iteration count = dup-cluster
+    diameter, which hot-bucket-capped LSH keeps small; at 10^10 docs the
+    same loop runs with a checkpoint every few iterations to cut lineage
+    (the standard large/small-star refinement drops in if diameters grow).
+
+    ``edges``: (doc_a, doc_b); ``nodes``: (doc_id) — singleton docs come out
+    as their own component.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("n"), F.col("doc_b").alias("m")
+    ).unionByName(edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("m")))
+    labels = nodes.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
+    prev = None
+    for _ in range(max_iter):
+        labels = labels.persist()
+        chk = labels.agg(F.sum("comp").alias("s"), F.count("*").alias("c")).collect()[0]
+        cur = (chk["s"], chk["c"])
+        if cur == prev:
+            break
+        prev = cur
+        neigh = sym.join(labels, sym["m"] == labels["node"]).select(
+            sym["n"].alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8  # legacy full-signature width (ann_lsh_signature)
+IVF_REFINE = 1  # Lloyd iterations refining the seeded centroids
 LSH_PLANES = 24  # banded retrieval: 3 bands x 8 bits
 LSH_BAND_BITS = 8
 LSH_BANDS = LSH_PLANES // LSH_BAND_BITS
@@ -117,25 +118,67 @@ def brute_topk(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFrame
     )
 
 
-def ivf_centroids(vectors: DataFrame, n_centroids: int = IVF_K) -> DataFrame:
-    """(cell, ce, cnorm) — deterministic seeded coarse quantizer: the first
-    K corpus vectors (by vec_id) ARE the centroids, cell id = their rank.
+def _with_cnorm(cents: DataFrame) -> DataFrame:
+    return cents.withColumn(
+        "cnorm",
+        F.sqrt(F.aggregate(F.col("ce"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
 
-    No floating-point averaging means no cross-engine summation-order risk;
-    a trained k-means would refine these but needs exact-decimal means to
-    stay oracle-comparable. At 100 TB this table is K rows — broadcast.
-    Selection is sort+limit (TakeOrderedAndProject: per-partition top-K,
-    driver merge), NOT a global window over the corpus."""
+
+def ivf_centroids(
+    vectors: DataFrame, n_centroids: int = IVF_K, refine_iters: int = IVF_REFINE
+) -> DataFrame:
+    """(cell, ce, cnorm) — deterministic seeded k-means coarse quantizer.
+
+    Seeds: the first K corpus vectors (by vec_id) — selection is sort+limit
+    (TakeOrderedAndProject: per-partition top-K, driver merge), NOT a global
+    window over the corpus. Then ``refine_iters`` Lloyd iterations: assign
+    every vector to its nearest centroid by cosine, recompute each centroid
+    as the member mean. The mean is computed EXACTLY — per-dimension
+    ``sum(DECIMAL(28,12))`` (associative, order-independent) cast to double,
+    divided by the member count — so Spark and DuckDB produce bit-identical
+    centroids and therefore identical assignments; a naive double-sum mean
+    would flip boundary assignments between engines. Seed cells that lose
+    every member (duplicate seeds) drop out in both engines alike. At 100 TB
+    the centroid table is K rows — broadcast; each Lloyd pass is one
+    broadcast join + two shuffles (assignment window on vec_id, mean
+    groupBy on (cell, dim))."""
     firstk = _as_double(vectors).orderBy(F.asc("vec_id")).limit(n_centroids)
     w = Window.orderBy(F.asc("vec_id"))  # window over K rows only
-    return (
-        firstk.withColumn("rn", F.row_number().over(w))
-        .select(
-            (F.col("rn") - 1).cast("long").alias("cell"),
-            F.col("e").alias("ce"),
-            F.col("norm").alias("cnorm"),
-        )
+    cents = firstk.withColumn("rn", F.row_number().over(w)).select(
+        (F.col("rn") - 1).cast("long").alias("cell"),
+        F.col("e").alias("ce"),
+        F.col("norm").alias("cnorm"),
     )
+    v = _as_double(vectors)
+    for _ in range(refine_iters):
+        scored = v.join(F.broadcast(cents)).select(
+            "vec_id", "cell", _cos("ce", "e", "cnorm", "norm").alias("csim")
+        )
+        aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+        assign = (
+            scored.withColumn("__r", F.row_number().over(aw))
+            .filter(F.col("__r") == 1)
+            .select("vec_id", "cell")
+        )
+        dims = assign.join(v, "vec_id").select(
+            "cell", F.posexplode("e").alias("pos", "val")
+        )
+        means = dims.groupBy("cell", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        cents = _with_cnorm(
+            means.groupBy("cell").agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("ce")
+            )
+        )
+    return cents
 
 
 def ivf_assign(vectors: DataFrame, n_centroids: int = IVF_K,

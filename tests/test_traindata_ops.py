@@ -224,3 +224,16 @@ def test_catalog_matches_duckdb(spark, sf_dir, name):
     sm = sorted(tuple(_norm(r[i]) for i in s_ord) for r in srows)
     dm = sorted(tuple(_norm(r[i]) for i in d_ord) for r in drows)
     assert sm == dm
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A~B, B~C collapse to keeper A even though A~C was never emitted;
+    isolated docs stay their own component."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)],
+                                  "doc_id long")
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.connected_components(edges, nodes).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
