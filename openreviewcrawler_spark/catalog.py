@@ -1462,6 +1462,37 @@ where round({_SQL_DOT.format(a='vl.e', b='vr.e')} / (vl.nrm * vr.nrm), 3) >= 0.9
 """
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def q_traindata_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixer: per-language keep rates (en 50%, de 25%,
+    fr 10%, rest 0) decided by an md5 coin per doc — the reproducible
+    replacement for rand()-based sampling in a pretraining-mix pipeline."""
+    from .operators.textstats import stratified_sample_flag
+
+    corpus = _corpus(spark, sf_dir)
+    return corpus.filter(
+        stratified_sample_flag(F.col("doc_id"), F.col("lang"), SAMPLE_RATES)
+    ).select("doc_id", "lang")
+
+
+def _sql_stratified() -> str:
+    cases = " ".join(
+        f"when lang = '{k}' then {int(round(v * 10000))}"
+        for k, v in sorted(SAMPLE_RATES.items())
+    )
+    coin = _H32.format(x="'samp|' || cast(doc_id as varchar)")
+    return f"""
+with corpus as ({CORPUS_SQL})
+select doc_id, lang from corpus
+where ({coin}) % 10000 < (case {cases} else 0 end)
+"""
+
+
+SQL_TRAINDATA_STRATIFIED_SAMPLE = _sql_stratified()
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH pairs -> connected components -> every
     corpus doc labeled with its canonical keeper (min reachable doc_id).
@@ -1800,6 +1831,9 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_components": QueryDef(q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "traindata_stratified_sample": QueryDef(
+        q_traindata_stratified_sample, SQL_TRAINDATA_STRATIFIED_SAMPLE
+    ),
     "traindata_clean_corpus": QueryDef(q_traindata_clean_corpus, SQL_TRAINDATA_CLEAN_CORPUS),
     # similarity search
     "ann_brute_topk": QueryDef(q_ann_brute_topk, SQL_ANN_BRUTE_TOPK),

@@ -122,3 +122,24 @@ def fingerprint_cols(text: Column) -> dict[str, Column]:
         lambda acc, h: (acc * F.lit(31) + h) % F.lit(2147483647),
     )
     return {"fp_md5": F.md5(norm), "fp_roll": roll}
+
+
+def stratified_sample_flag(
+    doc_id: Column, stratum: Column, rates: dict[str, float],
+    default_rate: float = 0.0, salt: str = "samp",
+) -> Column:
+    """Deterministic per-stratum Bernoulli sampling decision (boolean).
+
+    A pretraining-corpus mixer needs "keep X% of lang A, Y% of lang B"
+    decisions that are REPRODUCIBLE at any parallelism and on re-runs —
+    ``rand()`` is banned engine-wide (SURVEY.md §4). The coin is
+    ``hash32(salt|doc_id) % 10000 < rate * 10000``: md5-derived, so the
+    same doc always gets the same verdict in Spark, DuckDB, or plain
+    Python, and disjoint salts give independent samples. Pure column
+    expression — at 100 TB this is a codegen'd filter with zero shuffle.
+    """
+    coin = hash32_col(F.concat(F.lit(f"{salt}|"), doc_id.cast("string"))) % 10000
+    expr = F.lit(int(round(default_rate * 10000)))
+    for key, rate in sorted(rates.items()):
+        expr = F.when(stratum == key, F.lit(int(round(rate * 10000)))).otherwise(expr)
+    return coin < expr

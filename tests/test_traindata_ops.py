@@ -237,3 +237,24 @@ def test_connected_components_chain_and_singleton(spark):
     comp = {r["doc_id"]: r["component"]
             for r in dedup.connected_components(edges, nodes).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_stratified_sample_deterministic_rates(spark, sf_dir):
+    """md5-coin sampling: reproducible decisions, per-stratum rates near
+    target, disjoint salts give different (independent) samples."""
+    from openreviewcrawler_spark.operators.textstats import stratified_sample_flag
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flag = stratified_sample_flag(F.col("doc_id"), F.col("lang"), {"en": 0.5})
+    kept1 = {r["doc_id"] for r in docs.filter(flag).collect()}
+    kept2 = {r["doc_id"] for r in docs.filter(flag).collect()}
+    assert kept1 == kept2  # same coin every run
+    n_en = docs.filter(F.col("lang") == "en").count()
+    if n_en >= 50:
+        assert 0.35 <= len(kept1) / n_en <= 0.65  # ~50% of en, 0% of rest
+    assert docs.filter(flag & (F.col("lang") != "en")).count() == 0
+    other = stratified_sample_flag(
+        F.col("doc_id"), F.col("lang"), {"en": 0.5}, salt="samp2"
+    )
+    kept3 = {r["doc_id"] for r in docs.filter(other).collect()}
+    assert kept3 != kept1  # independent coin under a different salt
