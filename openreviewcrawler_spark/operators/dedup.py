@@ -418,9 +418,13 @@ def connected_components(
     ).unionByName(edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("m")))
     labels = nodes.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
     prev = None
+    prev_df = None
     for _ in range(max_iter):
         labels = labels.persist()
         chk = labels.agg(F.sum("comp").alias("s"), F.count("*").alias("c")).collect()[0]
+        if prev_df is not None:
+            prev_df.unpersist()  # current labels are materialized; drop the
+        prev_df = labels         # previous iteration's cache
         cur = (chk["s"], chk["c"])
         if cur == prev:
             break
