@@ -104,3 +104,58 @@ def test_finalized_metrics_watermark_semantics(spark, stream_dirs):
         assert sum(r["n_fetched"] for r in rows) == 60
     finally:
         q.stop()
+
+
+def test_stateful_politeness_budget_across_batches(spark, stream_dirs):
+    """applyInPandasWithState per-host budget: at most `budget` URLs ever
+    admitted per host, admit_seq contiguous across micro-batches, state
+    remembered between triggers (an exhausted host admits nothing later)."""
+    import pyspark.sql.functions as F
+
+    from openreviewcrawler_spark.streaming.politeness import admit_stream
+
+    src, out, ckpt = stream_dirs
+
+    def write_cand(lo, hi):
+        df = spark.range(lo, hi).select(
+            F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+            F.concat(F.lit("https://h"), (F.col("id") % 3).cast("string"),
+                     F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
+            (F.col("id") % 7).cast("long").alias("priority"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write_cand(0, 30)  # 10 candidates per host, budget 4 -> 4 admitted each
+    cand = (
+        spark.readStream.schema("host string, url string, priority long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        admit_stream(cand, budget=4)
+        .writeStream.format("parquet")
+        .option("path", f"{out}/admitted")
+        .option("checkpointLocation", f"{ckpt}/admit")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.read.parquet(f"{out}/admitted").collect()
+        by_host = {}
+        for r in got1:
+            by_host.setdefault(r["host"], []).append(r)
+        assert set(by_host) == {"h0", "h1", "h2"}
+        for h, rows in by_host.items():
+            assert len(rows) == 4  # budget enforced
+            assert sorted(r["admit_seq"] for r in rows) == [1, 2, 3, 4]
+            # deterministic choice: lowest (priority, url) first
+            best = min(rows, key=lambda r: r["admit_seq"])
+            assert best["priority"] == min(r["priority"] for r in rows)
+        # batch 2: every host already exhausted -> nothing new admitted
+        write_cand(30, 60)
+        q.processAllAvailable()
+        got2 = spark.read.parquet(f"{out}/admitted").collect()
+        assert len(got2) == len(got1)
+    finally:
+        q.stop()
