@@ -117,6 +117,18 @@ def test_embedding_cosine_plan_is_equi_join_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ann_lsh_topk_retrieval_is_bucket_join(spark, sf_dir):
+    """The ANN answer path must retrieve candidates through the signature
+    bucket join — broadcast/shuffled EQUI joins only, and no join may
+    degrade to a nested-loop scan of the corpus."""
+    from openreviewcrawler_spark.catalog import q_ann_lsh_topk
+
+    plan = plan_of(q_ann_lsh_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # tiny query side broadcast
+
+
 def test_admit_single_shuffle_on_host(spark, sf_dir):
     """Politeness admit = one exchange on host, no extra repartition."""
     from openreviewcrawler_spark.catalog import q_crawl_politeness_admit
