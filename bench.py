@@ -266,10 +266,13 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     # measured efficiency is still below target and budget remains: this
     # host shows intermittent hypervisor CPU steal that otherwise lands
     # arbitrary slowdowns on either level.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "900"))
+    # worst-case wall is driver-budget-bound: typical clean run = one pair
+    # (+ wk) ~6 min; the invariant repair loop replaces blind pair
+    # resampling, so fewer pairs are needed than r1's schedule
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "600"))
     deadline = time.time() + budget
     target = 0.8
-    max_pairs = 5
+    max_pairs = 3
     for i in range(max_pairs):
         # gate: proceed when the envelope supplies at least the hi level
         _wait_quiet_window(cpus_max, min(deadline, time.time() + 180), probes,
@@ -311,7 +314,7 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         return None
 
     repair_deadline = time.time() + float(
-        os.environ.get("SPARK_GRAFT_SCALING_REPAIR", "420")
+        os.environ.get("SPARK_GRAFT_SCALING_REPAIR", "360")
     )
     while "lo" in best and "hi" in best and time.time() < repair_deadline:
         tag = repair_target()
