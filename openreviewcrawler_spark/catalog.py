@@ -1726,9 +1726,17 @@ with v as (
   from embeddings
 ),
 {_sql_lsh_bands_cte('v')},
+hot as (
+  select band, bval from bands group by 1, 2
+  having count(*) > {similarity.MAX_VEC_BUCKET}
+),
+kept as (
+  select b.* from bands b
+  where not exists (select 1 from hot h where h.band = b.band and h.bval = b.bval)
+),
 cand as (
   select distinct q.vec_id as query_id, c.vec_id as cand_id
-  from bands q join bands c on q.band = c.band and q.bval = c.bval
+  from kept q join kept c on q.band = c.band and q.bval = c.bval
   where q.vec_id < 16 and c.vec_id <> q.vec_id
 ), scored as (
   select query_id, cand_id,

@@ -98,7 +98,10 @@ def canonicalize_series(s: "pd.Series") -> "pd.Series":
     north rule sanctions exactly this: URL canonicalization inside
     vectorized pandas/Arrow UDFs, no per-row Python.
     """
-    s2 = s.str.replace(r"#.*$", "", regex=True)
+    # [\s\S] not '.': the strip must truncate at the FIRST '#' even when a
+    # newline follows it (default '.' stops at \n, so 'a#b\nc' kept its
+    # fragment and diverged from the Python twin's url.find('#') semantics)
+    s2 = s.str.replace(r"#[\s\S]*", "", regex=True)
     m = s2.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^#]*)$")
     has = m[0].notna() & m[1].notna() & (m[1] != "")
     scheme = m[0].str.lower()

@@ -393,7 +393,7 @@ def embedding_near_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFra
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 25
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 24
 ) -> DataFrame:
     """(doc_id, component) — connected components over near-dup pairs:
     component = the MINIMUM doc_id reachable through the dup graph, i.e. the
@@ -401,42 +401,90 @@ def connected_components(
     "which copy do I keep?" on a real corpus — A~B and B~C must collapse to
     one keeper even when A~C was never emitted.
 
-    Algorithm: min-label propagation to fixpoint. Each iteration is one
-    equi-join (neighbor labels) + one groupBy(min) — all shuffle-on-key,
-    map-side combined; the driver loop runs until the label sum stops
-    changing (labels only ever decrease, so sum-equality IS the fixpoint
-    test, one tiny agg job per iteration). Iteration count = dup-cluster
-    diameter, which hot-bucket-capped LSH keeps small; at 10^10 docs the
-    same loop runs with a checkpoint every few iterations to cut lineage
-    (the standard large/small-star refinement drops in if diameters grow).
+    Algorithm: min-label propagation to fixpoint, with three disciplines that
+    keep the driver loop honest at 10^10 nodes:
+
+      * **edge-subgraph only.** A node with no incident edge can never change
+        label, so the iteration runs on ``distinct(endpoints(edges))`` — the
+        dup subgraph, typically orders of magnitude smaller than the corpus.
+        Singletons are unioned back as their own component at the end without
+        ever entering a loop shuffle. (The r2 version iterated the FULL node
+        set: every iteration shuffled the whole corpus to move zero labels.)
+      * **probe every 2 iterations, not every one.** Labels only ever
+        decrease, so sum-equality across ANY span is the fixpoint test; the
+        full-cluster driver barrier count halves. The probe materializes via
+        ``localCheckpoint(eager=True)``, which also truncates lineage — the
+        k-th iteration re-plans a ≤2-deep DAG, not a k-deep one.
+      * **edges materialized once.** ``sym`` is persisted before the loop;
+        without it every iteration re-ran the upstream candidate-pair plan
+        (for minhash edges: the full shingle->signature->band-join pipeline
+        per iteration).
+
+    Iteration count = dup-cluster diameter, which hot-bucket-capped LSH keeps
+    small. If ``max_iter`` is exhausted before the fixpoint, a warning is
+    raised and the partial labels are returned — callers that need hard
+    guarantees should raise ``max_iter`` (diameter > 24 implies a dup *chain*
+    of 25+ distinct near-identical docs, which the LSH tiers do not emit in
+    practice); the alternating large-star/small-star contraction is the
+    documented upgrade if real diameters ever grow past that.
 
     ``edges``: (doc_a, doc_b); ``nodes``: (doc_id) — singleton docs come out
     as their own component.
     """
-    sym = edges.select(
-        F.col("doc_a").alias("n"), F.col("doc_b").alias("m")
-    ).unionByName(edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("m")))
-    labels = nodes.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("comp"))
-    prev = None
-    prev_df = None
-    for _ in range(max_iter):
-        labels = labels.persist()
-        chk = labels.agg(F.sum("comp").alias("s"), F.count("*").alias("c")).collect()[0]
-        if prev_df is not None:
-            prev_df.unpersist()  # current labels are materialized; drop the
-        prev_df = labels         # previous iteration's cache
-        cur = (chk["s"], chk["c"])
-        if cur == prev:
+    import warnings
+
+    sym = (
+        edges.select(F.col("doc_a").alias("n"), F.col("doc_b").alias("m"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("m"))
+        )
+        .persist()
+    )
+    # distinct endpoint set: seeds the loop and serves the final singleton
+    # anti-join. Lazy — it reads the cached sym, and the first probe-cycle
+    # checkpoint is the barrier that materializes everything (no separate
+    # endpoints job).
+    endpoints = sym.select(F.col("n").alias("node")).distinct()
+    labels = endpoints.select("node", F.col("node").alias("comp"))
+    prev_sum = None
+    prev_df = labels
+    converged = False
+    probe_every = 3
+    for it in range(0, max_iter, probe_every):
+        for _ in range(probe_every):
+            neigh = sym.join(labels, sym["m"] == labels["node"]).select(
+                sym["n"].alias("node"), F.col("comp")
+            )
+            labels = (
+                labels.unionByName(neigh)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+            )
+        # materialize + cut lineage + fixpoint probe: ONE barrier per
+        # `probe_every` iterations
+        labels = labels.localCheckpoint(eager=True)
+        prev_df.unpersist()
+        prev_df = labels
+        chk = labels.agg(F.sum("comp").alias("s")).collect()[0]
+        if chk["s"] == prev_sum:
+            converged = True
             break
-        prev = cur
-        neigh = sym.join(labels, sym["m"] == labels["node"]).select(
-            sym["n"].alias("node"), F.col("comp")
+        prev_sum = chk["s"]
+    if not converged:
+        warnings.warn(
+            f"connected_components: fixpoint not confirmed within {max_iter} "
+            "iterations; labels may be partial (dup-chain diameter exceeds "
+            "max_iter). Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
         )
-        labels = (
-            labels.unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
+    # snapshot the endpoint set off the still-cached sym (tiny job), then
+    # release the cache — labels are checkpointed, nothing else reads sym
+    endpoints = endpoints.localCheckpoint(eager=True)
+    sym.unpersist()
+    singletons = nodes.join(
+        endpoints.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("component"))
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
-    )
+    ).unionByName(singletons)

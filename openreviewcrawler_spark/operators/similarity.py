@@ -58,8 +58,8 @@ def plane_components(j: int, dim: int = MAX_DIM) -> list[float]:
     return [(_h32(f"p{j}|{i}") % 2000) / 1000.0 - 1.0 for i in range(1, dim + 1)]
 
 
-def _plane_lit(j: int) -> Column:
-    return F.array(*[F.lit(v) for v in plane_components(j)])
+def _plane_lit(j: int, dim: int = MAX_DIM) -> Column:
+    return F.array(*[F.lit(v) for v in plane_components(j, dim)])
 
 
 def _as_double(vectors: DataFrame) -> DataFrame:
@@ -82,11 +82,12 @@ def _cos(l_e: str, r_e: str, l_norm: str, r_norm: str):
     return dot / (F.col(l_norm) * F.col(r_norm))
 
 
-def _plane_dot(e: Column, j: int) -> Column:
+def _plane_dot(e: Column, j: int, dim: int = MAX_DIM) -> Column:
     """e . r_j with the plane as a literal array (sliced to the vector's
-    length; vectors longer than MAX_DIM are unsupported by construction)."""
+    length; pass ``dim`` >= the embedding dimension — plane constants are
+    derived for any requested length, see :func:`plane_components`)."""
     return F.aggregate(
-        F.zip_with(e, F.slice(_plane_lit(j), 1, F.size(e)), lambda x, y: x * y),
+        F.zip_with(e, F.slice(_plane_lit(j, dim), 1, F.size(e)), lambda x, y: x * y),
         F.lit(0.0),
         lambda a, x: a + x,
     )
@@ -182,17 +183,34 @@ def ivf_centroids(
 
 
 def ivf_assign(vectors: DataFrame, n_centroids: int = IVF_K,
-               probe: int = 1) -> DataFrame:
+               probe: int = 1, cents: DataFrame | None = None) -> DataFrame:
     """(vec_id, cell, cell_rank) — each vector's ``probe`` nearest centroids
     by cosine (rank 1 = nearest, ties broken by cell id). probe=1 is the
-    storage assignment; probe>1 is the query-side multi-probe."""
+    storage assignment; probe>1 is the query-side multi-probe.
+
+    ``cents``: precomputed quantizer (from :func:`ivf_centroids`). Callers
+    that assign twice against the same quantizer (storage + probe, as
+    ``ivf_topk`` does) MUST pass it in — otherwise each call re-runs the full
+    Lloyd refinement. probe=1 avoids the per-vector sort entirely: argmax is
+    a ``max(struct(csim, -cell))`` groupBy (map-side partial, one shuffle, no
+    window sort) with the same (csim desc, cell asc) tie-break."""
     v = _as_double(vectors)
-    cents = ivf_centroids(vectors, n_centroids)
+    if cents is None:
+        cents = ivf_centroids(vectors, n_centroids)
     scored = v.join(F.broadcast(cents)).select(
         "vec_id",
         "cell",
         _cos("ce", "e", "cnorm", "norm").alias("csim"),
     )
+    if probe == 1:
+        best = scored.groupBy("vec_id").agg(
+            F.max(F.struct(F.col("csim"), (-F.col("cell")).alias("negc"))).alias("b")
+        )
+        return best.select(
+            "vec_id",
+            (-F.col("b.negc")).cast("long").alias("cell"),
+            F.lit(1).cast("long").alias("cell_rank"),
+        )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
     return (
         scored.withColumn("cell_rank", F.row_number().over(w))
@@ -208,12 +226,22 @@ def ivf_topk(vectors: DataFrame, n_queries: int = 16, k: int = 3,
     probes its ``probe`` nearest cells, so the candidate join is an
     equi-join on cell id (broadcast query side), then exact-cosine verify
     and a per-query window. The real-IVF replacement for the r1 ``label``
-    stand-in quantizer."""
+    stand-in quantizer.
+
+    The quantizer is computed ONCE and checkpointed (K rows): storage and
+    probe assignment reuse the identical materialized centroids — the r2
+    version re-ran the full Lloyd pass (broadcast join + posexplode + two
+    shuffles) for each of the two assigns. The probe side also assigns only
+    the QUERY vectors (filter pushed before the centroid join), not the full
+    corpus."""
     v = _as_double(vectors)
-    storage = ivf_assign(vectors, n_centroids, probe=1)
-    # probe assignments use the same full-corpus centroids, then keep queries
-    qprobe = ivf_assign(vectors, n_centroids, probe=probe).filter(
-        F.col("vec_id") < n_queries
+    # K rows; eager localCheckpoint materializes the Lloyd result and cuts
+    # its lineage so neither assign re-plans the refinement
+    cents = ivf_centroids(vectors, n_centroids).localCheckpoint(eager=True)
+    storage = ivf_assign(vectors, n_centroids, probe=1, cents=cents)
+    qprobe = ivf_assign(
+        vectors.filter(F.col("vec_id") < n_queries), n_centroids, probe=probe,
+        cents=cents,
     )
     cand = (
         qprobe.select(F.col("vec_id").alias("query_id"), "cell")
@@ -263,10 +291,24 @@ def lsh_signatures(vectors: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
 
 
 def lsh_band_values(vectors: DataFrame, n_planes: int = LSH_PLANES,
-                    band_bits: int = LSH_BAND_BITS) -> DataFrame:
+                    band_bits: int = LSH_BAND_BITS,
+                    dim: int = MAX_DIM) -> DataFrame:
     """(vec_id, band, bval) — banded signature for bucket-join retrieval:
     band b packs plane bits [b*band_bits, (b+1)*band_bits). Two vectors are
-    candidates iff some band value matches exactly — an equi-join key."""
+    candidates iff some band value matches exactly — an equi-join key.
+
+    Recall/cost dial (random-hyperplane LSH): a pair at angle theta collides
+    in one band with p = (1 - theta/pi)**band_bits, overall recall
+    ~ 1 - (1-p)**n_bands. The defaults (3 bands x 8 bits) are sized for the
+    low-dim fixture corpus; for production 768-d embeddings hunting
+    cos >= 0.9 (theta ~ 0.45 rad, 1-theta/pi ~ 0.857) use band_bits=12
+    (p ~ 0.157) with n_planes=96 (8 bands -> recall ~ 0.75) or 16 bands
+    (recall ~ 0.94). ``dim`` sizes the literal plane arrays to the embedding
+    dimension — plane constants are md5-derived for ANY (j, i), so a 768-d
+    configuration is `lsh_band_values(v, n_planes=96, band_bits=12, dim=768)`
+    with no code change; at 768 floats x 96 planes the literals are ~74k
+    plan constants, still far below codegen limits because each plane is ONE
+    array literal fed to a fold, not an inlined expression tree."""
     v = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     n_bands = n_planes // band_bits
     band_exprs = []
@@ -274,7 +316,7 @@ def lsh_band_values(vectors: DataFrame, n_planes: int = LSH_PLANES,
         bval = None
         for r in range(band_bits):
             j = b * band_bits + r
-            bit = F.when(_plane_dot(F.col("e"), j) > 0, F.lit(1 << r).cast("long")
+            bit = F.when(_plane_dot(F.col("e"), j, dim) > 0, F.lit(1 << r).cast("long")
                          ).otherwise(F.lit(0).cast("long"))
             bval = bit if bval is None else bval + bit
         band_exprs.append(
@@ -293,15 +335,30 @@ def ann_lsh_topk(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFra
     This is the ANN *answer* path the r1 round left half-built: signature ->
     bucket join -> verify -> top-k, with no brute-force fallback. Queries
     whose buckets contain no other vector return no rows (honest ANN miss).
+
+    Hot-bucket discipline (same cap as every other LSH path here): buckets
+    holding more than MAX_VEC_BUCKET vectors are dropped from BOTH sides
+    before the join — a degenerate band value on a low-entropy corpus would
+    otherwise pull a large corpus fraction into the per-query exact-cosine
+    verify (the quadratic-bucket trap). A query whose every band is hot
+    returns no rows (honest miss, the corpus region is boilerplate-dense);
+    the SQL oracle mirrors the drop.
     """
     v = _as_double(vectors)
     bands = lsh_band_values(vectors)
-    qb = bands.filter(F.col("vec_id") < n_queries).select(
+    hot = (
+        bands.groupBy("band", "bval")
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") > MAX_VEC_BUCKET)
+        .select("band", "bval")
+    )
+    kept = bands.join(F.broadcast(hot), ["band", "bval"], "left_anti")
+    qb = kept.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "band", "bval"
     )
     cand = (
         F.broadcast(qb)
-        .join(bands.select(F.col("vec_id").alias("cand_id"), "band", "bval"),
+        .join(kept.select(F.col("vec_id").alias("cand_id"), "band", "bval"),
               ["band", "bval"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id")

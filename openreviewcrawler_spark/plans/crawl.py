@@ -59,13 +59,16 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     n_buckets: int = 32
     seq_small_threshold: int = 200_000
-    # Map-side fetch threshold: admitted batches at or below this use the
-    # broadcast-semi + map-side-parse path (html never shuffled); larger
-    # batches fall back to a shuffle join. A full inner broadcast of the
-    # batch measured badly (driver relation build serialized); the semi +
-    # small-broadcast pair measured at parity on small inputs and wins as
-    # page payloads grow.
-    broadcast_fetch_threshold: int = 4_000_000
+    # Map-side fetch bound: admitted batches whose ESTIMATED broadcast size
+    # (sum of url bytes + per-row overhead, measured in the same single-
+    # barrier counts job) fits under this use the broadcast-semi +
+    # map-side-parse path (html never shuffled); larger batches fall back to
+    # a shuffle join. A BYTE bound, not a row count (r2 ADVICE): a 4M-row
+    # threshold broadcast several hundred MB of driver/executor relation
+    # regardless of url width — safe on this sandbox's 48g driver, wrong as
+    # a default a real cluster copies. 128 MiB ~ 2x Spark's conservative
+    # autoBroadcastJoinThreshold ceiling and well under executor overhead.
+    broadcast_fetch_max_bytes: int = 128 << 20
 
 
 @dataclass
@@ -127,14 +130,19 @@ def run_round(
     # round-trip is a full-cluster barrier — this is the difference between 1
     # and 3 stalls per scheduling round.
     tagged = (
-        cand.select(F.lit("cand").alias("__k"))
-        .unionByName(denied.select(F.lit("denied").alias("__k")))
-        .unionByName(admitted.select(F.lit("admitted").alias("__k")))
+        cand.select(F.lit("cand").alias("__k"), F.length("url").alias("__b"))
+        .unionByName(denied.select(F.lit("denied").alias("__k"), F.length("url").alias("__b")))
+        .unionByName(admitted.select(F.lit("admitted").alias("__k"), F.length("url").alias("__b")))
     )
-    counts = {r["__k"]: r["n"] for r in tagged.groupBy("__k").agg(F.count("*").alias("n")).collect()}
-    n_candidates = counts.get("cand", 0)
-    n_admitted = counts.get("admitted", 0)
-    n_denied = counts.get("denied", 0)
+    stats = {
+        r["__k"]: (r["n"], r["b"])
+        for r in tagged.groupBy("__k")
+        .agg(F.count("*").alias("n"), F.sum("__b").alias("b"))
+        .collect()
+    }
+    n_candidates = stats.get("cand", (0, 0))[0]
+    n_admitted, admitted_url_bytes = stats.get("admitted", (0, 0))
+    n_denied = stats.get("denied", (0, 0))[0]
     if n_candidates == 0:
         cand.unpersist()
         denied.unpersist()
@@ -163,7 +171,11 @@ def run_round(
     # Column-pruned either way: pages.text is never read (engine recomputes
     # it); only matching rows pull html.
     page_side = pages.select("url", "html", "lang", "warc_ts")
-    if 0 < n_admitted <= cfg.broadcast_fetch_threshold:
+    # estimated broadcast relation size for the stamped batch: url bytes
+    # (the dominant column, measured exactly in the counts job above) plus
+    # ~48 B/row for the four fixed-width scheduling columns + row headers
+    est_broadcast_bytes = (admitted_url_bytes or 0) + 48 * n_admitted
+    if 0 < n_admitted and est_broadcast_bytes <= cfg.broadcast_fetch_max_bytes:
         keep = page_side.join(F.broadcast(stamped.select("url")), "url", "left_semi")
         parsed_raw = extract_batch(
             keep.select(

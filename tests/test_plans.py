@@ -129,6 +129,61 @@ def test_ann_lsh_topk_retrieval_is_bucket_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # tiny query side broadcast
 
 
+def _fetched_plan_for(spark, max_bytes: int) -> str:
+    """One scheduling round over a tiny synthetic frontier with the given
+    fetch-broadcast byte bound; returns the fetched-side physical plan."""
+    from openreviewcrawler_spark.plans.crawl import (
+        CrawlConfig,
+        run_round,
+        seeds_to_frontier,
+    )
+    from openreviewcrawler_spark.sources.bench_data import (
+        synth_pages,
+        synth_robots,
+        synth_seeds,
+        synth_seen,
+    )
+
+    n_pages, n_hosts = 600, 8
+    pages = synth_pages(spark, n_pages, n_hosts)
+    frontier = seeds_to_frontier(synth_seeds(spark, n_pages, n_hosts))
+    seen = synth_seen(spark, n_pages, n_hosts)
+    robots = synth_robots(spark, n_hosts, 8)
+    cfg = CrawlConfig(max_rounds=1, default_budget=8,
+                      broadcast_fetch_max_bytes=max_bytes)
+    r = run_round(spark, pages, frontier, seen, robots, cfg, 1, 0)
+    plan = plan_of(r["fetched"])
+    for df in r["_cached"]:
+        df.unpersist()
+    return plan
+
+
+def test_fetch_broadcast_bound_small_batch_is_map_side(spark):
+    """A batch under the byte bound fetches via broadcast SEMI join — the fat
+    html column is filtered inside the scan stage and never shuffled."""
+    plan = _fetched_plan_for(spark, 128 << 20)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fetch_broadcast_bound_large_batch_falls_back_to_shuffle(spark):
+    """Forcing the estimated batch size over the bound (bound=0) must select
+    the shuffle-join path: no plan-level broadcast HINT on the stamped batch
+    (the r2 row-count threshold would happily hint hundreds of MB). With
+    statistics-based auto-broadcast disabled, a hint-free plan shows a real
+    shuffle join; Catalyst remains free to pick broadcast on its own
+    statistics in production — that's the point of removing the hint."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _fetched_plan_for(spark, 0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "LeftSemi" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
 def test_admit_single_shuffle_on_host(spark, sf_dir):
     """Politeness admit = one exchange on host, no extra repartition."""
     from openreviewcrawler_spark.catalog import q_crawl_politeness_admit

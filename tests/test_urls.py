@@ -32,6 +32,12 @@ DIRTY = [
     # ('%2%65' holds one valid escape '%65'->'e'; the resulting '%2e' stays).
     "notaurl#frag",
     "https://a.example/x%2%6534",
+    # ADVICE r2 regression vector: a newline after '#' — the vectorized strip
+    # must truncate at the FIRST '#' like url.find('#') does, not stop the
+    # regex at the newline (default '.' semantics kept the fragment and the
+    # raw string passed through the scheme-match fallback).
+    "https://h.example/p#frag\nmore",
+    "noscheme#a\nb",
 ]
 
 EXPECTED = {
@@ -47,6 +53,8 @@ EXPECTED = {
     "https://h.example/p/%7e/%2d%2E%5F": "https://h.example/p/~/-._",
     "notaurl#frag": "notaurl",
     "https://a.example/x%2%6534": "https://a.example/x%2e34",
+    "https://h.example/p#frag\nmore": "https://h.example/p",
+    "noscheme#a\nb": "noscheme",
 }
 
 
