@@ -410,11 +410,24 @@ def connected_components(
         Singletons are unioned back as their own component at the end without
         ever entering a loop shuffle. (The r2 version iterated the FULL node
         set: every iteration shuffled the whole corpus to move zero labels.)
-      * **probe every 2 iterations, not every one.** Labels only ever
-        decrease, so sum-equality across ANY span is the fixpoint test; the
-        full-cluster driver barrier count halves. The probe materializes via
-        ``localCheckpoint(eager=True)``, which also truncates lineage — the
-        k-th iteration re-plans a ≤2-deep DAG, not a k-deep one.
+      * **iteration 1 is a plain groupBy, not a join.** From identity labels,
+        one propagation step is ``label(n) = min(n, min(neighbors))`` — sym
+        already holds every (n, neighbor) pair, so the first round needs no
+        labels join at all. For the graphs LSH actually emits this is usually
+        the LAST round too: a verified near-dup cluster is a *clique* (every
+        member pairs with every member), and in a clique one step reaches the
+        global min.
+      * **adaptive probe schedule.** Labels only ever decrease, so
+        sum-equality between consecutive probes is the fixpoint test. The
+        first ``FAST_PROBE_ITERS`` iterations probe EVERY round: while
+        convergence is expected (cliques: round 2 confirms round 1), a probe
+        barrier is far cheaper than the extra full-subgraph propagation
+        rounds a sparse probe schedule runs past the fixpoint — the r2
+        1-per-3 schedule saved 1 barrier but paid 3 wasted join rounds on
+        already-converged labels. Past that, deep-chain graphs probe 1-per-3
+        (barrier count stops tracking diameter). Every probe rides a
+        ``localCheckpoint(eager=True)`` that also truncates lineage, so
+        iteration k re-plans a ≤3-deep DAG, not a k-deep one.
       * **edges materialized once.** ``sym`` is persisted before the loop;
         without it every iteration re-ran the upstream candidate-pair plan
         (for minhash edges: the full shingle->signature->band-join pipeline
@@ -433,6 +446,9 @@ def connected_components(
     """
     import warnings
 
+    FAST_PROBE_ITERS = 4  # probe every round while convergence is expected
+    SLOW_PROBE_EVERY = 3  # then 1 barrier per 3 rounds on deep-chain graphs
+
     sym = (
         edges.select(F.col("doc_a").alias("n"), F.col("doc_b").alias("m"))
         .unionByName(
@@ -440,18 +456,22 @@ def connected_components(
         )
         .persist()
     )
-    # distinct endpoint set: seeds the loop and serves the final singleton
-    # anti-join. Lazy — it reads the cached sym, and the first probe-cycle
-    # checkpoint is the barrier that materializes everything (no separate
-    # endpoints job).
-    endpoints = sym.select(F.col("n").alias("node")).distinct()
-    labels = endpoints.select("node", F.col("node").alias("comp"))
-    prev_sum = None
+    # iteration 1 fused into the seed: min(n, min over direct neighbors) is
+    # exactly one propagation step from identity labels, and needs only a
+    # groupBy on the cached edges (no labels join). Also materializes sym.
+    labels = (
+        sym.groupBy("n")
+        .agg(F.min("m").alias("__mm"))
+        .select(F.col("n").alias("node"), F.least("n", "__mm").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
     prev_df = labels
     converged = False
-    probe_every = 3
-    for it in range(0, max_iter, probe_every):
-        for _ in range(probe_every):
+    it = 1
+    while it < max_iter:
+        span = 1 if it < FAST_PROBE_ITERS else SLOW_PROBE_EVERY
+        for _ in range(span):
             neigh = sym.join(labels, sym["m"] == labels["node"]).select(
                 sym["n"].alias("node"), F.col("comp")
             )
@@ -460,16 +480,16 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("comp").alias("comp"))
             )
-        # materialize + cut lineage + fixpoint probe: ONE barrier per
-        # `probe_every` iterations
+            it += 1
+        # materialize + cut lineage + fixpoint probe in one barrier
         labels = labels.localCheckpoint(eager=True)
         prev_df.unpersist()
         prev_df = labels
-        chk = labels.agg(F.sum("comp").alias("s")).collect()[0]
-        if chk["s"] == prev_sum:
+        s = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+        if s == prev_sum:
             converged = True
             break
-        prev_sum = chk["s"]
+        prev_sum = s
     if not converged:
         warnings.warn(
             f"connected_components: fixpoint not confirmed within {max_iter} "
@@ -478,12 +498,12 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    # snapshot the endpoint set off the still-cached sym (tiny job), then
-    # release the cache — labels are checkpointed, nothing else reads sym
-    endpoints = endpoints.localCheckpoint(eager=True)
+    # the endpoint set IS labels' key set (every edge endpoint got a label in
+    # the fused first iteration), and labels are checkpointed — the singleton
+    # anti-join reads them without touching sym again
     sym.unpersist()
     singletons = nodes.join(
-        endpoints.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+        labels.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
     ).select("doc_id", F.col("doc_id").alias("component"))
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")

@@ -159,3 +159,65 @@ def test_stateful_politeness_budget_across_batches(spark, stream_dirs):
         assert len(got2) == len(got1)
     finally:
         q.stop()
+
+
+def test_stateful_politeness_ttl_evicts_idle_hosts(spark, stream_dirs):
+    """state_ttl_ms bounds the state store: a host idle past the TTL in
+    EVENT time is evicted when the watermark passes its timer, and if it
+    reappears later it gets a FRESH budget with admit_seq restarting at 1 —
+    the documented rate-per-politeness-window semantics. Without eviction,
+    the r2 NoTimeout state grew with every host ever seen.
+
+    Event-time eviction is fully deterministic: no sleeps — phases advance
+    the watermark by writing candidates with later discovery timestamps, and
+    every replay evicts the same hosts at the same stream positions.
+    Sequential ``availableNow`` runs share one checkpoint (state AND timers
+    persist across restarts); ProcessingTimeTimeout is unusable here — the
+    engine re-runs no-data batches unconditionally while any wall-clock
+    timer exists, so such a query never terminates (see politeness.py)."""
+    import pyspark.sql.functions as F
+
+    from openreviewcrawler_spark.streaming.politeness import admit_stream
+
+    src, out, ckpt = stream_dirs
+
+    def write_host(host, lo, hi, ts_s):
+        spark.range(lo, hi).select(
+            F.lit(host).alias("host"),
+            F.concat(F.lit(f"https://{host}.example/p/"),
+                     F.col("id").cast("string")).alias("url"),
+            F.col("id").cast("long").alias("priority"),
+            F.timestamp_seconds(F.lit(ts_s)).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        cand = spark.readStream.schema(
+            "host string, url string, priority long, ts timestamp"
+        ).parquet(src)
+        q = (
+            admit_stream(cand, budget=2, state_ttl_ms=5_000)
+            .writeStream.format("parquet")
+            .option("path", f"{out}/admitted")
+            .option("checkpointLocation", f"{ckpt}/admit")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow run did not finish"
+
+    t0 = 1_000_000  # arbitrary event-time epoch base (seconds)
+    write_host("h0", 0, 5, t0)  # budget 2 -> admits p/0, p/1 (seq 1, 2)
+    run_once()
+    assert spark.read.parquet(f"{out}/admitted").filter("host='h0'").count() == 2
+    # h1 discovery 10 s later pushes the watermark past h0's t0+5s timer ->
+    # h0 evicted in that run's timeout sweep
+    write_host("h1", 0, 1, t0 + 10)
+    run_once()
+    # h0 returns after eviction: fresh budget, admit_seq restarts at 1
+    write_host("h0", 10, 15, t0 + 20)
+    run_once()
+    h0 = spark.read.parquet(f"{out}/admitted").filter("host='h0'").collect()
+    assert len(h0) == 4  # 2 before eviction + 2 after
+    assert sorted(r["admit_seq"] for r in h0) == [1, 1, 2, 2]
+    late = {r["url"]: r["admit_seq"] for r in h0 if r["url"].endswith(("/10", "/11"))}
+    assert sorted(late.values()) == [1, 2]

@@ -121,6 +121,45 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@3 {recall:.2f} vs brute force"
 
 
+def test_lsh_topk_recall_against_brute_force_on_near_dups(spark, sf_dir):
+    """VERDICT r2 item 5 gate: ann_lsh_topk vs brute_topk recall@1 on a
+    corpus that actually CONTAINS near-neighbors (each query gets a
+    deterministic ~0.99-cos perturbed copy; random sf embeddings alone have
+    no high-cos pairs, top-1 cos ~0.37). At cos ~0.99 the per-band collision
+    probability is ~(1-theta/pi)^8 ~ 0.7, so 3 bands give ~0.97 expected
+    recall — assert a conservative 0.8."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    near = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.15) * (i == 0).cast("double")),
+        ).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(near)
+    brute1 = {r["query_id"]: r["cand_id"]
+              for r in similarity.brute_topk(corpus, n_queries=16, k=1).collect()}
+    lsh = similarity.ann_lsh_topk(corpus, n_queries=16, k=1).collect()
+    lsh1 = {r["query_id"]: r["cand_id"] for r in lsh if r["rank"] == 1}
+    hits = sum(1 for q, c in brute1.items() if lsh1.get(q) == c)
+    recall = hits / len(brute1)
+    assert recall >= 0.8, f"LSH recall@1 {recall:.2f} vs brute force"
+
+
+def test_lsh_plane_dial_parameterized_by_dim():
+    """The 768-d configuration documented in lsh_band_values must be
+    constructible: plane constants derive for any (plane, dim) with the
+    fixture prefix preserved (a dim extension never changes existing
+    components, so low-dim signatures are stable under reconfiguration)."""
+    p64 = similarity.plane_components(3, 64)
+    p768 = similarity.plane_components(3, 768)
+    assert len(p64) == 64 and len(p768) == 768
+    assert p768[:64] == p64  # prefix-stable
+    assert all(-1.0 <= v < 1.0 for v in p768)
+    assert similarity.plane_components(3, 768) == p768  # deterministic
+
+
 def test_lsh_topk_finds_duplicates(spark, sf_dir):
     """LSH retrieval guarantee: a query with an exact duplicate in the corpus
     ALWAYS retrieves it at rank 1 / cos 1.0 (identical vector -> identical
@@ -237,6 +276,26 @@ def test_connected_components_chain_and_singleton(spark):
     comp = {r["doc_id"]: r["component"]
             for r in dedup.connected_components(edges, nodes).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_deep_chain_past_fast_probes(spark):
+    """A path graph of diameter 12 converges past the fast-probe phase
+    (the adaptive schedule switches to 1-probe-per-3-iterations after
+    iteration 4) with no warning; diameter past max_iter warns and returns
+    partial labels."""
+    import warnings
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        comp = {r["doc_id"]: r["component"]
+                for r in dedup.connected_components(edges, nodes).collect()}
+    assert comp == {i: 0 for i in range(13)}
+    with pytest.warns(RuntimeWarning, match="fixpoint not confirmed"):
+        dedup.connected_components(edges, nodes, max_iter=3).collect()
 
 
 def test_stratified_sample_deterministic_rates(spark, sf_dir):
