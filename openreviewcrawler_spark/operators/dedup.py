@@ -449,11 +449,21 @@ def connected_components(
     FAST_PROBE_ITERS = 4  # probe every round while convergence is expected
     SLOW_PROBE_EVERY = 3  # then 1 barrier per 3 rounds on deep-chain graphs
 
+    # both directions from ONE pass over edges: a union of two selects over
+    # `edges` embeds the upstream candidate-pair plan twice and Spark runs
+    # it twice in the materialization job (measured: the minhash pipeline is
+    # ~3 s at sf0.1 and dominated this operator's cost); the explode emits
+    # (n,m) and (m,n) per input row with a single upstream evaluation.
     sym = (
-        edges.select(F.col("doc_a").alias("n"), F.col("doc_b").alias("m"))
-        .unionByName(
-            edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("m"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("n"), F.col("doc_b").alias("m")),
+                    F.struct(F.col("doc_b").alias("n"), F.col("doc_a").alias("m")),
+                )
+            ).alias("e")
         )
+        .select("e.n", "e.m")
         .persist()
     )
     # iteration 1 fused into the seed: min(n, min over direct neighbors) is
