@@ -137,19 +137,27 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
     """
     sig = minhash_signatures(corpus)
     rows_per_band = N_MINHASH // N_BANDS
-    bands = []
+    band_structs = []
     for b in range(N_BANDS):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws("/", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
             )
         )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    # all B band rows from ONE signature evaluation (a B-way union of selects
+    # over `sig` embeds — and runs — the shingle->signature pipeline B times),
+    # then pin the tiny banded table (B rows/doc): the bucket-size scan, the
+    # hot-bucket anti-join and both self-join sides all read the cache
+    # instead of re-running the signature job. Materializing signatures is
+    # also the 100 TB-scale shape — the corpus-sized shingle explode runs
+    # exactly once.
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .persist()
+    )
     bucket_sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("__bn"))
     banded = banded.join(
         F.broadcast(bucket_sizes.filter(F.col("__bn") > MAX_BUCKET)),
@@ -232,7 +240,10 @@ def simhash_near_pairs(
     boilerplate) are dropped before the join, same discipline and cap as the
     MinHash-LSH tier; the SQL oracle mirrors the drop.
     """
-    bands = simhash_band_values(corpus)
+    # pin the band table (4 rows/doc): `wide`, the hot-bucket scan and the
+    # kept anti-join otherwise each re-run the token-explode + 64-vote
+    # aggregation (the expensive stage); one evaluation, three cache reads.
+    bands = simhash_band_values(corpus).persist()
     wide = bands.groupBy("doc_id").agg(
         *[
             F.max(F.when(F.col("band") == b, F.col("bval"))).alias(f"b{b}")
@@ -291,7 +302,12 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     without the cap). Jaccard is computed over the *kept* shingle sets on
     both sides, so the SQL oracle and near-dup semantics stay consistent.
     """
-    sh_all = shingles_df(corpus)
+    # pin the exploded shingle table — the document-frequency scan, the
+    # size aggregation and both inverted-index join sides otherwise each
+    # re-run tokenize + slice-zip + explode over the corpus. The inverted
+    # index IS this operator's core data structure; materializing it once is
+    # the scale shape too (MEMORY_AND_DISK spills past executor memory).
+    sh_all = shingles_df(corpus).persist()
     hot = (
         sh_all.groupBy("shingle")
         .agg(F.count("*").alias("__df"))
@@ -352,7 +368,10 @@ def embedding_near_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFra
         "norm",
         F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)),
     )
-    bands = lsh_band_values(vectors)
+    # pin the band signatures (3 rows/vector): the hot-bucket scan and the
+    # anti-joined self-join sides otherwise each re-run the 24 plane-dot
+    # folds per vector (the expensive stage of this plan).
+    bands = lsh_band_values(vectors).persist()
     hot = (
         bands.groupBy("band", "bval")
         .agg(F.count("*").alias("__bn"))

@@ -345,7 +345,10 @@ def ann_lsh_topk(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFra
     the SQL oracle mirrors the drop.
     """
     v = _as_double(vectors)
-    bands = lsh_band_values(vectors)
+    # pin the band signatures: the hot-bucket scan, the query-side filter
+    # and the corpus side of the bucket join otherwise each re-run the
+    # 24 plane-dot folds per vector.
+    bands = lsh_band_values(vectors).persist()
     hot = (
         bands.groupBy("band", "bval")
         .agg(F.count("*").alias("__bn"))
