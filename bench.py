@@ -76,6 +76,13 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         _materialize(CATALOG[name].build(spark, sf_dir))  # per-plan warmup
         best = None
         for _ in range(2):  # min-of-2: a hypervisor steal spike in one rep
+            # drop cached intermediates: CacheManager matches persisted plans
+            # by canonicalized form, so a re-built identical query would
+            # silently reuse the previous rep's signature/band caches and the
+            # timed rep would measure only post-cache stages. Each rep must
+            # pay its own materialization — that is the per-round cost on
+            # fresh crawl data.
+            spark.catalog.clearCache()
             t0 = time.time()  # otherwise lands arbitrary 5-20 s on one query
             _materialize(CATALOG[name].build(spark, sf_dir))
             dt = time.time() - t0

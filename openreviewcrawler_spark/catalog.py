@@ -237,6 +237,86 @@ where not (r.disallow is not null and starts_with(u.path, r.disallow[1]))
 """
 
 
+#: deterministic robots.txt body per host — shared verbatim by both engines
+#: (the parser under test is not shared). Exercises: non-star blocks,
+#: maximal User-agent runs (aux + * = one header), comment-only and blank
+#: lines, trailing comments, empty Disallow values, hosts with no applicable
+#: block, Allow lines (ignored by the simplified grammar), crawl-delay.
+_ROBOTS_BODY_EXPR = """concat_ws(chr(10),
+ 'User-agent: googlebot',
+ 'Disallow: /secret',
+ '',
+ case when doc_id % 4 = 0 then 'User-agent: aux' else '# lead comment' end,
+ case when doc_id % 7 <> 3 then 'User-agent: *' else 'User-agent: other' end,
+ 'Disallow: /tmp  # trailing comment',
+ case when doc_id % 3 = 1 then 'Disallow:'
+      else concat('Disallow: /p', cast(doc_id % 5 as varchar(10))) end,
+ concat('Crawl-delay: ', cast(doc_id % 5 + 1 as varchar(10))),
+ 'Allow: /public')"""
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/north-rule — parse raw robots.txt bodies into the broadcastable
+    host->rule map (operators/robots.parse_robots): line split, comment
+    strip, User-agent block tracking (one window per host), directive
+    aggregation — all JVM column expressions. The oracle re-implements the
+    grammar independently in SQL."""
+    from .operators.robots import parse_robots
+
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+            F.expr(_ROBOTS_BODY_EXPR).alias("body"),
+        )
+    )
+    return parse_robots(bodies).select("host", "disallow_prefix", "crawl_delay_s")
+
+
+SQL_ROBOTS_PARSE = f"""
+with bodies as (
+  select 'h' || cast(doc_id as varchar(30)) as host, {_ROBOTS_BODY_EXPR} as body
+  from documents where doc_id < 20
+), ls as (
+  select host, string_split(body, chr(10)) as l from bodies
+), lines as (
+  select host, unnest(range(1, len(l) + 1)) as idx, unnest(l) as raw from ls
+), cleaned as (
+  select host, idx, trim(regexp_replace(raw, '#.*$', '')) as line from lines
+), parsed as (
+  select host, idx,
+         lower(trim(split_part(line, ':', 1))) as key,
+         trim(substring(line, strpos(line, ':') + 1, length(line))) as val
+  from cleaned where strpos(line, ':') > 0
+), lagged as (
+  select *, coalesce(lag(key) over (partition by host order by idx), '') as prev_key
+  from parsed
+), blocked as (
+  select *, sum(case when key = 'user-agent' and prev_key <> 'user-agent'
+                     then 1 else 0 end)
+            over (partition by host order by idx) as block
+  from lagged
+), star as (
+  select distinct host, block from blocked where key = 'user-agent' and val = '*'
+), rules as (
+  select b.* from blocked b join star s using (host, block)
+  where b.key <> 'user-agent'
+), agg as (
+  select host,
+         list_sort(list_distinct(
+           list(val) filter (where key = 'disallow' and val <> ''))) as dp,
+         arg_max(try_cast(val as double), idx)
+           filter (where key = 'crawl-delay') as cd
+  from rules group by host
+)
+select b.host,
+       coalesce(a.dp, []) as disallow_prefix,
+       a.cd as crawl_delay_s
+from (select distinct host from bodies) b left join agg a using (host)
+"""
+
+
 def q_crawl_politeness_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/T1 — per-host priority top-k admission (politeness), budget 5."""
     u = _urlset(spark, sf_dir).select("url", "host", "seed_index", "depth")
@@ -1866,6 +1946,7 @@ CATALOG: dict[str, QueryDef] = {
     "crawl_seed_dedup": QueryDef(q_crawl_seed_dedup, SQL_CRAWL_SEED_DEDUP),
     "crawl_seen_filter": QueryDef(q_crawl_seen_filter, SQL_CRAWL_SEEN_FILTER),
     "crawl_robots_filter": QueryDef(q_crawl_robots_filter, SQL_CRAWL_ROBOTS_FILTER),
+    "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "crawl_politeness_admit": QueryDef(q_crawl_politeness_admit, SQL_CRAWL_POLITENESS_ADMIT),
     "crawl_politeness_admit_salted": QueryDef(
         q_crawl_politeness_admit_salted, SQL_CRAWL_POLITENESS_ADMIT

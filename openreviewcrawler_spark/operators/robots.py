@@ -13,7 +13,7 @@ fully JVM-side, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.urls import path_col
@@ -86,3 +86,96 @@ def is_disallowed_py(path: str, disallow_prefix: list[str] | None) -> bool:
     if not disallow_prefix:
         return False
     return any(path.startswith(p) for p in disallow_prefix)
+
+
+def parse_robots(bodies: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """(host, disallow_prefix, crawl_delay_s) — parse raw robots.txt bodies
+    into the rule-table schema ``apply_robots`` broadcasts (north rule: the
+    host->rule map is *derived from fetched robots.txt*, not handed in).
+
+    Pure column expressions end to end — line split, comment strip, block
+    tracking and directive extraction are all JVM-side (posexplode + one
+    window per host ordered by line index); nothing row-at-a-time.
+
+    Simplified-but-standard grammar (documented deviation from the full
+    RFC 9309 longest-match model, which needs per-URL rule resolution):
+
+      * lines split on \\n; ``#`` comments stripped; surrounding blanks
+        trimmed; directive keys case-insensitive.
+      * a *block header* is a maximal run of consecutive ``User-agent:``
+        lines; the block's rules apply to us iff any header line names
+        ``*`` (we crawl as the generic agent).
+      * inside an applicable block, non-empty ``Disallow:`` values collect
+        into ``disallow_prefix`` (sorted, distinct) and the last
+        ``Crawl-delay:`` value (numeric) becomes ``crawl_delay_s``.
+      * hosts whose body yields no applicable rules still emit a row with
+        an empty prefix array (fully allowed), matching a missing rule row.
+
+    Scale shape: robots bodies are small (<500 KB by convention) and one
+    per host — the explode produces O(lines-per-host) rows shuffled once on
+    host for the block window; output is the tiny dimension table the
+    scheduling round broadcasts.
+    """
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("idx", "raw"),
+    ).select(
+        "host",
+        "idx",
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "host",
+        "idx",
+        F.lower(F.trim(F.substring_index(F.col("line"), ":", 1))).alias("key"),
+        F.trim(
+            F.expr("substring(line, instr(line, ':') + 1, length(line))")
+        ).alias("val"),
+        (F.instr(F.col("line"), ":") > 0).alias("has_colon"),
+    ).filter(F.col("has_colon"))
+    is_ua = F.col("key") == "user-agent"
+    w = Window.partitionBy("host").orderBy("idx")
+    # block id: increments at each UA line that does NOT directly follow
+    # another UA line (a maximal UA run is ONE header)
+    blocked = parsed.withColumn(
+        "__new_block",
+        (is_ua & ~F.coalesce(F.lag(is_ua.cast("boolean")).over(w), F.lit(False)))
+        .cast("int"),
+    ).withColumn("block", F.sum("__new_block").over(w))
+    # a block applies iff any of its header UA lines names '*'
+    star_blocks = (
+        blocked.filter(is_ua & (F.col("val") == "*"))
+        .select("host", "block")
+        .distinct()
+    )
+    rules = blocked.join(star_blocks, ["host", "block"], "left_semi").filter(~is_ua)
+    agg = rules.groupBy("host").agg(
+        F.sort_array(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        (F.col("key") == "disallow") & (F.col("val") != ""),
+                        F.col("val"),
+                    )
+                )
+            )
+        ).alias("disallow_prefix"),
+        F.expr(
+            "max_by(case when key = 'crawl-delay' then try_cast(val as double) end,"
+            " case when key = 'crawl-delay' then idx end)"
+        ).alias("crawl_delay_s"),
+    )
+    # hosts with a body but no applicable block: fully-allowed row
+    return (
+        bodies.select(F.col(host_col).alias("host"))
+        .distinct()
+        .join(agg, "host", "left")
+        .select(
+            "host",
+            F.coalesce("disallow_prefix", F.array().cast("array<string>")).alias(
+                "disallow_prefix"
+            ),
+            "crawl_delay_s",
+        )
+    )
