@@ -247,9 +247,11 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
            "n_pages": n_pages}
     out.update(env)
     fps = {}
-    best = {}
+    best = {}  # min over CLEAN samples (post-probe confirmed the envelope)
+    best_any = {}  # min over all samples, fallback if no clean one lands
     probes: list[dict] = []
     samples: dict[str, int] = {}  # how many subprocess runs each level got
+    dirty: dict[str, int] = {}  # samples discarded by the post-probe gate
 
     def run_phase(tag: str, k: int, n: int) -> None:
         samples[tag] = samples.get(tag, 0) + 1
@@ -265,8 +267,22 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
             r = json.loads(lines[-1])
         except (subprocess.TimeoutExpired, json.JSONDecodeError):
             return
-        if tag not in best or r["sec"] < best[tag]["sec"]:
+        # bracket the sample: the pre-probe gated entry, the post-probe
+        # certifies the window HELD through the measurement. A steal burst
+        # that starts mid-phase passes the entry gate and silently poisons
+        # the sample (observed: hi at 8 cores "slower" in absolute time than
+        # the 4x-input weak phase at the same cores — impossible unless the
+        # host was capped during hi). Dirty samples only stand in if the
+        # whole budget produces no clean one, and the artifact says so.
+        post = host_cpu_probe(cpus_max)
+        probes.append(post)
+        clean = post["effective_parallelism"] >= k
+        if not clean:
+            dirty[tag] = dirty.get(tag, 0) + 1
+        if clean and (tag not in best or r["sec"] < best[tag]["sec"]):
             best[tag] = r
+        if tag not in best_any or r["sec"] < best_any[tag]["sec"]:
+            best_any[tag] = r
         fps[tag] = r["fp"]  # fp is input-determined, identical across reps
 
     def strong_eff() -> float | None:
@@ -318,6 +334,13 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     def repair_target() -> str | None:
         if "hi" in best and "lo" in best and ups("hi") < ups("lo"):
             return "hi"
+        # hi taking LONGER in absolute time than the weak phase (4x the
+        # input at the SAME cores) is physically impossible — hi is the
+        # poisoned level, not wk (observed r3: hi 8-core 60 s vs wk 8-core
+        # 4x-input 34 s; without this rule the eff<target branch resampled
+        # hi but the wk rule above never could have fired)
+        if "wk" in best and "hi" in best and best["hi"]["sec"] > best["wk"]["sec"]:
+            return "hi"
         if "wk" in best and "hi" in best and ups("wk") < ups("hi"):
             return "wk"
         e = strong_eff()
@@ -341,6 +364,14 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
                            probes, min_eff_frac=cpus_hi / cpus_max)
         n = n_pages if tag != "wk" else min(n_pages * ratio, 4_000_000)
         run_phase(tag, cpus_hi, n)
+    # dirty fallback: a level whose every sample failed the post-probe gate
+    # still reports its best time, flagged — better an honest number marked
+    # "measured under a cap" than an incomplete artifact
+    out["levels_from_dirty_samples"] = sorted(
+        t for t in best_any if t not in best
+    )
+    for tag, r in best_any.items():
+        best.setdefault(tag, r)
     if "lo" not in best or "hi" not in best:
         out["error"] = "scaling phases incomplete (subprocess failures)"
         return out
@@ -365,6 +396,7 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     out["scaling_efficiency"] = out["scaling_efficiency_strong"]
     out["headline_source"] = "strong"
     out["phase_samples"] = samples  # audit: resamples per level (steal repair)
+    out["dirty_samples"] = dirty  # samples rejected by the post-probe gate
     out["quiet_window_probes"] = probes[-min(len(probes), 8):]
     return out
 

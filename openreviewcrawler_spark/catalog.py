@@ -468,6 +468,39 @@ from documents group by 1
 """
 
 
+#: deterministic synthetic link graph over 100 nodes (shared verbatim by
+#: both engines; the ranker under test is not shared)
+_RANK_EDGES_CTE = (
+    "select (doc_id % 100) as src, ((doc_id * 7 + 3) % 100) as dst"
+    " from documents where (doc_id % 100) <> ((doc_id * 7 + 3) % 100)"
+)
+_RANK_NODES_CTE = "select distinct (doc_id % 100) as node from documents"
+
+
+def q_frontier_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization by link evidence — fixed-iteration PageRank
+    (operators/rank.link_rank, 3 synchronous iterations, decimal-exact
+    sums). The oracle is the identical recurrence unrolled as SQL CTE
+    layers; ranks are bit-identical through every iteration (float parity
+    recipe), rounded once at the end."""
+    from .operators.rank import link_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    nodes = docs.select((F.col("doc_id") % 100).alias("node")).distinct()
+    out = link_rank(edges, nodes)
+    return out.select(F.col("node").cast("long").alias("node"), "rank")
+
+
+def _sql_frontier_link_rank() -> str:
+    from .operators.rank import link_rank_sql
+
+    return link_rank_sql(_RANK_EDGES_CTE, _RANK_NODES_CTE)
+
+
 def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: one full scheduling round — canonicalize -> seen anti-join ->
     robots filter + budgets -> per-host priority admit -> deterministic
@@ -1956,6 +1989,7 @@ CATALOG: dict[str, QueryDef] = {
     "crawl_frontier_merge": QueryDef(q_crawl_frontier_merge, SQL_CRAWL_FRONTIER_MERGE),
     "crawl_host_rollup": QueryDef(q_crawl_host_rollup, SQL_CRAWL_HOST_ROLLUP),
     "crawl_round": QueryDef(q_crawl_round, SQL_CRAWL_ROUND),
+    "frontier_link_rank": QueryDef(q_frontier_link_rank, _sql_frontier_link_rank()),
     # OpenReview analytics parity
     "note_type_classify": QueryDef(q_note_type_classify, SQL_NOTE_TYPE_CLASSIFY),
     "label_cascade": QueryDef(q_label_cascade, SQL_LABEL_CASCADE),
