@@ -180,16 +180,18 @@ def crawl_phase_main(cores: int, n_pages: int, n_hosts: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warmup at full size (python workers, codegen for the same plan
-    # literals, JIT); then min over up to 3 reps inside a 90 s budget — the
-    # least-interference estimator under the steal spikes described above.
+    # literals, JIT); then min over up to 3 reps — at least TWO always run
+    # (a min-of-1 level under the host's one-sided steal noise can only be
+    # inflated, which for the lo level would inflate the efficiency ratio;
+    # two reps give min() something to reject), the 3rd only inside budget.
     crawl_round_bench(spark, n_pages, n_hosts)
     best = None
     t_budget = time.time() + 45
-    for _ in range(3):
+    for rep in range(3):
         sec, n, fp = crawl_round_bench(spark, n_pages, n_hosts)
         if best is None or sec < best[0]:
             best = (sec, n, fp)
-        if time.time() > t_budget:
+        if rep >= 1 and time.time() > t_budget:
             break
     print(json.dumps({"sec": best[0], "n": best[1], "fp": best[2]}))
 
@@ -313,7 +315,7 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         run_phase("lo", cpus_lo, n_pages)
         run_phase("hi", cpus_hi, n_pages)
         if i == 0:
-            run_phase("wk", cpus_hi, min(n_pages * ratio, 4_000_000))
+            run_phase("wk", cpus_hi, min(n_pages * ratio, 12_000_000))
         e = strong_eff()
         if e is not None and e >= target:
             break
@@ -362,7 +364,7 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
             break
         _wait_quiet_window(cpus_max, min(repair_deadline, time.time() + 120),
                            probes, min_eff_frac=cpus_hi / cpus_max)
-        n = n_pages if tag != "wk" else min(n_pages * ratio, 4_000_000)
+        n = n_pages if tag != "wk" else min(n_pages * ratio, 12_000_000)
         run_phase(tag, cpus_hi, n)
     # dirty fallback: a level whose every sample failed the post-probe gate
     # still reports its best time, flagged — better an honest number marked
@@ -436,11 +438,16 @@ def host_cpu_probe(cpus: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # 2M default: at 1M the hi level finishes in <10 s and fixed per-round
-    # cost (job scheduling, Python worker spin-up, barriers) dominates the
-    # strong-scaling ratio; 2M pushes the lo level to ~45 s so the pair
-    # measures throughput, not floor.
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+    # 5M default, sized from a measured per-round cost model (r3):
+    # T(cores, pages) ~ S + (P + a*pages)/cores with S~5 s serial driver
+    # cost (barriers, broadcast builds, job scheduling), P~47 s
+    # parallelizable fixed work (the politeness-budget-capped ~196k-page
+    # fetch+parse is constant regardless of frontier size), a~23 s per M
+    # pages of scheduling work. At 2M the serial floor caps strong 2->8
+    # efficiency at ~0.77 BY CONSTRUCTION (measured = model); at 5M the
+    # model gives ~0.85 — the input must be big enough that throughput,
+    # not the per-round floor, is what the ratio measures.
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "5000000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 

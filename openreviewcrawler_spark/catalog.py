@@ -356,6 +356,60 @@ def q_crawl_politeness_admit_salted(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_crawl_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness scheduling — per-host capped oldest-first refresh queue
+    (operators/scheduler.recrawl_due; composes with the deletable cuckoo
+    seen tier, tests/test_cuckoo.py). current_round=10, interval=4, cap=3."""
+    from .operators.scheduler import recrawl_due
+
+    fetched = _urlset(spark, sf_dir).select(
+        "url", "host", (F.col("doc_id") % 10).cast("int").alias("round")
+    )
+    out = recrawl_due(fetched, current_round=10, interval=4, per_host_cap=3)
+    return out.select(
+        "url",
+        "host",
+        F.col("last_round").cast("long").alias("last_round"),
+        F.col("age").cast("long").alias("age"),
+        F.col("refresh_rank").cast("long").alias("refresh_rank"),
+    )
+
+
+SQL_CRAWL_RECRAWL_DUE = f"""
+with f as (
+  select {CANON_URL_EXPR} as url, {HOST_EXPR} as host, doc_id % 10 as round
+  from documents
+), latest as (
+  select url, max(round) as last_round, min(host) as host from f group by url
+), due as (
+  select *, row_number() over (partition by host order by last_round, url)
+    as refresh_rank
+  from latest where 10 - last_round >= 4
+)
+select url, host, last_round, 10 - last_round as age, refresh_rank
+from due where refresh_rank <= 3
+"""
+
+
+def q_crawl_seen_filter_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 deletable fast tier — cuckoo pre-filter + exact confirm anti-join
+    (operators/cuckoo.py: partial-key cuckoo hashing, treeAggregate
+    fingerprint-merge). Insert-only path, so the result equals the exact
+    anti-join by the same no-false-negative argument as Bloom — proven here
+    against the identical SQL oracle. Deletion (the property Bloom lacks,
+    needed by recrawl) is covered by tests/test_cuckoo.py."""
+    from .operators.cuckoo import CuckooFilter, build_cuckoo, cuckoo_anti_join_seen
+
+    u = _urlset(spark, sf_dir)
+    seen = u.filter(F.col("doc_id") % 3 == 0).select(
+        "url", F.hash("url").alias("url_hash")
+    )
+    flt = CuckooFilter.sized_for(2048)
+    cuckoo = build_cuckoo(seen, "url_hash", flt.n_buckets)
+    cand = u.select("url", "host", F.hash("url").alias("url_hash"))
+    return cuckoo_anti_join_seen(cand, seen, cuckoo).select("url", "host")
+
+
 def q_crawl_seen_filter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 fast tier — Bloom pre-filter + exact confirm anti-join. Same oracle
     as the exact tier: the Bloom can never drop an unseen URL (no false
@@ -1629,6 +1683,45 @@ where round({_SQL_DOT.format(a='vl.e', b='vr.e')} / (vl.nrm * vr.nrm), 3) >= 0.9
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
 
 
+def q_traindata_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concat-and-chunk assignment of documents into
+    fixed 2048-token training sequences via the scalable two-pass prefix sum
+    (operators/packing.py; no single-partition window funnel). Integer
+    arithmetic throughout, so the DuckDB global-window oracle matches
+    exactly."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(docs, 2048)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "tok_offset",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "offset_in_seq",
+        "n_seqs_spanned",
+    )
+
+
+SQL_TRAINDATA_PACK_SEQUENCES = f"""
+with d as (
+  select doc_id, len({_SQL_TOKENS})::BIGINT as n_tokens from documents
+), p as (
+  select doc_id, n_tokens,
+    coalesce(sum(n_tokens) over (order by doc_id
+      rows between unbounded preceding and 1 preceding), 0)::BIGINT as tok_offset
+  from d
+)
+select doc_id, n_tokens, tok_offset,
+  tok_offset // 2048 as seq_id,
+  tok_offset % 2048 as offset_in_seq,
+  ((tok_offset + n_tokens - 1) // 2048) - (tok_offset // 2048) + 1 as n_seqs_spanned
+from p
+"""
+
+
 def q_traindata_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus mixer: per-language keep rates (en 50%, de 25%,
     fr 10%, rest 0) decided by an md5 coin per doc — the reproducible
@@ -1989,6 +2082,7 @@ CATALOG: dict[str, QueryDef] = {
     "crawl_frontier_merge": QueryDef(q_crawl_frontier_merge, SQL_CRAWL_FRONTIER_MERGE),
     "crawl_host_rollup": QueryDef(q_crawl_host_rollup, SQL_CRAWL_HOST_ROLLUP),
     "crawl_round": QueryDef(q_crawl_round, SQL_CRAWL_ROUND),
+    "crawl_recrawl_due": QueryDef(q_crawl_recrawl_due, SQL_CRAWL_RECRAWL_DUE),
     "frontier_link_rank": QueryDef(q_frontier_link_rank, _sql_frontier_link_rank()),
     # OpenReview analytics parity
     "note_type_classify": QueryDef(q_note_type_classify, SQL_NOTE_TYPE_CLASSIFY),
@@ -2029,6 +2123,9 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_components": QueryDef(q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "traindata_pack_sequences": QueryDef(
+        q_traindata_pack_sequences, SQL_TRAINDATA_PACK_SEQUENCES
+    ),
     "traindata_stratified_sample": QueryDef(
         q_traindata_stratified_sample, SQL_TRAINDATA_STRATIFIED_SAMPLE
     ),
@@ -2038,7 +2135,9 @@ CATALOG: dict[str, QueryDef] = {
     "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_lsh_signature": QueryDef(q_ann_lsh_signature, SQL_ANN_LSH_SIGNATURE),
     "ann_lsh_topk": QueryDef(q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    # tail slot: semantics duplicated by crawl_seen_filter (ordering note)
+    # tail slots: semantics duplicated by crawl_seen_filter (ordering note);
+    # the cuckoo/Bloom layers have dedicated property tests of their own
+    "crawl_seen_filter_cuckoo": QueryDef(q_crawl_seen_filter_cuckoo, SQL_CRAWL_SEEN_FILTER),
     "crawl_seen_filter_bloom": QueryDef(q_crawl_seen_filter_bloom, SQL_CRAWL_SEEN_FILTER),
 }
 

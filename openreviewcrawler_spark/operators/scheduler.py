@@ -61,6 +61,42 @@ def admit_arrow(cand: DataFrame, budget_col: str = "budget") -> DataFrame:
     return cand.groupBy("host").applyInPandas(_admit, schema)
 
 
+def recrawl_due(
+    fetched: DataFrame, current_round: int, interval: int, per_host_cap: int
+) -> DataFrame:
+    """Freshness scheduling — which fetched URLs to RE-crawl this round.
+
+    A URL falls due when its latest fetch is ``interval`` or more rounds old;
+    due URLs are ranked per host oldest-first (url tiebreak for determinism)
+    and capped at ``per_host_cap`` per round so refresh traffic honors the
+    same politeness shape as discovery. Output: (url, host, last_round, age,
+    refresh_rank).
+
+    Composes with the deletable seen tier: feed the admitted urls'
+    hashes to ``cuckoo.delete_many`` and the fast-path seen filter re-admits
+    exactly these URLs next round (``test_delete_then_filter_readmits_due``).
+
+    Scale shape: one groupBy(url) with map-side combine for latest-fetch,
+    one window shuffle on host — both on O(corpus) keys, no joins.
+    """
+    latest = fetched.groupBy("url").agg(
+        F.max("round").alias("last_round"), F.min("host").alias("host")
+    )
+    due = latest.filter(F.lit(current_round) - F.col("last_round") >= interval)
+    w = Window.partitionBy("host").orderBy("last_round", "url")
+    return (
+        due.withColumn("refresh_rank", F.row_number().over(w))
+        .filter(F.col("refresh_rank") <= per_host_cap)
+        .select(
+            "url",
+            "host",
+            "last_round",
+            (F.lit(current_round) - F.col("last_round")).alias("age"),
+            "refresh_rank",
+        )
+    )
+
+
 def admit(
     cand: DataFrame, impl: str = "window", n_salts: int = 1, budget_col: str = "budget"
 ) -> DataFrame:
