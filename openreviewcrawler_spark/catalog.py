@@ -1446,6 +1446,34 @@ from norm
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate signals per document
+    (operators/textstats.repetition_cols): distinct-token ratio +
+    duplicate-bigram fraction. Pure codegen'd array expressions."""
+    from .operators.textstats import repetition_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = repetition_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+SQL_TEXT_REPETITION = f"""
+with tok as (
+  select doc_id, {_SQL_TOKENS} as toks from documents
+), big as (
+  select doc_id, toks, len(toks)::BIGINT as n_tokens,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) as bigrams
+  from tok
+)
+select doc_id, n_tokens,
+  round(len(list_distinct(toks)) / n_tokens::DOUBLE, 4) as distinct_token_ratio,
+  case when n_tokens > 1
+       then round(1.0 - len(list_distinct(bigrams)) / (n_tokens - 1)::DOUBLE, 4)
+       else 0.0 end as dup_bigram_frac
+from big
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup family (over the derived corpus with
 # constructed exact + near duplicates)
@@ -1877,6 +1905,55 @@ where lang_pred = 'en'
 SQL_TRAINDATA_CLEAN_CORPUS = _sql_traindata()
 
 
+def q_traindata_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate_ngrams):
+    eval set = every 97th source document; train side = the derived corpus
+    (whose constructed exact/near duplicates of eval docs MUST be flagged —
+    that is precisely the leak this pass exists to catch). n=3 at fixture
+    scale (production uses 8-13-token windows; ~30-word fixture vocabulary)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    train = _corpus(spark, sf_dir).join(
+        ev.select(F.col("eval_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return dedup.decontaminate_ngrams(train, ev, n=3)
+
+
+SQL_TRAINDATA_DECONTAMINATE = f"""
+with corpus as ({CORPUS_SQL}),
+ev_docs as (select doc_id as eval_id, text from documents where doc_id % 97 = 0),
+train as (
+  select doc_id, text from corpus
+  where doc_id not in (select eval_id from ev_docs)
+),
+tr_tok as (
+  select doc_id, {_SQL_TOKENS} as toks from train where len({_SQL_TOKENS}) >= 3
+),
+tr_sh as (
+  select doc_id, unnest(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+  )) as shingle from tr_tok
+),
+ev_tok as (
+  select eval_id, {_SQL_TOKENS} as toks from ev_docs where len({_SQL_TOKENS}) >= 3
+),
+ev_sh as (
+  select eval_id, unnest(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+  )) as shingle from ev_tok
+)
+select t.doc_id,
+       count(distinct t.shingle)::BIGINT as n_hit_ngrams,
+       count(distinct e.eval_id)::BIGINT as n_eval_docs
+from tr_sh t join ev_sh e on t.shingle = e.shingle
+group by 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -2112,6 +2189,7 @@ CATALOG: dict[str, QueryDef] = {
     "lang_id": QueryDef(q_lang_id, SQL_LANG_ID),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "token_count": QueryDef(q_token_count, SQL_TOKEN_COUNT),
+    "text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION),
     "doc_fingerprint": QueryDef(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     # multimodal plumbing (mid-registry: see ordering note above)
     "mm_decode_meta": QueryDef(q_mm_decode_meta, SQL_MM_DECODE_META),
@@ -2130,6 +2208,9 @@ CATALOG: dict[str, QueryDef] = {
         q_traindata_stratified_sample, SQL_TRAINDATA_STRATIFIED_SAMPLE
     ),
     "traindata_clean_corpus": QueryDef(q_traindata_clean_corpus, SQL_TRAINDATA_CLEAN_CORPUS),
+    "traindata_decontaminate": QueryDef(
+        q_traindata_decontaminate, SQL_TRAINDATA_DECONTAMINATE
+    ),
     # similarity search
     "ann_brute_topk": QueryDef(q_ann_brute_topk, SQL_ANN_BRUTE_TOPK),
     "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_TOPK),

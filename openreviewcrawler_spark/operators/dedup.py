@@ -537,3 +537,42 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     ).unionByName(singletons)
+
+
+def decontaminate_ngrams(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """(doc_id, n_hit_ngrams, n_eval_docs) — benchmark decontamination scan.
+
+    Flags every training document sharing at least one n-token shingle with
+    an evaluation/benchmark document (the standard pre-training
+    decontamination pass; the reference has no analog — its corpus is
+    benchmark-free by construction, but any 100 TB web corpus must prove its
+    eval sets aren't leaked into training data).
+
+    Scale shape: the eval side is MBs against a 100 TB train side, so the
+    eval n-gram inverted index is built once, deduplicated, and BROADCAST —
+    the train shingles stream through a map-side hash join and the only
+    shuffle is the final per-doc count aggregation (map-side partial). No
+    stop-shingle cap here, deliberately: dropping a hot n-gram could hide a
+    real leak, and the broadcast side bounds the join fan-out at
+    |eval ngrams| regardless of train-side frequency.
+
+    ``n`` is the contamination window: production decontamination uses
+    8-13-token windows (the scale of published benchmark answers); the
+    fixture corpus draws from a ~30-word vocabulary, so the catalog entry
+    runs n=3 to exercise every code path with non-trivial hit counts.
+
+    eval_docs: (eval_id, text). Returns one row per CONTAMINATED train doc:
+    distinct leaked n-grams and how many distinct eval docs they came from.
+    """
+    ev = (
+        shingles_df(eval_docs.select(F.col("eval_id").alias("doc_id"), "text"), n=n)
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+    )
+    tr = shingles_df(train, n=n)
+    hits = tr.join(F.broadcast(ev), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("shingle").alias("n_hit_ngrams"),
+        F.count_distinct("eval_id").alias("n_eval_docs"),
+    )

@@ -143,3 +143,33 @@ def stratified_sample_flag(
     for key, rate in sorted(rates.items()):
         expr = F.when(stratum == key, F.lit(int(round(rate * 10000)))).otherwise(expr)
     return coin < expr
+
+
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals: distinct-token ratio and the
+    duplicate-bigram fraction (share of 2-grams that are repeats of an
+    earlier 2-gram in the same document).
+
+    Highly repetitive documents (keyword stuffing, boilerplate loops,
+    generator spam) score low on distinct ratios; training-data pipelines
+    gate on these before anything expensive runs. Pure array expressions —
+    whole-stage codegen, no Python, no shuffle beyond the enclosing
+    projection. Bigrams are built by zipping two shifted SLICES of the token
+    array (lambdas touch only their own arguments — the captured-expression
+    re-inlining trap documented on ``dedup.shingles_df``).
+    """
+    toks = tokens_col(text)
+    n_tokens = F.size(toks).cast("long")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    m = n_tokens.cast("int") - F.lit(1)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    dup_bigram_frac = F.when(
+        m > 0, F.lit(1.0) - F.size(F.array_distinct(bigrams)) / m.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tokens,
+        "distinct_token_ratio": F.round(distinct_ratio, 4),
+        "dup_bigram_frac": F.round(dup_bigram_frac, 4),
+    }

@@ -161,11 +161,14 @@ def run_round(
     # fetch + parse. Two physical strategies, same result:
     #
     # * map-side (default when the admitted batch fits a broadcast): pages
-    #   are SEMI-joined against the broadcast batch-url set and parsed inside
-    #   the scan tasks — the fat html column never enters a shuffle; only the
-    #   small stamped batch (url, fetch_seq, priority) is broadcast again to
-    #   attach scheduling columns. At 100 TB this is the difference between
-    #   shuffling the corpus and shuffling nothing.
+    #   are inner-joined against ONE broadcast of the full stamped batch
+    #   (url + 4 fixed-width scheduling columns) and parsed inside the scan
+    #   tasks — the fat html column never enters a shuffle. One broadcast,
+    #   not two (r3: the earlier semi-join + attach-join shape built and
+    #   shipped the same stamped relation twice; each driver-side broadcast
+    #   build is pure serial time in every scheduling round). At 100 TB
+    #   this is the difference between shuffling the corpus and shuffling
+    #   nothing.
     # * shuffle (both sides huge): classic shuffle hash/sort-merge join.
     #
     # Column-pruned either way: pages.text is never read (engine recomputes
@@ -176,24 +179,16 @@ def run_round(
     # ~48 B/row for the four fixed-width scheduling columns + row headers
     est_broadcast_bytes = (admitted_url_bytes or 0) + 48 * n_admitted
     if 0 < n_admitted and est_broadcast_bytes <= cfg.broadcast_fetch_max_bytes:
-        keep = page_side.join(F.broadcast(stamped.select("url")), "url", "left_semi")
-        parsed_raw = extract_batch(
-            keep.select(
-                "url",
-                F.lit(0).cast("long").alias("fetch_seq"),
-                F.lit("").alias("host"),
-                F.lit(0).cast("int").alias("seed_index"),
-                F.lit(0).cast("int").alias("depth"),
-                "lang",
-                "warc_ts",
-                "html",
-            ),
-            schema=_PARSED_SCHEMA,
-        ).drop("fetch_seq", "host", "seed_index", "depth")
-        parsed = parsed_raw.join(
+        keep = page_side.join(
             F.broadcast(stamped.select("url", "fetch_seq", "host", "seed_index", "depth")),
             "url",
-            "inner",  # inner: drops any semi-join false positives (none here)
+            "inner",
+        )
+        parsed = extract_batch(
+            keep.select(
+                "url", "fetch_seq", "host", "seed_index", "depth", "lang", "warc_ts", "html"
+            ),
+            schema=_PARSED_SCHEMA,
         ).persist()
     else:
         fetch = stamped.join(page_side, "url", "inner")

@@ -159,11 +159,16 @@ def _fetched_plan_for(spark, max_bytes: int) -> str:
 
 
 def test_fetch_broadcast_bound_small_batch_is_map_side(spark):
-    """A batch under the byte bound fetches via broadcast SEMI join — the fat
-    html column is filtered inside the scan stage and never shuffled."""
+    """A batch under the byte bound fetches via ONE broadcast inner join of
+    the full stamped batch — the fat html column is filtered inside the scan
+    stage and never shuffled, and the stamped relation is built/shipped once
+    (r3: the former semi-join + attach-join shape broadcast it twice; each
+    broadcast build is serial driver time in every scheduling round)."""
     plan = _fetched_plan_for(spark, 128 << 20)
     assert "BroadcastHashJoin" in plan
-    assert "LeftSemi" in plan
+    # the old two-broadcast shape showed a LeftSemi probe + a second inner
+    # attach join; the single-broadcast shape has no semi join anywhere
+    assert "LeftSemi" not in plan
     assert "SortMergeJoin" not in plan
 
 

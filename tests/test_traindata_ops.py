@@ -317,3 +317,45 @@ def test_stratified_sample_deterministic_rates(spark, sf_dir):
     )
     kept3 = {r["doc_id"] for r in docs.filter(other).collect()}
     assert kept3 != kept1  # independent coin under a different salt
+
+
+def test_decontaminate_flags_eval_leaks(corpus, spark):
+    """Doc 1 (exact copy of eval doc 0) and doc 2 (near copy) must be
+    flagged; doc 3/4 (disjoint vocabulary) must not. The eval inverted
+    index is broadcast — plan must show a broadcast join, never a shuffle
+    of the train shingles toward the tiny eval side."""
+    ev = corpus.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    train = corpus.filter(F.col("doc_id") != 0)
+    out = dedup.decontaminate_ngrams(train, ev, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # exact dup shares every shingle; the near dup all but the leading ones
+    assert rows[1]["n_hit_ngrams"] > rows[2]["n_hit_ngrams"] >= 1
+    assert rows[1]["n_eval_docs"] == rows[2]["n_eval_docs"] == 1
+
+
+def test_repetition_cols_values(spark):
+    """Hand-checked repetition signals: an all-same-token doc has
+    distinct ratio 1/n and dup-bigram fraction 1 - 1/(n-1); an all-distinct
+    doc scores 1.0 / 0.0; a single-token doc gets the 0.0 guard."""
+    from openreviewcrawler_spark.operators.textstats import repetition_cols
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam"), (1, "all words here differ"), (2, "one")],
+        "doc_id long, text string",
+    )
+    cols = repetition_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()
+    }
+    assert rows[0]["distinct_token_ratio"] == 0.25
+    assert rows[0]["dup_bigram_frac"] == round(1 - 1 / 3, 4)
+    assert rows[1]["distinct_token_ratio"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == 0.0
+    assert rows[2]["n_tokens"] == 1
+    assert rows[2]["dup_bigram_frac"] == 0.0
