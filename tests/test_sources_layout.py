@@ -1,0 +1,65 @@
+"""Sitemap source parsing + WARC-style sharded sink layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openreviewcrawler_spark.sources.sitemap import parse_sitemaps
+from openreviewcrawler_spark.sources.warc import warc_layout
+
+
+def test_parse_sitemaps_grammar(spark):
+    """Entries keep document order per host; optional fields go NULL; a
+    loc-less entry is dropped (but still consumes a position — the index is
+    the raw entry position, stable regardless of later filtering)."""
+    body = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a.example/1</loc>"
+        "<lastmod>2026-03-04</lastmod><priority>0.8</priority></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc: dropped
+        "<url><loc>https://a.example/2</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a", body), ("b", "<urlset></urlset>")],
+                               "host string, body string")
+    rows = {(r["host"], r["pos"]): r for r in parse_sitemaps(df).collect()}
+    assert set(rows) == {("a", 0), ("a", 2)}
+    assert rows[("a", 0)]["lastmod"] == "2026-03-04"
+    assert rows[("a", 0)]["priority"] == 0.8
+    assert rows[("a", 2)]["url"] == "https://a.example/2"
+    assert rows[("a", 2)]["lastmod"] is None and rows[("a", 2)]["priority"] is None
+
+
+def test_warc_layout_offsets_contiguous(spark):
+    """Within every shard, offsets tile the file exactly: record k+1 starts
+    where record k ends, first record at 0 — the property that lets the
+    index be written in the same pass as the archive bytes."""
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.repeat(F.lit("x"), (F.col("id") % 17 + 1).cast("int")).alias("text"),
+    )
+    out = warc_layout(docs, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            assert r["offset"] == pos, (shard, r)
+            assert r["record_len"] > 0
+            pos += r["record_len"]
+
+
+def test_warc_layout_deterministic_across_parallelism(spark):
+    """The layout must be identical however the input is partitioned."""
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.lit("payload text").alias("text"),
+    )
+    a = sorted(map(tuple, warc_layout(docs.repartition(1), 4).collect()))
+    b = sorted(map(tuple, warc_layout(docs.repartition(13), 4).collect()))
+    assert a == b
