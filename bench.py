@@ -409,6 +409,19 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     while "lo" in best and "hi" in best and time.time() < repair_deadline:
         tag = repair_target()
         if tag is None:
+            # Anti-ratchet control (the mirror of the r2 ADVICE ratchet
+            # finding): a steal-slowed LO sample INFLATES efficiency, and
+            # sampling stops as soon as the target is met — a favorable
+            # error would never be challenged (observed: one lo sample at
+            # 96.7 s in a stolen window vs ~81-83 s clean, lifting strong
+            # 0.79 -> 0.92). While the repair budget is otherwise idle,
+            # take a second lo sample on a rotated cpuset: min-of-samples
+            # can only LOWER the reported efficiency toward its honest
+            # value, never raise it — and if it does, the loop falls back
+            # into normal repair.
+            if samples.get("lo", 0) < 2:
+                run_phase("lo", cpus_lo, n_pages)
+                continue
             break
         _wait_quiet_window(cpus_max, min(repair_deadline, time.time() + 120),
                            probes, min_eff_frac=cpus_hi / cpus_max)
