@@ -333,9 +333,13 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         fps[tag] = r["fp"]  # fp is input-determined, identical across reps
 
     def strong_eff() -> float | None:
-        if "lo" not in best or "hi" not in best:
+        # clean samples preferred, dirty stand-ins otherwise (mirrors the
+        # final reporting fallback, so mid-run decisions see the same
+        # numbers the artifact would)
+        v = {**best_any, **best}
+        if "lo" not in v or "hi" not in v:
             return None
-        return (best["lo"]["sec"] / best["hi"]["sec"]) / ratio
+        return (v["lo"]["sec"] / v["hi"]["sec"]) / ratio
 
     # lo/hi at the same input = STRONG scaling (plus the cross-level
     # determinism check); "wk" = hi cores at ratio x the input = WEAK
@@ -375,26 +379,40 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     # throughput than hi (amortization only helps) — so keep re-sampling
     # just the inconsistent (or below-target) level inside a bounded repair
     # budget; min per level is kept.
+    def view() -> dict:
+        # clean samples preferred; dirty ones stand in so the repair logic
+        # can reason about (and replace) them
+        return {**best_any, **best}
+
     def ups(tag: str) -> float:
-        return best[tag]["n"] / best[tag]["sec"]
+        v = view()[tag]
+        return v["n"] / v["sec"]
 
     def repair_target() -> str | None:
-        if "hi" in best and "lo" in best and ups("hi") < ups("lo"):
+        v = view()
+        # a level whose every sample failed its own-cpuset post-probe is the
+        # first thing to fix — before this rule, a dirty-only hi level kept
+        # the repair loop from running at all (it required a CLEAN hi),
+        # which is precisely the window where repair matters most
+        for t in ("hi", "lo", "wk"):
+            if t in best_any and t not in best:
+                return t
+        if "hi" in v and "lo" in v and ups("hi") < ups("lo"):
             return "hi"
         # hi taking LONGER in absolute time than the weak phase (4x the
         # input at the SAME cores) is physically impossible — hi is the
         # poisoned level, not wk (observed r3: hi 8-core 60 s vs wk 8-core
         # 4x-input 34 s; without this rule the eff<target branch resampled
         # hi but the wk rule above never could have fired)
-        if "wk" in best and "hi" in best and best["hi"]["sec"] > best["wk"]["sec"]:
+        if "wk" in v and "hi" in v and v["hi"]["sec"] > v["wk"]["sec"]:
             return "hi"
-        if "wk" in best and "hi" in best and ups("wk") < ups("hi"):
+        if "wk" in v and "hi" in v and ups("wk") < ups("hi"):
             return "wk"
         e = strong_eff()
         if e is not None and e < target:
             return "hi"
         if (
-            "wk" in best and "lo" in best
+            "wk" in v and "lo" in v
             and ups("wk") / (ratio * ups("lo")) < target
         ):
             return "wk"
@@ -406,7 +424,7 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     repair_deadline = time.time() + float(
         os.environ.get("SPARK_GRAFT_SCALING_REPAIR", "480")
     )
-    while "lo" in best and "hi" in best and time.time() < repair_deadline:
+    while "lo" in best_any and "hi" in best_any and time.time() < repair_deadline:
         tag = repair_target()
         if tag is None:
             # Anti-ratchet control (the mirror of the r2 ADVICE ratchet
@@ -426,7 +444,7 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         _wait_quiet_window(cpus_max, min(repair_deadline, time.time() + 120),
                            probes, min_eff_frac=cpus_hi / cpus_max)
         n = n_pages if tag != "wk" else min(n_pages * ratio, 12_000_000)
-        run_phase(tag, cpus_hi, n)
+        run_phase(tag, cpus_lo if tag == "lo" else cpus_hi, n)
     # dirty fallback: a level whose every sample failed the post-probe gate
     # still reports its best time, flagged — better an honest number marked
     # "measured under a cap" than an incomplete artifact

@@ -103,3 +103,55 @@ class SnapshotStore:
     def extra(self) -> dict:
         m = self.manifest()
         return {} if m is None else m.get("extra", {})
+
+    # -- maintenance --------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        min_segments: int = 8,
+        partition_by: str | None = None,
+    ) -> bool:
+        """Rewrite an append table's accumulated per-round segments as ONE
+        segment and commit the swap atomically (Iceberg rewrite-data-files
+        analog). Returns True if a compaction ran.
+
+        Why this must exist at scale: ``seen`` gains one directory per
+        scheduling round, and every round's anti-join unions ALL of them —
+        after 10^3 rounds the scan plans 10^3 file groups and the frontier
+        anti-join pays the per-segment open/footer cost each round.
+        Compaction is pure maintenance: same rows, one segment, optionally
+        hash-clustered by the join key (``partition_by``) so the downstream
+        anti-join scans co-located files.
+
+        Crash-safe the same way commits are: the compacted segment is fully
+        written BEFORE the manifest swap; a crash in between leaves the old
+        manifest referencing the old segments (the orphan compacted dir is
+        unreferenced garbage, exactly like an uncommitted Iceberg rewrite).
+        Readers of the previous manifest keep seeing the old segment list.
+        """
+        if table not in APPEND_TABLES:
+            raise ValueError(f"compact() is for append tables, got {table!r}")
+        m = self.manifest()
+        if m is None:
+            return False
+        paths = list(m["tables"].get(table, []))
+        # never rewrite a dir the live manifest already references (the
+        # write-before-swap guarantee): a lone c* segment is already compact
+        if len(paths) < max(min_segments, 2):
+            return False
+        round_no = int(m["round"])
+        df = spark.read.parquet(*[os.path.join(self.root, p) for p in paths])
+        rel = os.path.join(table, f"c{round_no:05d}")
+        writer = df.write.mode("overwrite")
+        if partition_by is not None:
+            writer = df.repartition(partition_by).write.mode("overwrite")
+        writer.parquet(os.path.join(self.root, rel))
+        tables = dict(m["tables"])
+        tables[table] = [rel]
+        new_manifest = {**m, "tables": tables}
+        tmp = os.path.join(self.root, f".{_MANIFEST}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(new_manifest, fh, indent=1)
+        os.replace(tmp, os.path.join(self.root, _MANIFEST))
+        return True

@@ -113,3 +113,47 @@ def test_resume_equals_uninterrupted(spark, fixture, oracle_result, tmp_path):
         for r in state.store.read(spark, "metrics").collect()
     }
     _assert_matches_oracle(fetched, seen, metrics, oracle_result, fixture)
+
+
+def test_compaction_preserves_state_and_resume(spark, fixture, oracle_result, tmp_path):
+    """Compacting the seen table mid-crawl must be invisible: same rows after
+    the rewrite, single segment in the manifest, append-after-compact and
+    resume both still correct, and time-travel manifests untouched."""
+    half = CrawlConfig(**{**CFG, "max_rounds": 2})
+    store = SnapshotStore(str(tmp_path / "compact"))
+    pages, seeds, robots = fixture_to_spark(spark, fixture)
+    run_crawl(spark, pages, seeds, robots, half, store=store)
+    assert len(store.manifest()["tables"]["seen"]) == 2  # one segment/round
+
+    before = sorted(
+        (r["url"], r["round"]) for r in store.read(spark, "seen").collect()
+    )
+    assert store.compact(spark, "seen", min_segments=2) is True
+    after = sorted(
+        (r["url"], r["round"]) for r in store.read(spark, "seen").collect()
+    )
+    assert after == before
+    assert len(store.manifest()["tables"]["seen"]) == 1
+    # a second compact with nothing to merge is a no-op
+    assert store.compact(spark, "seen", min_segments=2) is False
+    # time-travel manifest for round 1 still lists the original segments
+    assert store.manifest(1)["tables"]["seen"][0].startswith("seen/r")
+
+    # resume on top of the compacted store must equal the uninterrupted run
+    full = CrawlConfig(**CFG)
+    state = run_crawl(spark, pages, seeds, robots, full, store=store, resume=True)
+    fetched = (
+        state.store.read(spark, "fetched")
+        .orderBy("fetch_seq")
+        .select("url", "fetch_seq", "round", "host", "text", "lang")
+        .collect()
+    )
+    seen = {
+        (r["url"], r["round"])
+        for r in state.store.read(spark, "seen").select("url", "round").collect()
+    }
+    metrics = {
+        (r["round"], r["host_bucket"]): (r["n_scheduled"], r["n_fetched"])
+        for r in state.store.read(spark, "metrics").collect()
+    }
+    _assert_matches_oracle(fetched, seen, metrics, oracle_result, fixture)
