@@ -1772,6 +1772,54 @@ group by 1, 2
 SQL_DEDUP_MINHASH_LSH = _sql_minhash()
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup scan (operators/dedup.minhash_lsh_incremental):
+    the production shape — today's batch (the derived +100000/+200000 dup
+    docs) probes the already-deduplicated history (the original documents)
+    via a strict new-vs-old band equi-join; history x history never
+    re-runs."""
+    corpus = _corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < 100000)
+    new = corpus.filter(F.col("doc_id") >= 100000)
+    return dedup.minhash_lsh_incremental(old, new)
+
+
+def _sql_minhash_incremental() -> str:
+    mixed = ", ".join(
+        f"min((h * {a} + {b}) % {dedup.MINHASH_P}) as mh{j}"
+        for j, (a, b) in enumerate(dedup.MINHASH_MIX)
+    )
+    band_rows = []
+    rpb = dedup.N_MINHASH // dedup.N_BANDS
+    for b in range(dedup.N_BANDS):
+        cols = " || '/' || ".join(f"mh{b * rpb + r}::VARCHAR" for r in range(rpb))
+        band_rows.append(f"select doc_id, {b} as band, {cols} as bkey from sig")
+    banded = " union all ".join(band_rows)
+    return f"""
+with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
+hashed as (select doc_id, {_H32.format(x='shingle')} as h from sh),
+sig as (select doc_id, {mixed} from hashed group by doc_id),
+banded_all as ({banded}),
+old_b as (select * from banded_all where doc_id < 100000),
+new_b as (select * from banded_all where doc_id >= 100000),
+hot as (
+  select band, bkey from old_b group by band, bkey
+  having count(*) > {dedup.MAX_BUCKET}
+),
+old_kept as (
+  select b.* from old_b b
+  where not exists (select 1 from hot h where h.band = b.band and h.bkey = b.bkey)
+)
+select n.doc_id::BIGINT as new_id, o.doc_id::BIGINT as old_id,
+       count(*)::BIGINT as n_bands
+from new_b n join old_kept o on n.band = o.band and n.bkey = o.bkey
+group by 1, 2
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_minhash_incremental()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(_corpus(spark, sf_dir))
 
@@ -2421,6 +2469,7 @@ CATALOG: dict[str, QueryDef] = {
     # dedup family
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_simhash": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),

@@ -123,18 +123,13 @@ def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASH) -> DataFram
     )
 
 
-def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, n_bands) — candidate near-dup pairs sharing >=1 LSH band.
+def banded_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) — LSH band rows, B per document.
 
-    Bands of 4 minhash rows each; band key = joined minhash string. The
-    self-join is an equi-join on (band, key): at 10^10 docs this shuffles on
-    the band key and never materializes cross products outside a bucket.
-    Buckets larger than MAX_BUCKET are dropped before the join — without the
-    cap, low-entropy corpora (boilerplate pages sharing globally-minimal
-    shingles) produce quadratic hot buckets (measured: 113 s at sf0.1 with
-    2-row bands and no cap, ~3 s with this shape). Exact duplicates in a
-    dropped bucket are still caught by the exact md5 tier.
-    """
+    Bands of 4 minhash rows each; band key = joined minhash string. All B
+    band rows come from ONE signature evaluation via a single explode (a
+    B-way union of selects over the signature plan embeds — and runs — the
+    shingle->signature pipeline B times)."""
     sig = minhash_signatures(corpus)
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = []
@@ -146,18 +141,29 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
                 F.concat_ws("/", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
             )
         )
-    # all B band rows from ONE signature evaluation (a B-way union of selects
-    # over `sig` embeds — and runs — the shingle->signature pipeline B times),
-    # then pin the tiny banded table (B rows/doc): the bucket-size scan, the
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    )
+
+
+def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_bands) — candidate near-dup pairs sharing >=1 LSH band.
+
+    The self-join is an equi-join on (band, key): at 10^10 docs this shuffles
+    on the band key and never materializes cross products outside a bucket.
+    Buckets larger than MAX_BUCKET are dropped before the join — without the
+    cap, low-entropy corpora (boilerplate pages sharing globally-minimal
+    shingles) produce quadratic hot buckets (measured: 113 s at sf0.1 with
+    2-row bands and no cap, ~3 s with this shape). Exact duplicates in a
+    dropped bucket are still caught by the exact md5 tier.
+    """
+    # pin the tiny banded table (B rows/doc): the bucket-size scan, the
     # hot-bucket anti-join and both self-join sides all read the cache
     # instead of re-running the signature job. Materializing signatures is
     # also the 100 TB-scale shape — the corpus-sized shingle explode runs
     # exactly once.
-    banded = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-        .persist()
-    )
+    banded = banded_signatures(corpus).persist()
     bucket_sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("__bn"))
     banded = banded.join(
         F.broadcast(bucket_sizes.filter(F.col("__bn") > MAX_BUCKET)),
@@ -575,4 +581,44 @@ def decontaminate_ngrams(
     return hits.groupBy("doc_id").agg(
         F.count_distinct("shingle").alias("n_hit_ngrams"),
         F.count_distinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+def minhash_lsh_incremental(
+    old: DataFrame, new: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """(new_id, old_id, n_bands) — near-dups of an INCOMING batch against the
+    EXISTING corpus, the shape production dedup actually runs: history is
+    deduplicated once; each day's crawl only needs new-vs-history (and
+    new-vs-new via :func:`minhash_lsh_pairs` on the small batch), never a
+    re-join of history against itself.
+
+    Scale shape: at 100 TB the history side's banded signature table is
+    computed ONCE ever and stored (it is derived data; re-banding history
+    per batch would re-shingle the whole corpus). The join is a strict
+    new-vs-old band equi-join, so the quadratic history x history work never
+    happens and cost scales with |batch| x bucket-hit-rate. The hot-bucket
+    cap applies to the HISTORY side — boilerplate accumulates there — and
+    dropping a hot history bucket only defers those candidates to the exact
+    md5 tier, same contract as the batch dedup.
+    """
+    old_b = banded_signatures(old).persist()
+    hot = (
+        old_b.groupBy("band", "bkey")
+        .agg(F.count("*").alias("__bn"))
+        .filter(F.col("__bn") > max_bucket)
+        .select("band", "bkey")
+    )
+    old_kept = old_b.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    new_b = banded_signatures(new)
+    pairs = (
+        new_b.alias("n")
+        .join(
+            old_kept.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.bkey") == F.col("o.bkey")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
+    )
+    return pairs.groupBy("new_id", "old_id").agg(
+        F.count("*").cast("long").alias("n_bands")
     )

@@ -359,3 +359,18 @@ def test_repetition_cols_values(spark):
     assert rows[1]["dup_bigram_frac"] == 0.0
     assert rows[2]["n_tokens"] == 1
     assert rows[2]["dup_bigram_frac"] == 0.0
+
+
+def test_incremental_dedup_probes_history_only(corpus, spark):
+    """New docs 1 (exact dup) and 2 (near dup) must hit history doc 0; the
+    join must be a (band, bkey) EQUI-join — no cross product, no
+    history x history pairs in the output."""
+    old = corpus.filter(F.col("doc_id") == 0)
+    new = corpus.filter(F.col("doc_id") > 0)
+    out = dedup.minhash_lsh_incremental(old, new)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = {(r["new_id"], r["old_id"]): r["n_bands"] for r in out.collect()}
+    assert (1, 0) in rows and rows[(1, 0)] == dedup.N_BANDS  # exact dup: all bands
+    assert (2, 0) in rows and rows[(2, 0)] >= 1  # near dup: >=1 band
+    assert all(old_id == 0 for _, old_id in rows)
