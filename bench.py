@@ -38,7 +38,13 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
+    "dedup_incremental",
     "traindata_stratified_sample",
+    "traindata_decontaminate",
+    "text_repetition",
+    "host_quality_rollup",
+    "anchor_text_rollup",
+    "warc_export",
     "ann_brute_topk",
     "ann_lsh_signature",
     "ann_lsh_topk",

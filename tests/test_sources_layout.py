@@ -63,3 +63,29 @@ def test_warc_layout_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, warc_layout(docs.repartition(1), 4).collect()))
     b = sorted(map(tuple, warc_layout(docs.repartition(13), 4).collect()))
     assert a == b
+
+
+def test_sitemap_rows_feed_frontier(spark):
+    """parse_sitemaps output plugs straight into seeds_to_frontier: urls
+    canonicalize, dedup by canonical form, and get host/priority columns —
+    the sitemap bootstrap path end to end."""
+    from openreviewcrawler_spark.plans.crawl import seeds_to_frontier
+
+    body = (
+        "<urlset>"
+        "<url><loc>HTTPS://A.example/x#frag</loc></url>"  # dirty spelling
+        "<url><loc>https://a.example/x</loc></url>"  # same canonical url
+        "<url><loc>https://b.example/y</loc></url>"
+        "</urlset>"
+    )
+    sm = parse_sitemaps(
+        spark.createDataFrame([("a.example", body)], "host string, body string")
+    )
+    seeds = sm.select(F.col("pos").cast("int").alias("seed_index"), "url")
+    frontier = seeds_to_frontier(seeds).collect()
+    got = {(r["url"], r["host"], r["seed_index"]) for r in frontier}
+    # both spellings collapse to one canonical row keeping the smaller pos
+    assert got == {
+        ("https://a.example/x", "a.example", 0),
+        ("https://b.example/y", "b.example", 2),
+    }
