@@ -377,6 +377,58 @@ select host, pos, url, lastmod, priority from parsed where url <> ''
 """
 
 
+#: redirect-edge synthesis shared by both engines: 2-cycles at ids
+#: 23/24 mod 50 (redirect loops), a chain feeding each loop (25 -> 24),
+#: 3-hop chains elsewhere, terminals at multiples of 4
+_REDIRECT_DST_CASE = """case when doc_id % 50 = 23 then doc_id + 1
+     when doc_id % 50 = 24 then doc_id - 1
+     when doc_id % 4 <> 0 then doc_id - 1
+     else null end"""
+
+
+def q_crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.resolve_redirects):
+    url -> final target by pointer doubling (ceil(log2 L) self-joins for
+    L-hop chains, no driver barrier); loops surface as resolved=false.
+    The oracle unrolls the SAME doubling recurrence as SQL CTE layers, so
+    hops match bit-for-bit even on cycle members."""
+    from .operators.redirects import resolve_redirects
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    dst_id = F.expr(_REDIRECT_DST_CASE)
+    redirects = ids.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"), dst_id.cast("string")).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return resolve_redirects(redirects, rounds=5)
+
+
+def _sql_redirect_resolve(rounds: int = 5) -> str:
+    layers = []
+    prev = "f0"
+    for i in range(1, rounds + 1):
+        layers.append(
+            f"f{i} as (select f.src, coalesce(g.cur, f.cur) as cur,"
+            f" f.hops + coalesce(g.hops, 0) as hops"
+            f" from {prev} f left join {prev} g on f.cur = g.src)"
+        )
+        prev = f"f{i}"
+    return f"""
+with r as (
+  select 'u' || cast(doc_id as varchar(30)) as src,
+         'u' || cast(({_REDIRECT_DST_CASE}) as varchar(30)) as dst
+  from documents where ({_REDIRECT_DST_CASE}) is not null
+),
+f0 as (select src, dst as cur, 1::BIGINT as hops from r),
+{', '.join(layers)}
+select f.src, f.cur as final_url, f.hops, (o.src is null) as resolved
+from {prev} f left join (select distinct src from r) o on f.cur = o.src
+"""
+
+
+SQL_CRAWL_REDIRECT_RESOLVE = _sql_redirect_resolve()
+
+
 def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded WARC-style sink layout (sources/warc.warc_layout): per-record
     shard + byte offset + record length, computed distributively (one
@@ -2419,6 +2471,9 @@ CATALOG: dict[str, QueryDef] = {
     "crawl_robots_filter": QueryDef(q_crawl_robots_filter, SQL_CRAWL_ROBOTS_FILTER),
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),
+    "crawl_redirect_resolve": QueryDef(
+        q_crawl_redirect_resolve, SQL_CRAWL_REDIRECT_RESOLVE
+    ),
     "warc_export": QueryDef(q_warc_export, SQL_WARC_EXPORT),
     "anchor_text_rollup": QueryDef(q_anchor_text_rollup, SQL_ANCHOR_TEXT_ROLLUP),
     "crawl_politeness_admit": QueryDef(q_crawl_politeness_admit, SQL_CRAWL_POLITENESS_ADMIT),

@@ -1,0 +1,76 @@
+"""Redirect-chain resolution — url -> final target via pointer doubling.
+
+A web crawler constantly meets 3xx chains (http->https, www-canonicalization,
+moved pages); the frontier must schedule the FINAL target and the seen-set
+must absorb every alias, or the same page is fetched once per spelling. The
+reference never redirects (the OpenReview client follows them inside the
+HTTP library); at crawl scale the mapping is a first-class dataset: billions
+of (src, dst) edges forming functional chains.
+
+Scale shape: POINTER DOUBLING, not per-hop iteration. Each round joins the
+current mapping with itself (``f = f . f``), so a chain of length L resolves
+in ceil(log2 L) self-joins instead of L — at web scale chains are short
+(2-5 hops) but the tail is long, and every round is a full shuffle of the
+mapping, so halving the round count matters more than anything inside a
+round. Each round is a plain equi-join on the successor key; map-side
+combine applies, no driver barrier anywhere (fixed round count, no
+fixpoint collect).
+
+Cycles (redirect loops) cannot resolve to a terminal; after ``rounds``
+doublings a loop member still points INSIDE the loop, and the final
+anti-join against terminal nodes flags it ``resolved = false`` — the crawl
+policy drops such urls (the standard "too many redirects" failure), it
+never follows them forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(redirects: DataFrame, rounds: int = 5) -> DataFrame:
+    """redirects(src, dst) -> (src, final_url, hops, resolved).
+
+    ``redirects`` is functional (one outgoing edge per src — last-write-wins
+    upstream dedup is the caller's contract). ``rounds`` doublings resolve
+    chains up to 2**rounds hops; ``hops`` is the true chain length walked.
+
+    Every intermediate node resolves too (not just chain heads): the seen
+    tier wants EVERY alias of a page mapped to its canonical final url.
+    """
+    # f: src -> (cur, hops); doubling composes f with itself each round
+    f = redirects.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
+    )
+    for _ in range(rounds):
+        nxt = f.select(
+            F.col("src").alias("j_src"),
+            F.col("cur").alias("j_cur"),
+            F.col("hops").alias("j_hops"),
+        )
+        f = (
+            f.join(nxt, f["cur"] == nxt["j_src"], "left")
+            .select(
+                "src",
+                F.coalesce("j_cur", "cur").alias("cur"),
+                (F.col("hops") + F.coalesce("j_hops", F.lit(0))).alias("hops"),
+            )
+        )
+    # terminal = a node with no outgoing redirect; anything still pointing
+    # at a src after `rounds` doublings is an unresolved (looping/too-long)
+    # chain
+    srcs = redirects.select("src").distinct()
+    return (
+        f.join(
+            srcs.select(F.col("src").alias("open_node")),
+            f["cur"] == F.col("open_node"),
+            "left",
+        )
+        .select(
+            "src",
+            F.col("cur").alias("final_url"),
+            "hops",
+            F.col("open_node").isNull().alias("resolved"),
+        )
+    )

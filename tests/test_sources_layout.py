@@ -89,3 +89,22 @@ def test_sitemap_rows_feed_frontier(spark):
         ("https://a.example/x", "a.example", 0),
         ("https://b.example/y", "b.example", 2),
     }
+
+
+def test_resolve_redirects_chains_and_loops(spark):
+    """Chains resolve to their terminal with true hop counts; members of a
+    redirect loop (and chains feeding one) come back resolved=false and are
+    never followed forever. Pointer doubling: 5 rounds cover 32-hop chains."""
+    from openreviewcrawler_spark.operators.redirects import resolve_redirects
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"),  # 3-hop chain to terminal d
+             ("x", "y"), ("y", "x"),              # 2-loop
+             ("w", "x")]                          # feeder into the loop
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["src"]: r for r in resolve_redirects(df, rounds=5).collect()}
+    assert rows["a"]["final_url"] == "d" and rows["a"]["hops"] == 3
+    assert rows["b"]["final_url"] == "d" and rows["b"]["hops"] == 2
+    assert rows["c"]["final_url"] == "d" and rows["c"]["hops"] == 1
+    assert rows["a"]["resolved"] and rows["b"]["resolved"] and rows["c"]["resolved"]
+    for loop_member in ("x", "y", "w"):
+        assert not rows[loop_member]["resolved"]
