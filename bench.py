@@ -285,7 +285,6 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         return tuple(sorted((start + j) % cpus_max for j in range(k)))
 
     def run_phase(tag: str, k: int, n: int) -> None:
-        samples[tag] = samples.get(tag, 0) + 1
         # ROTATE the pinned cpuset across samples: hypervisor steal is often
         # core-sticky for minutes (observed: 5 consecutive hi samples on one
         # fixed 8-core set all ~20% slow while the host envelope read 18+),
@@ -298,12 +297,22 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         # post-probe mark the sample dirty.
         cpuset = _next_cpuset(k)
         if have_taskset and k < cpus_max:
-            for _ in range(max(0, cpus_max // k - 1)):
+            best_set: tuple[float, tuple[int, ...]] | None = None
+            for _ in range(max(1, cpus_max // k)):
                 p = host_cpu_probe(k, cpuset)
                 probes.append(p)
-                if p["effective_parallelism"] >= 0.9 * k:
+                eff = p["effective_parallelism"]
+                if eff >= 0.9 * k:
+                    best_set = None  # current cpuset is good; use it
                     break
+                if best_set is None or eff > best_set[0]:
+                    best_set = (eff, cpuset)
                 cpuset = _next_cpuset(k)
+            if best_set is not None:
+                # nothing probed clean after a full sweep: run on the
+                # least-bad PROBED set (the final rotation above was never
+                # probed — don't measure on unknown cores)
+                cpuset = best_set[1]
         pin = (["taskset", "-c", ",".join(str(c) for c in cpuset)]
                if have_taskset and k < cpus_max else [])
         try:
@@ -318,6 +327,10 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
             r = json.loads(lines[-1])
         except (subprocess.TimeoutExpired, json.JSONDecodeError):
             return
+        # count SUCCESSFUL samples only (crashed subprocesses return above):
+        # the anti-ratchet rule reads this to decide whether lo was actually
+        # challenged twice — a crashed second lo must not satisfy it
+        samples[tag] = samples.get(tag, 0) + 1
         # bracket the sample: the pre-probe gated entry, the post-probe
         # certifies the window HELD through the measurement. A steal burst
         # that starts mid-phase passes the entry gate and silently poisons
@@ -329,7 +342,12 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         # budget produces no clean one, and the artifact says so.
         post = host_cpu_probe(k if pin else cpus_max, cpuset if pin else None)
         probes.append(post)
-        clean = post["effective_parallelism"] >= 0.9 * (k if pin else cpus_max)
+        # pinned: the k-core set must supply ~all of k. Unpinned (no taskset
+        # on the host, or k == cpus_max): require only that the WHOLE box
+        # supplies >= k effective cores — gating an unpinned 8-core level on
+        # 0.9*32 would mark every sample dirty in the capped windows this
+        # host routinely shows, even though the measurement was fine
+        clean = post["effective_parallelism"] >= (0.9 * k if pin else k)
         if not clean:
             dirty[tag] = dirty.get(tag, 0) + 1
         if clean and (tag not in best or r["sec"] < best[tag]["sec"]):
@@ -529,7 +547,13 @@ def host_cpu_probe(cpus: int, cpuset: tuple[int, ...] | None = None) -> dict:
         cpus * out["mp1_wall_s"] / max(out[f"mp{cpus}_wall_s"], 1e-9), 1
     )
     if cpuset:
-        out["cpuset"] = f"{min(cpuset)}-{max(cpuset)}"
+        cs = sorted(cpuset)
+        contiguous = cs == list(range(cs[0], cs[-1] + 1))
+        # exact membership when the set wraps — a min-max range string would
+        # mislabel {0,1,2,3,8,9,10,11} as "0-11" in the audit trail
+        out["cpuset"] = (
+            f"{cs[0]}-{cs[-1]}" if contiguous else ",".join(map(str, cs))
+        )
     return out
 
 

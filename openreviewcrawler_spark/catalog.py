@@ -106,6 +106,7 @@ VECSET_SQL = """
 
 # DuckDB-side md5 hash32 + token/shingle helpers (twin of textstats.hash32_col)
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+_SQL_TOKENS = "string_split(text, ' ')"
 
 
 def _urlset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,10 +743,10 @@ def q_anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ANCHOR_TEXT_ROLLUP = """
+SQL_ANCHOR_TEXT_ROLLUP = f"""
 with links as (
   select (doc_id * 7 + 3) % 100 as dst,
-         array_to_string(string_split(text, ' ')[1:2], ' ') as anchor
+         array_to_string(({_SQL_TOKENS})[1:2], ' ') as anchor
   from documents
 ), per as (
   select dst, anchor, count(*)::BIGINT as cnt from links group by 1, 2
@@ -1564,7 +1565,6 @@ from g group by 1
 # training-data pipeline: text analysis
 # ---------------------------------------------------------------------------
 
-_SQL_TOKENS = "string_split(text, ' ')"
 
 
 def _sw_sql(words: tuple[str, ...]) -> str:
@@ -1605,8 +1605,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
-SQL_TEXT_QUALITY = f"""
-with base as (
+#: the quality-score case expression over the m-CTE columns
+#: (n_tokens, mean_tok, stop_ratio, punct_ratio) — SQL twin of
+#: textstats.quality_score_cols, shared by every oracle that scores
+#: documents (text_quality, host_quality_rollup, clean_corpus) so the
+#: thresholds live in exactly one place per engine
+_SQL_QUALITY_SCORE = """((case when n_tokens between 10 and 100000 then 0.4 else 0.0 end)
+      + (case when mean_tok between 2.0 and 12.0 then 0.3 else 0.0 end)
+      + (case when stop_ratio >= 0.01 then 0.2 else 0.0 end)
+      + (case when punct_ratio <= 0.2 then 0.1 else 0.0 end))"""
+
+
+#: shared base/m CTE text: documents -> per-doc quality measures
+#: (n_tokens, mean_tok, stop_ratio, punct_ratio) — the inputs of
+#: _SQL_QUALITY_SCORE; one definition for both per-doc and per-host oracles
+_SQL_QUALITY_M = f"""base as (
   select doc_id, text, len({_SQL_TOKENS})::BIGINT as n_tokens,
          length(text)::BIGINT as n_chars,
          {_sw_sql(("the", "a", "of", "and", "is", "to"))}::BIGINT as stop_en
@@ -1617,13 +1630,14 @@ with base as (
     stop_en / n_tokens::DOUBLE as stop_ratio,
     (n_chars - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n_chars::DOUBLE as punct_ratio
   from base
-)
+)"""
+
+
+SQL_TEXT_QUALITY = f"""
+with {_SQL_QUALITY_M}
 select doc_id, n_tokens, round(mean_tok, 4) as mean_token_len,
   round(stop_ratio, 4) as stopword_ratio, round(punct_ratio, 4) as punct_ratio,
-  round(((case when n_tokens between 10 and 100000 then 0.4 else 0.0 end)
-      + (case when mean_tok between 2.0 and 12.0 then 0.3 else 0.0 end)
-      + (case when stop_ratio >= 0.01 then 0.2 else 0.0 end)
-      + (case when punct_ratio <= 0.2 then 0.1 else 0.0 end))::DOUBLE, 2) as quality_score
+  round({_SQL_QUALITY_SCORE}::DOUBLE, 2) as quality_score
 from m
 """
 
@@ -1658,24 +1672,9 @@ def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_HOST_QUALITY_ROLLUP = f"""
-with base as (
-  select doc_id, text, len({_SQL_TOKENS})::BIGINT as n_tokens,
-         length(text)::BIGINT as n_chars,
-         {_sw_sql(("the", "a", "of", "and", "is", "to"))}::BIGINT as stop_en
-  from documents
-), m as (
-  select doc_id,
-    (n_chars - (n_tokens - 1)) / n_tokens::DOUBLE as mean_tok,
-    n_tokens,
-    stop_en / n_tokens::DOUBLE as stop_ratio,
-    (n_chars - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n_chars::DOUBLE as punct_ratio
-  from base
-), scored as (
+with {_SQL_QUALITY_M}, scored as (
   select 'h' || cast(doc_id % 7 as varchar(10)) as host,
-    round(((case when n_tokens between 10 and 100000 then 0.4 else 0.0 end)
-        + (case when mean_tok between 2.0 and 12.0 then 0.3 else 0.0 end)
-        + (case when stop_ratio >= 0.01 then 0.2 else 0.0 end)
-        + (case when punct_ratio <= 0.2 then 0.1 else 0.0 end))::DOUBLE, 2) as q
+         round({_SQL_QUALITY_SCORE}::DOUBLE, 2) as q
   from m
 ), agg as (
   select host, count(*)::BIGINT as n_docs,
@@ -1786,10 +1785,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_corpus(spark, sf_dir))
 
 
-def _sql_minhash() -> str:
-    # one md5 per shingle; the N streams are affine-mixed (same constants as
-    # dedup.MINHASH_MIX, bounded so DuckDB's overflow-checked BIGINT agrees
-    # with Spark)
+def _sql_banded_cte() -> str:
+    """Shared CTE text: corpus shingles -> one md5 per shingle -> affine-
+    mixed minhash signature -> banded_all rows. The SQL twin of
+    ``dedup.banded_signatures`` — used by both the batch self-join oracle
+    and the incremental new-vs-history oracle so the constants/band format
+    live in exactly one place per engine."""
     mixed = ", ".join(
         f"min((h * {a} + {b}) % {dedup.MINHASH_P}) as mh{j}"
         for j, (a, b) in enumerate(dedup.MINHASH_MIX)
@@ -1802,11 +1803,18 @@ def _sql_minhash() -> str:
         )
         band_rows.append(f"select doc_id, {b} as band, {cols} as bkey from sig")
     banded = " union all ".join(band_rows)
-    return f"""
-with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
+    return f"""with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
 hashed as (select doc_id, {_H32.format(x='shingle')} as h from sh),
 sig as (select doc_id, {mixed} from hashed group by doc_id),
-banded_all as ({banded}),
+banded_all as ({banded})"""
+
+
+def _sql_minhash() -> str:
+    # one md5 per shingle; the N streams are affine-mixed (same constants as
+    # dedup.MINHASH_MIX, bounded so DuckDB's overflow-checked BIGINT agrees
+    # with Spark)
+    return f"""
+{_sql_banded_cte()},
 hot as (
   select band, bkey from banded_all group by band, bkey
   having count(*) > {dedup.MAX_BUCKET}
@@ -1837,21 +1845,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_incremental() -> str:
-    mixed = ", ".join(
-        f"min((h * {a} + {b}) % {dedup.MINHASH_P}) as mh{j}"
-        for j, (a, b) in enumerate(dedup.MINHASH_MIX)
-    )
-    band_rows = []
-    rpb = dedup.N_MINHASH // dedup.N_BANDS
-    for b in range(dedup.N_BANDS):
-        cols = " || '/' || ".join(f"mh{b * rpb + r}::VARCHAR" for r in range(rpb))
-        band_rows.append(f"select doc_id, {b} as band, {cols} as bkey from sig")
-    banded = " union all ".join(band_rows)
     return f"""
-with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
-hashed as (select doc_id, {_H32.format(x='shingle')} as h from sh),
-sig as (select doc_id, {mixed} from hashed group by doc_id),
-banded_all as ({banded}),
+{_sql_banded_cte()},
 old_b as (select * from banded_all where doc_id < 100000),
 new_b as (select * from banded_all where doc_id >= 100000),
 hot as (
@@ -2209,16 +2204,10 @@ m as (
   from scored
 )
 select doc_id, lang, n_tokens,
-  round(((case when n_tokens between 10 and 100000 then 0.4 else 0.0 end)
-      + (case when mean_tok between 2.0 and 12.0 then 0.3 else 0.0 end)
-      + (case when stop_ratio >= 0.01 then 0.2 else 0.0 end)
-      + (case when punct_ratio <= 0.2 then 0.1 else 0.0 end))::DOUBLE, 2) as quality_score
+  round({_SQL_QUALITY_SCORE}::DOUBLE, 2) as quality_score
 from m
 where lang_pred = 'en'
-  and ((case when n_tokens between 10 and 100000 then 0.4 else 0.0 end)
-      + (case when mean_tok between 2.0 and 12.0 then 0.3 else 0.0 end)
-      + (case when stop_ratio >= 0.01 then 0.2 else 0.0 end)
-      + (case when punct_ratio <= 0.2 then 0.1 else 0.0 end)) >= 0.5
+  and {_SQL_QUALITY_SCORE} >= 0.5
 """
 
 

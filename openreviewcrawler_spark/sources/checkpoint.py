@@ -132,6 +132,15 @@ class SnapshotStore:
         """
         if table not in APPEND_TABLES:
             raise ValueError(f"compact() is for append tables, got {table!r}")
+        if self._pending:
+            # staged-but-uncommitted segment lists were captured from the
+            # pre-compaction manifest; committing them after a compact would
+            # silently re-publish the old segment list (reverting the
+            # compaction — and dangling if old segments were then GC'd)
+            raise RuntimeError(
+                "compact() must run between commits; staged tables pending: "
+                f"{sorted(self._pending)}"
+            )
         m = self.manifest()
         if m is None:
             return False
