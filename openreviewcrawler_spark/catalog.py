@@ -243,7 +243,7 @@ where not (r.disallow is not null and starts_with(u.path, r.disallow[1]))
 #: maximal User-agent runs (aux + * = one header), comment-only and blank
 #: lines, trailing comments, empty Disallow values, hosts with no applicable
 #: block, Allow lines (ignored by the simplified grammar), crawl-delay.
-_ROBOTS_BODY_EXPR = """concat_ws(chr(10),
+_ROBOTS_BODY_LF = """concat_ws(chr(10),
  'User-agent: googlebot',
  'Disallow: /secret',
  '',
@@ -254,6 +254,13 @@ _ROBOTS_BODY_EXPR = """concat_ws(chr(10),
       else concat('Disallow: /p', cast(doc_id % 5 as varchar(10))) end,
  concat('Crawl-delay: ', cast(doc_id % 5 + 1 as varchar(10))),
  'Allow: /public')"""
+
+#: every even host serves CRLF line endings (what most real servers send) —
+#: the r4 ADVICE finding: an LF-only fixture cannot catch a parser that
+#: leaves '\r' on every directive value.
+_ROBOTS_BODY_EXPR = f"""case when doc_id % 2 = 0
+ then replace({_ROBOTS_BODY_LF}, chr(10), chr(13) || chr(10))
+ else {_ROBOTS_BODY_LF} end"""
 
 
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,7 +279,15 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_ROBOTS_BODY_EXPR).alias("body"),
         )
     )
-    return parse_robots(bodies).select("host", "disallow_prefix", "crawl_delay_s")
+    # serialize the array column to a pipe-joined scalar: the DRIVER's
+    # canonicalizer sorts rows via pandas sort_values, which cannot factorize
+    # list cells (the one red r3 CORRECTNESS row). Local-green must predict
+    # driver-green for column *types* too, not just float formats.
+    return parse_robots(bodies).select(
+        "host",
+        F.array_join("disallow_prefix", "|").alias("disallow_prefix"),
+        "crawl_delay_s",
+    )
 
 
 SQL_ROBOTS_PARSE = f"""
@@ -280,7 +295,7 @@ with bodies as (
   select 'h' || cast(doc_id as varchar(30)) as host, {_ROBOTS_BODY_EXPR} as body
   from documents where doc_id < 20
 ), ls as (
-  select host, string_split(body, chr(10)) as l from bodies
+  select host, string_split_regex(body, '\r?\n') as l from bodies
 ), lines as (
   select host, unnest(range(1, len(l) + 1)) as idx, unnest(l) as raw from ls
 ), cleaned as (
@@ -312,7 +327,7 @@ with bodies as (
   from rules group by host
 )
 select b.host,
-       coalesce(a.dp, []) as disallow_prefix,
+       coalesce(array_to_string(a.dp, '|'), '') as disallow_prefix,
        a.cd as crawl_delay_s
 from (select distinct host from bodies) b left join agg a using (host)
 """
@@ -320,15 +335,21 @@ from (select distinct host from bodies) b left join agg a using (host)
 
 #: deterministic sitemap.xml body per host — shared verbatim by both engines.
 #: Exercises: multi-entry sitemaps, optional lastmod/priority (present,
-#: partially present, absent), a loc-less entry that must be dropped, and a
-#: host whose sitemap has a single bare entry.
+#: partially present, absent), a loc-less entry that must be dropped, a
+#: host whose sitemap has a single bare entry, and — the r4 ADVICE finding —
+#: PRETTY-PRINTED entries whose <url> body spans lines (every odd host):
+#: default-mode '.' matches no newline in Java regex or RE2, so a
+#: single-line fixture cannot catch a parser missing (?s).
 _SITEMAP_BODY_EXPR = """concat(
  '<?xml version="1.0"?><urlset>',
- '<url><loc>https://h', cast(doc_id % 7 as varchar(10)), '.example/p/',
+ '<url>', case when doc_id % 2 = 1 then chr(10) || '  ' else '' end,
+ '<loc>https://h', cast(doc_id % 7 as varchar(10)), '.example/p/',
    cast(doc_id as varchar(30)), '</loc>',
+ case when doc_id % 2 = 1 then chr(10) || '  ' else '' end,
  '<lastmod>2026-01-', lpad(cast(doc_id % 28 + 1 as varchar(10)), 2, '0'),
    '</lastmod>',
- '<priority>0.', cast(doc_id % 10 as varchar(10)), '</priority></url>',
+ '<priority>0.', cast(doc_id % 10 as varchar(10)), '</priority>',
+ case when doc_id % 2 = 1 then chr(10) else '' end, '</url>',
  case when doc_id % 2 = 0 then concat(
    '<url><loc>https://h', cast(doc_id % 7 as varchar(10)), '.example/q/',
    cast(doc_id as varchar(30)), '</loc></url>') else '' end,
@@ -362,7 +383,7 @@ with bodies as (
   select 's' || cast(doc_id as varchar(30)) as host, {_SITEMAP_BODY_EXPR} as body
   from documents where doc_id < 30
 ), arrs as (
-  select host, regexp_extract_all(body, '<url>(.*?)</url>', 1) as es from bodies
+  select host, regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1) as es from bodies
 ), e as (
   select host, unnest(range(1, len(es) + 1)) - 1 as pos, unnest(es) as entry
   from arrs

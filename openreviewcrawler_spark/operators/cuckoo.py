@@ -69,8 +69,12 @@ class CuckooFilter:
         self.table = (table if table is not None
                       else np.zeros((n_buckets, _SLOTS), dtype=np.uint16))
         # stash rows: (bucket, fp) pairs that lost a kick chain — probed on
-        # lookup so the no-false-negative guarantee survives table pressure
+        # lookup so the no-false-negative guarantee survives table pressure.
+        # Failed chains within one bulk call accumulate in a Python list and
+        # concatenate ONCE per call (_flush_stash): np.vstack per failure is
+        # O(n^2) copying under sustained overfill (r4 ADVICE finding).
         self.stash = stash if stash is not None else np.zeros((0, 2), dtype=np.int64)
+        self._stash_pending: list[tuple[int, int]] = []
 
     @classmethod
     def sized_for(cls, n_items: int, load: float = 0.7) -> "CuckooFilter":
@@ -115,7 +119,14 @@ class CuckooFilter:
             )
             if self._place(cur_b, cur_fp):
                 return
-        self.stash = np.vstack([self.stash, [[cur_b, cur_fp]]])
+        self._stash_pending.append((cur_b, cur_fp))
+
+    def _flush_stash(self) -> None:
+        """Concatenate pending stash rows once; call before any stash read."""
+        if self._stash_pending:
+            rows = np.array(self._stash_pending, dtype=np.int64).reshape(-1, 2)
+            self.stash = np.vstack([self.stash, rows])
+            self._stash_pending.clear()
 
     def _bulk_place(self, target: np.ndarray, fp: np.ndarray) -> np.ndarray:
         """Vectorized batch placement into ``target`` buckets: each bucket's
@@ -153,10 +164,18 @@ class CuckooFilter:
                 return
         for b, f in zip(i1, fp):
             self._insert_one(int(b), int(f))
+        self._flush_stash()
 
     def delete_many(self, keys: np.ndarray) -> np.ndarray:
         """Remove one fingerprint occurrence per key; returns per-key found
-        flags (False = key was never inserted OR already collision-deleted)."""
+        flags (False = key was never inserted OR already collision-deleted).
+
+        Occurrence counting is deliberate (Fan et al. §3 delete contract):
+        suppressing duplicate (bucket, fp) insertions would make a delete of
+        one colliding key silently evict another still-live key — a false
+        negative on the seen tier. Duplicate-driven fill is instead bounded
+        by the caller's contract (the seen set is distinct url hashes)."""
+        self._flush_stash()
         out = np.zeros(len(keys), dtype=bool)
         if len(keys) == 0:
             return out
@@ -185,6 +204,7 @@ class CuckooFilter:
 
     # -- lookup -----------------------------------------------------------
     def might_contain_many(self, keys: np.ndarray) -> np.ndarray:
+        self._flush_stash()
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
         fp = _fingerprints(keys)
@@ -193,22 +213,42 @@ class CuckooFilter:
         hit = ((self.table[i1] == fp[:, None]).any(axis=1)
                | (self.table[i2] == fp[:, None]).any(axis=1))
         if len(self.stash):
-            for b, f in self.stash:
-                hit |= ((i1 == b) | (i2 == b)) & (fp == f)
+            sb, sf = self.stash[:, 0][None, :], self.stash[:, 1][None, :]
+            hit |= (
+                ((i1[:, None] == sb) | (i2[:, None] == sb))
+                & (fp.astype(np.int64)[:, None] == sf)
+            ).any(axis=1)
         return hit
 
     # -- merge / serialization -------------------------------------------
     def merge(self, other: "CuckooFilter") -> "CuckooFilter":
-        """Absorb ``other`` (same n_buckets) by fingerprint re-insertion."""
+        """Absorb ``other`` (same n_buckets) by fingerprint re-insertion.
+
+        Same bulk shape as ``add_many``: one vectorized pass placing each
+        resident fingerprint back into its home bucket, one into the
+        alternate (recoverable without the key: i2 = i XOR h(fp) is an
+        involution), and only the remainder walks per-key kick chains —
+        the treeAggregate combiner stays on the vectorized path."""
         assert self.n_buckets == other.n_buckets
+        other._flush_stash()
         occ_b, occ_s = np.nonzero(other.table)
-        for b, s in zip(occ_b, occ_s):
-            self._insert_one(int(b), int(other.table[b, s]))
+        fp = other.table[occ_b, occ_s]
+        b = occ_b.astype(np.int64)
+        for use_alt in (False, True):
+            if len(fp) == 0:
+                break
+            target = self._alt(b, fp) if use_alt else b
+            keep = self._bulk_place(target, fp)
+            fp, b = fp[keep], b[keep]
+        for bb, f in zip(b, fp):
+            self._insert_one(int(bb), int(f))
+        self._flush_stash()
         if len(other.stash):
             self.stash = np.vstack([self.stash, other.stash])
         return self
 
     def to_bytes(self) -> bytes:
+        self._flush_stash()
         return pickle.dumps(
             (self.n_buckets, self.table.tobytes(), self.stash.tobytes())
         )

@@ -41,6 +41,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from .textstats import hash32_col, tokens_col
 
 N_MINHASH = 16
@@ -163,7 +164,7 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
     # instead of re-running the signature job. Materializing signatures is
     # also the 100 TB-scale shape — the corpus-sized shingle explode runs
     # exactly once.
-    banded = banded_signatures(corpus).persist()
+    banded = track_persist(banded_signatures(corpus))
     bucket_sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("__bn"))
     banded = banded.join(
         F.broadcast(bucket_sizes.filter(F.col("__bn") > MAX_BUCKET)),
@@ -249,7 +250,7 @@ def simhash_near_pairs(
     # pin the band table (4 rows/doc): `wide`, the hot-bucket scan and the
     # kept anti-join otherwise each re-run the token-explode + 64-vote
     # aggregation (the expensive stage); one evaluation, three cache reads.
-    bands = simhash_band_values(corpus).persist()
+    bands = track_persist(simhash_band_values(corpus))
     wide = bands.groupBy("doc_id").agg(
         *[
             F.max(F.when(F.col("band") == b, F.col("bval"))).alias(f"b{b}")
@@ -313,7 +314,7 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     # re-run tokenize + slice-zip + explode over the corpus. The inverted
     # index IS this operator's core data structure; materializing it once is
     # the scale shape too (MEMORY_AND_DISK spills past executor memory).
-    sh_all = shingles_df(corpus).persist()
+    sh_all = track_persist(shingles_df(corpus))
     hot = (
         sh_all.groupBy("shingle")
         .agg(F.count("*").alias("__df"))
@@ -334,11 +335,17 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .agg(F.count("*").alias("inter"))
     )
+    # NO broadcast hint on the size attach: `sizes` is one row per corpus
+    # document, so a forced broadcast is an OOM at the 10^10-doc design
+    # point and overrides AQE's size logic (r3 verdict #2 — the only
+    # scale-killer found in the dedup family). doc_a/doc_b are already the
+    # shuffle keys of `inter`, so these attach as plain shuffle joins; AQE
+    # may still choose broadcast when the corpus is actually small.
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -377,7 +384,7 @@ def embedding_near_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFra
     # pin the band signatures (3 rows/vector): the hot-bucket scan and the
     # anti-joined self-join sides otherwise each re-run the 24 plane-dot
     # folds per vector (the expensive stage of this plan).
-    bands = lsh_band_values(vectors).persist()
+    bands = track_persist(lsh_band_values(vectors))
     hot = (
         bands.groupBy("band", "bval")
         .agg(F.count("*").alias("__bn"))
@@ -602,7 +609,7 @@ def minhash_lsh_incremental(
     dropping a hot history bucket only defers those candidates to the exact
     md5 tier, same contract as the batch dedup.
     """
-    old_b = banded_signatures(old).persist()
+    old_b = track_persist(banded_signatures(old))
     hot = (
         old_b.groupBy("band", "bkey")
         .agg(F.count("*").alias("__bn"))

@@ -31,6 +31,8 @@ import numpy as np
 from pyspark import StorageLevel, TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import track_persist
 from pyspark.sql import types as T
 
 
@@ -50,7 +52,7 @@ def prefix_sum_scalable(
 
     d = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
     d = d.sortWithinPartitions(*order_cols)
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    d = track_persist(d, StorageLevel.MEMORY_AND_DISK)
 
     part_sums = (
         d.select(F.spark_partition_id().alias("__pid"), F.col(value_col).alias("__v"))

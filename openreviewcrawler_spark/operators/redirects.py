@@ -12,9 +12,11 @@ current mapping with itself (``f = f . f``), so a chain of length L resolves
 in ceil(log2 L) self-joins instead of L — at web scale chains are short
 (2-5 hops) but the tail is long, and every round is a full shuffle of the
 mapping, so halving the round count matters more than anything inside a
-round. Each round is a plain equi-join on the successor key; map-side
-combine applies, no driver barrier anywhere (fixed round count, no
-fixpoint collect).
+round. Each round is a plain equi-join on the successor key with the input
+relation materialized via ``localCheckpoint`` between rounds (lineage cut;
+without it the self-join re-embeds the upstream plan and the executed plan
+doubles per round — 2^rounds source scans). Fixed round count, no fixpoint
+collect; the only driver involvement is the eager checkpoint job per round.
 
 Cycles (redirect loops) cannot resolve to a terminal; after ``rounds``
 doublings a loop member still points INSIDE the loop, and the final
@@ -39,11 +41,17 @@ def resolve_redirects(redirects: DataFrame, rounds: int = 5) -> DataFrame:
     Every intermediate node resolves too (not just chain heads): the seen
     tier wants EVERY alias of a page mapped to its canonical final url.
     """
-    # f: src -> (cur, hops); doubling composes f with itself each round
+    # f: src -> (cur, hops); doubling composes f with itself each round.
+    # MATERIALIZE f between rounds (the r3 lesson: a self-join embeds — and
+    # re-runs — the upstream plan once per side). Without the localCheckpoint
+    # the executed plan doubles per round: at rounds=5 that is 2^5 scans of
+    # `redirects` and 31 joins, negating the log2(L) shuffle saving pointer
+    # doubling exists for. With it: 2 shuffles per round, lineage cut.
     f = redirects.select(
         "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
     )
     for _ in range(rounds):
+        f = f.localCheckpoint(eager=True)
         nxt = f.select(
             F.col("src").alias("j_src"),
             F.col("cur").alias("j_cur"),

@@ -101,7 +101,7 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
     Simplified-but-standard grammar (documented deviation from the full
     RFC 9309 longest-match model, which needs per-URL rule resolution):
 
-      * lines split on \\n; ``#`` comments stripped; surrounding blanks
+      * lines split on ``\\r?\\n`` (CRLF-safe); ``#`` comments stripped; surrounding blanks
         trimmed; directive keys case-insensitive.
       * a *block header* is a maximal run of consecutive ``User-agent:``
         lines; the block's rules apply to us iff any header line names
@@ -117,9 +117,13 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
     host for the block window; output is the tiny dimension table the
     scheduling round broadcasts.
     """
+    # split on \r?\n, not \n: most real servers serve CRLF robots.txt, and
+    # trim() strips only spaces, so a bare-\n split would leave '\r' on every
+    # value ('*' would never match and each CRLF host would silently parse
+    # as fully allowed — a politeness regression). F.split takes a regex.
     lines = bodies.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("idx", "raw"),
+        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("idx", "raw"),
     ).select(
         "host",
         "idx",

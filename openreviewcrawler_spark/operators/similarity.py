@@ -34,6 +34,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
+
 N_PLANES = 8  # legacy full-signature width (ann_lsh_signature)
 IVF_REFINE = 1  # Lloyd iterations refining the seeded centroids
 LSH_PLANES = 24  # banded retrieval: 3 bands x 8 bits
@@ -348,7 +350,7 @@ def ann_lsh_topk(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFra
     # pin the band signatures: the hot-bucket scan, the query-side filter
     # and the corpus side of the bucket join otherwise each re-run the
     # 24 plane-dot folds per vector.
-    bands = lsh_band_values(vectors).persist()
+    bands = track_persist(lsh_band_values(vectors))
     hot = (
         bands.groupBy("band", "bval")
         .agg(F.count("*").alias("__bn"))

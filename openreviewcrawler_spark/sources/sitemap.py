@@ -35,7 +35,12 @@ def parse_sitemaps(bodies: DataFrame) -> DataFrame:
     stays a string (ISO date) — casting is the consumer's choice; empty
     optional fields surface as NULL.
     """
-    entries = F.regexp_extract_all(F.col("body"), F.lit(r"<url>(.*?)</url>"), 1)
+    # (?s): real sitemaps are pretty-printed, so a <url> entry spans lines;
+    # default-mode '.' matches no newline in BOTH Java regex and RE2, and a
+    # single-line-only fixture would silently yield zero/partial rows on real
+    # input. (?s) is supported identically by Java regex (Spark) and RE2
+    # (DuckDB oracle).
+    entries = F.regexp_extract_all(F.col("body"), F.lit(r"(?s)<url>(.*?)</url>"), 1)
     e = bodies.select("host", F.posexplode(entries).alias("pos", "entry"))
     loc = F.regexp_extract(F.col("entry"), r"<loc>([^<]*)</loc>", 1)
     lastmod = F.regexp_extract(F.col("entry"), r"<lastmod>([^<]*)</lastmod>", 1)

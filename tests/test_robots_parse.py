@@ -78,3 +78,17 @@ def test_parse_robots_delay_budget(spark):
     )
     allowed, _ = apply_robots(cand, rules, default_budget=8, round_seconds=60.0)
     assert allowed.collect()[0]["budget"] == 2  # floor(60/25)
+
+
+def test_parse_robots_crlf_body(spark):
+    """CRLF bodies (what most real servers serve) parse identically to LF:
+    a bare-\\n split leaves '\\r' on every value, so 'User-agent: *\\r' never
+    matches '*' and the host silently parses as fully allowed — the r4
+    ADVICE politeness regression an LF-only fixture cannot catch."""
+    bodies = spark.createDataFrame(
+        [("crlf.example", BODY.replace("\n", "\r\n")), ("lf.example", BODY)],
+        "host string, body string",
+    )
+    rows = {r["host"]: r for r in parse_robots(bodies).collect()}
+    assert rows["crlf.example"]["disallow_prefix"] == rows["lf.example"]["disallow_prefix"] == ["/tmp"]
+    assert rows["crlf.example"]["crawl_delay_s"] == rows["lf.example"]["crawl_delay_s"] == 7.0

@@ -108,3 +108,22 @@ def test_resolve_redirects_chains_and_loops(spark):
     assert rows["a"]["resolved"] and rows["b"]["resolved"] and rows["c"]["resolved"]
     for loop_member in ("x", "y", "w"):
         assert not rows[loop_member]["resolved"]
+
+
+def test_parse_sitemaps_pretty_printed_multiline(spark):
+    """Real sitemaps are pretty-printed: <url> entries span lines. Default-mode
+    '.' matches no newline in Java regex or RE2, so without (?s) a multi-line
+    entry silently yields zero rows (r4 ADVICE finding)."""
+    body = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url>\n    <loc>https://m.example/a</loc>\n"
+        "    <lastmod>2026-03-01</lastmod>\n    <priority>0.8</priority>\n  </url>\n"
+        "  <url>\n    <loc>https://m.example/b</loc>\n  </url>\n"
+        "</urlset>\n"
+    )
+    df = spark.createDataFrame([("m.example", body)], "host string, body string")
+    rows = sorted(parse_sitemaps(df).collect(), key=lambda r: r["pos"])
+    assert [r["url"] for r in rows] == ["https://m.example/a", "https://m.example/b"]
+    assert rows[0]["lastmod"].strip() == "2026-03-01"
+    assert rows[0]["priority"] == 0.8
+    assert rows[1]["lastmod"] is None
