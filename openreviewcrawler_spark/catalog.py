@@ -2465,43 +2465,48 @@ where doc_id % 3 = 2
 # registry
 # ---------------------------------------------------------------------------
 
-#: Ordering note (r2 lesson): the driver's r2 CORRECTNESS file recorded 50
-#: rows for a 51-entry registry, dropping whichever entry iterated LAST
-#: (mm_frame_sample). The multimodal entries therefore sit mid-registry now,
-#: and the final slot is held by crawl_seen_filter_bloom — the one entry
-#: whose relational semantics are already fully evidenced by another row
-#: (crawl_seen_filter shares its oracle; the Bloom layer itself has
-#: dedicated property tests in tests/test_bloom_ordering.py), so a tail
-#: truncation loses no unique coverage.
+#: Ordering policy (pinned in r4, per the r3 verdict): the driver records
+#: CORRECTNESS rows for only the FIRST 50 registry entries, so the registry
+#: CYCLES — an entry green in the driver's round-N file is eligible for the
+#: tail (slots 51-65) in round N+1, and every entry untested in round N
+#: (tail slots or red rows) moves into the head for round N+1. Every entry
+#: therefore gets a hard driver row at least every other round. r4 head:
+#: the 15 entries without an r3 driver row (incl. the four never-driver-run
+#: r3 operators) plus this round's fixed entries; r4 tail: 15 entries green
+#: in CORRECTNESS_r03.json and untouched by the r4 diff.
 CATALOG: dict[str, QueryDef] = {
-    # crawl engine
-    "crawl_canonicalize": QueryDef(q_crawl_canonicalize, SQL_CRAWL_CANONICALIZE),
-    "crawl_seed_dedup": QueryDef(q_crawl_seed_dedup, SQL_CRAWL_SEED_DEDUP),
-    "crawl_seen_filter": QueryDef(q_crawl_seen_filter, SQL_CRAWL_SEEN_FILTER),
-    "crawl_robots_filter": QueryDef(q_crawl_robots_filter, SQL_CRAWL_ROBOTS_FILTER),
+    "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "traindata_pack_sequences": QueryDef(
+        q_traindata_pack_sequences, SQL_TRAINDATA_PACK_SEQUENCES
+    ),
+    "traindata_decontaminate": QueryDef(
+        q_traindata_decontaminate, SQL_TRAINDATA_DECONTAMINATE
+    ),
+    "crawl_seen_filter_cuckoo": QueryDef(q_crawl_seen_filter_cuckoo, SQL_CRAWL_SEEN_FILTER),
+    "crawl_seen_filter_bloom": QueryDef(q_crawl_seen_filter_bloom, SQL_CRAWL_SEEN_FILTER),
+    "dedup_simhash": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "dedup_components": QueryDef(q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "traindata_stratified_sample": QueryDef(
+        q_traindata_stratified_sample, SQL_TRAINDATA_STRATIFIED_SAMPLE
+    ),
+    "traindata_clean_corpus": QueryDef(q_traindata_clean_corpus, SQL_TRAINDATA_CLEAN_CORPUS),
+    "ann_brute_topk": QueryDef(q_ann_brute_topk, SQL_ANN_BRUTE_TOPK),
+    "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_lsh_signature": QueryDef(q_ann_lsh_signature, SQL_ANN_LSH_SIGNATURE),
+    "ann_lsh_topk": QueryDef(q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    # --- r4-touched entries (fixes this round need fresh driver rows) ---
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),
     "crawl_redirect_resolve": QueryDef(
         q_crawl_redirect_resolve, SQL_CRAWL_REDIRECT_RESOLVE
     ),
-    "warc_export": QueryDef(q_warc_export, SQL_WARC_EXPORT),
-    "anchor_text_rollup": QueryDef(q_anchor_text_rollup, SQL_ANCHOR_TEXT_ROLLUP),
-    "crawl_politeness_admit": QueryDef(q_crawl_politeness_admit, SQL_CRAWL_POLITENESS_ADMIT),
-    "crawl_politeness_admit_salted": QueryDef(
-        q_crawl_politeness_admit_salted, SQL_CRAWL_POLITENESS_ADMIT
-    ),
+    # --- r3-green entries still inside the driver window ---
     "crawl_fetch_seq": QueryDef(q_crawl_fetch_seq, SQL_CRAWL_FETCH_SEQ),
-    "crawl_fetch_join": QueryDef(q_crawl_fetch_join, SQL_CRAWL_FETCH_JOIN),
-    "crawl_frontier_merge": QueryDef(q_crawl_frontier_merge, SQL_CRAWL_FRONTIER_MERGE),
-    "crawl_host_rollup": QueryDef(q_crawl_host_rollup, SQL_CRAWL_HOST_ROLLUP),
     "crawl_round": QueryDef(q_crawl_round, SQL_CRAWL_ROUND),
     "crawl_recrawl_due": QueryDef(q_crawl_recrawl_due, SQL_CRAWL_RECRAWL_DUE),
     "frontier_link_rank": QueryDef(q_frontier_link_rank, _sql_frontier_link_rank()),
-    # OpenReview analytics parity
-    "note_type_classify": QueryDef(q_note_type_classify, SQL_NOTE_TYPE_CLASSIFY),
-    "label_cascade": QueryDef(q_label_cascade, SQL_LABEL_CASCADE),
-    "venue_year_rollup": QueryDef(q_venue_year_rollup, SQL_VENUE_YEAR_ROLLUP),
-    "label_share_pivot": QueryDef(q_label_share_pivot, SQL_LABEL_SHARE_PIVOT),
     "comment_histogram": QueryDef(q_comment_histogram, SQL_COMMENT_HISTOGRAM),
     "median_by_group": QueryDef(q_median_by_group, SQL_MEDIAN_BY_GROUP),
     "revision_latest": QueryDef(q_revision_latest, SQL_REVISION_LATEST),
@@ -2515,49 +2520,39 @@ CATALOG: dict[str, QueryDef] = {
     "venue_id_assign": QueryDef(q_venue_id_assign, SQL_VENUE_ID_ASSIGN),
     "global_totals": QueryDef(q_global_totals, SQL_GLOBAL_TOTALS),
     "type_share": QueryDef(q_type_share, SQL_TYPE_SHARE),
-    # relational coverage
     "q1_pricing": QueryDef(q_q1_pricing, SQL_Q1_PRICING),
     "q3_shipping": QueryDef(q_q3_shipping, SQL_Q3_SHIPPING),
     "q5_region_revenue": QueryDef(q_q5_region_revenue, SQL_Q5_REGION_REVENUE),
     "top_orders_per_customer": QueryDef(q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
     "sessionization": QueryDef(q_sessionization, SQL_SESSIONIZATION),
-    # text analysis
     "lang_id": QueryDef(q_lang_id, SQL_LANG_ID),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "token_count": QueryDef(q_token_count, SQL_TOKEN_COUNT),
     "text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION),
     "host_quality_rollup": QueryDef(q_host_quality_rollup, SQL_HOST_QUALITY_ROLLUP),
     "doc_fingerprint": QueryDef(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    # multimodal plumbing (mid-registry: see ordering note above)
     "mm_decode_meta": QueryDef(q_mm_decode_meta, SQL_MM_DECODE_META),
     "mm_frame_sample": QueryDef(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
-    # dedup family
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
-    "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
-    "dedup_simhash": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
-    "dedup_components": QueryDef(q_dedup_components, SQL_DEDUP_COMPONENTS),
-    "traindata_pack_sequences": QueryDef(
-        q_traindata_pack_sequences, SQL_TRAINDATA_PACK_SEQUENCES
+    # --- tail (slots 51-65): green driver rows in r3, rotated out ---
+    "crawl_canonicalize": QueryDef(q_crawl_canonicalize, SQL_CRAWL_CANONICALIZE),
+    "crawl_seed_dedup": QueryDef(q_crawl_seed_dedup, SQL_CRAWL_SEED_DEDUP),
+    "crawl_seen_filter": QueryDef(q_crawl_seen_filter, SQL_CRAWL_SEEN_FILTER),
+    "crawl_robots_filter": QueryDef(q_crawl_robots_filter, SQL_CRAWL_ROBOTS_FILTER),
+    "warc_export": QueryDef(q_warc_export, SQL_WARC_EXPORT),
+    "anchor_text_rollup": QueryDef(q_anchor_text_rollup, SQL_ANCHOR_TEXT_ROLLUP),
+    "crawl_politeness_admit": QueryDef(q_crawl_politeness_admit, SQL_CRAWL_POLITENESS_ADMIT),
+    "crawl_politeness_admit_salted": QueryDef(
+        q_crawl_politeness_admit_salted, SQL_CRAWL_POLITENESS_ADMIT
     ),
-    "traindata_stratified_sample": QueryDef(
-        q_traindata_stratified_sample, SQL_TRAINDATA_STRATIFIED_SAMPLE
-    ),
-    "traindata_clean_corpus": QueryDef(q_traindata_clean_corpus, SQL_TRAINDATA_CLEAN_CORPUS),
-    "traindata_decontaminate": QueryDef(
-        q_traindata_decontaminate, SQL_TRAINDATA_DECONTAMINATE
-    ),
-    # similarity search
-    "ann_brute_topk": QueryDef(q_ann_brute_topk, SQL_ANN_BRUTE_TOPK),
-    "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
-    "ann_lsh_signature": QueryDef(q_ann_lsh_signature, SQL_ANN_LSH_SIGNATURE),
-    "ann_lsh_topk": QueryDef(q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    # tail slots: semantics duplicated by crawl_seen_filter (ordering note);
-    # the cuckoo/Bloom layers have dedicated property tests of their own
-    "crawl_seen_filter_cuckoo": QueryDef(q_crawl_seen_filter_cuckoo, SQL_CRAWL_SEEN_FILTER),
-    "crawl_seen_filter_bloom": QueryDef(q_crawl_seen_filter_bloom, SQL_CRAWL_SEEN_FILTER),
+    "crawl_fetch_join": QueryDef(q_crawl_fetch_join, SQL_CRAWL_FETCH_JOIN),
+    "crawl_frontier_merge": QueryDef(q_crawl_frontier_merge, SQL_CRAWL_FRONTIER_MERGE),
+    "crawl_host_rollup": QueryDef(q_crawl_host_rollup, SQL_CRAWL_HOST_ROLLUP),
+    "note_type_classify": QueryDef(q_note_type_classify, SQL_NOTE_TYPE_CLASSIFY),
+    "label_cascade": QueryDef(q_label_cascade, SQL_LABEL_CASCADE),
+    "venue_year_rollup": QueryDef(q_venue_year_rollup, SQL_VENUE_YEAR_ROLLUP),
+    "label_share_pivot": QueryDef(q_label_share_pivot, SQL_LABEL_SHARE_PIVOT),
 }
 
 
