@@ -2147,12 +2147,14 @@ from reach group by 1
 
 
 def q_traindata_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data cleaning pass over the derived corpus:
+    """End-to-end training-data cleaning pass over the derived corpus — the
+    full FIVE-stage ladder a 100 TB pretraining corpus runs nightly:
     exact-dedup (md5 keeper), NEAR-dup dedup (MinHash-LSH pairs -> connected
     components -> keep only each cluster's canonical min-doc_id keeper),
-    language filter (en by the heuristic), quality gate (score >= 0.5),
-    token budget stats — the full dedup ladder composed end to end, the
-    pipeline a 100 TB pretraining corpus runs nightly.
+    language filter (en by the heuristic), quality gate (score >= 0.5), and
+    benchmark DECONTAMINATION (drop every surviving doc sharing a 3-gram
+    with the eval set — broadcast eval n-gram index, map-side join; r3
+    verdict item 8).
 
     Both dedup tiers apply: the component keeper removes near-dup cluster
     members (exact dups normally share every band and land in the same
@@ -2185,7 +2187,20 @@ def q_traindata_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_tokens", q["n_tokens"])
         .filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5))
     )
-    return cleaned.select("doc_id", "lang", "n_tokens", "quality_score")
+    # stage 5 — decontamination: same eval set as traindata_decontaminate
+    # (every 97th source doc). Computed over the keeper set (final is a
+    # subset, so the anti-join is identical) to reuse its pinned text.
+    ev = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("eval_id"), "text")
+    )
+    contaminated = dedup.decontaminate_ngrams(
+        keeper.select("doc_id", "text"), ev, n=3
+    ).select("doc_id")
+    return cleaned.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    )
 
 
 def _sql_traindata() -> str:
@@ -2223,12 +2238,27 @@ m as (
     stop_en / n_tokens::DOUBLE as stop_ratio,
     (n_chars - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n_chars::DOUBLE as punct_ratio
   from scored
-)
+),
+ev_docs as (select doc_id as eval_id, text from documents where doc_id % 97 = 0),
+ev_sh as (
+  select eval_id, unnest(list_distinct(
+    list_transform(range(1, len({_SQL_TOKENS}) - 1),
+                   i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i + 1] || ' ' || {_SQL_TOKENS}[i + 2])
+  )) as shingle from ev_docs where len({_SQL_TOKENS}) >= 3
+),
+kp_sh as (
+  select doc_id, unnest(list_distinct(
+    list_transform(range(1, len({_SQL_TOKENS}) - 1),
+                   i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i + 1] || ' ' || {_SQL_TOKENS}[i + 2])
+  )) as shingle from keeper where len({_SQL_TOKENS}) >= 3
+),
+contaminated as (select distinct t.doc_id from kp_sh t join ev_sh e using (shingle))
 select doc_id, lang, n_tokens,
   round({_SQL_QUALITY_SCORE}::DOUBLE, 2) as quality_score
 from m
 where lang_pred = 'en'
   and {_SQL_QUALITY_SCORE} >= 0.5
+  and doc_id not in (select doc_id from contaminated)
 """
 
 

@@ -196,3 +196,30 @@ def test_admit_single_shuffle_on_host(spark, sf_dir):
     plan = plan_of(q_crawl_politeness_admit(spark, sf_dir))
     assert n_exchanges(plan) == 1
     assert "hashpartitioning(host" in plan
+
+
+def test_ngram_sizes_attach_without_forced_broadcast(spark, sf_dir):
+    """r3 verdict #2: the per-document size table (one row per corpus doc)
+    must NOT carry a broadcast hint — a forced broadcast of a corpus-sized
+    relation is an OOM at the 10^10-doc design point and overrides AQE's
+    size logic. The only static BroadcastExchange allowed in the ngram plan
+    is the hot-shingle stop list (provably small: capped by MAX_SHINGLE_DF
+    pruning); the size attaches ride the existing doc_id shuffle keys."""
+    from openreviewcrawler_spark.catalog import q_dedup_ngram_jaccard
+
+    df = q_dedup_ngram_jaccard(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the *hints* are what must be bounded: Catalyst/AQE may still choose
+    # broadcast from its own size estimates at small SF (fine — that logic
+    # backs off at scale); a literal F.broadcast() on a corpus-derived
+    # relation cannot. Every hint in the analyzed plan must wrap the capped
+    # hot-shingle stop list (its subtree filters on the __df document
+    # frequency), never the per-document n_sh size aggregate.
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+    hint_idx = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert hint_idx  # the stop-list broadcast is load-bearing, keep it
+    for i in hint_idx:
+        sub = "\n".join(lines[i : i + 4])
+        assert "__df" in sub and "n_sh" not in sub, sub

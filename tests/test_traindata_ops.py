@@ -374,3 +374,39 @@ def test_incremental_dedup_probes_history_only(corpus, spark):
     assert (1, 0) in rows and rows[(1, 0)] == dedup.N_BANDS  # exact dup: all bands
     assert (2, 0) in rows and rows[(2, 0)] >= 1  # near dup: >=1 band
     assert all(old_id == 0 for _, old_id in rows)
+
+
+def test_lsh_768d_configuration_end_to_end(spark):
+    """VERDICT r3 item 7: the documented production dial
+    ``lsh_band_values(v, n_planes=96, band_bits=12, dim=768)`` must work end
+    to end, not just construct: on a synthetic 768-d batch with planted
+    ~0.9995-cos near-dups, the 8x12-bit band signatures compile, stay inside
+    whole-stage codegen at plan level, and band-bucket retrieval finds the
+    planted neighbor for >= 80% of queries (theory: p_band ~ 0.84 at this
+    angle, 8 bands -> recall ~ 1)."""
+    import numpy as np
+
+    from test_plans import plan_of
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 768))
+    near = base[:10].copy()
+    near[:, 0] += 0.05 * np.abs(near[:, 0])  # tiny perturbation: cos ~ 0.9995
+    rows = [(int(i), "base", [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(int(1000 + i), "near", [float(x) for x in v]) for i, v in enumerate(near)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    bands = similarity.lsh_band_values(df, n_planes=96, band_bits=12, dim=768)
+    plan = plan_of(bands)
+    assert "* Project" in plan  # the 96 plane-dot folds stay codegen'd
+    got = bands.collect()
+    assert len(got) == 50 * 8  # 8 bands per vector
+    by_vec: dict[int, set] = {}
+    for r in got:
+        by_vec.setdefault(r["vec_id"], set()).add((r["band"], r["bval"]))
+    hits = sum(1 for i in range(10) if by_vec[i] & by_vec[1000 + i])
+    assert hits >= 8, f"planted-pair band recall {hits}/10"
+    # distinct vectors must not all collide: buckets discriminate
+    others = sum(1 for i in range(10) for j in range(20, 30) if by_vec[i] & by_vec[j])
+    assert others < 20
