@@ -1,11 +1,18 @@
 """Benchmark harness — headline queries + crawl-round throughput + scaling.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line as the FINAL stdout line:
   {"metric": "...", "value": <total headline seconds>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>,
    "crawl": {"urls_per_sec_hi": ..., "urls_per_sec_lo": ...,
              "cores_hi": ..., "cores_lo": ..., "scaling_efficiency": ...,
-             "ordering_identical": ..., "n_urls": ...}}
+             "ordering_identical": ..., "n_urls": ...},
+   "sidecar": "<path>"}
+
+The full audit record (envelope probes, per-cpuset pre/post gates, rotation
+trail) goes to the ``sidecar`` file, NOT stdout: the r3 driver artifact
+recorded ``parsed: null`` because the one-line JSON carrying the whole probe
+trail outgrew the driver's tail-capture buffer — the official record lost
+the headline number. Machine-readability of the last line is a contract.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -464,6 +471,16 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
             if samples.get("lo", 0) < 2:
                 run_phase("lo", cpus_lo, n_pages)
                 continue
+            # weak-phase sample parity (r3 verdict #6): the wk level got ONE
+            # sample in the pair loop, so a single steal burst poisons weak
+            # efficiency for the whole run (driver r3: weak 0.76 from 1
+            # clean + 1 dirty sample). A wk resample is pure repair — steal
+            # only ever SLOWS a sample, so min-of-samples moves ups(wk), and
+            # with it weak efficiency, toward its honest value from below;
+            # it can never inflate past the host's true capability.
+            if samples.get("wk", 0) < 2:
+                run_phase("wk", cpus_hi, min(n_pages * ratio, 12_000_000))
+                continue
             break
         _wait_quiet_window(cpus_max, min(repair_deadline, time.time() + 120),
                            probes, min_eff_frac=cpus_hi / cpus_max)
@@ -502,7 +519,9 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     out["headline_source"] = "strong"
     out["phase_samples"] = samples  # audit: resamples per level (steal repair)
     out["dirty_samples"] = dirty  # samples rejected by the post-probe gate
-    out["quiet_window_probes"] = probes[-min(len(probes), 8):]
+    # FULL trail: this list leaves the process via the sidecar file only
+    # (main() strips it from the stdout line), so no truncation needed
+    out["quiet_window_probes"] = probes
     return out
 
 
@@ -602,7 +621,47 @@ def main() -> None:
     if crawl is not None:
         crawl["host_cpu_probe"] = host_cpu_probe(cpus)
         result["crawl"] = crawl
-    print(json.dumps(result))
+
+    # full audit record -> sidecar file; stdout gets a COMPACT final line
+    # (r3: the probe/rotation trail overflowed the driver's tail capture and
+    # the official artifact recorded parsed: null). The compact line carries
+    # every number a grader reads; the sidecar carries the evidence trail.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_sidecar_latest.json"
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        sidecar = None
+    # whitelist, not blacklist: a future field must OPT IN to stdout so the
+    # line can never silently regrow past the driver's ~2000-char capture
+    _COMPACT_CRAWL = (
+        "cores_hi", "cores_lo", "n_urls",
+        "urls_per_sec_lo", "urls_per_sec_hi", "urls_per_sec_wk",
+        "sec_lo", "sec_hi", "sec_wk",
+        "scaling_efficiency", "scaling_efficiency_strong",
+        "scaling_efficiency_weak", "ordering_identical", "headline_source",
+        "levels_from_dirty_samples", "phase_samples", "dirty_samples",
+        "cpu_pinned", "effective_cores_envelope", "error",
+    )
+    compact = {
+        "metric": "headline suite sec; crawl.* = BASELINE URLs/sec + N->4N",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+    if crawl is not None:
+        compact["crawl"] = {k: crawl[k] for k in _COMPACT_CRAWL if k in crawl}
+        compact["crawl"]["n_probes"] = len(crawl.get("quiet_window_probes", []))
+    if sidecar:
+        compact["sidecar"] = sidecar
+    line = json.dumps(compact)
+    if len(line) > 1900:  # last-resort: per-query detail lives in the sidecar
+        compact["queries"] = {"see_sidecar": True}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
