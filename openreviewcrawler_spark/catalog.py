@@ -2492,6 +2492,149 @@ where doc_id % 3 = 2
 
 
 # ---------------------------------------------------------------------------
+# r4 operators: paragraph dedup, bigram-LM fluency, domain mixing,
+# byte-budget politeness
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText-style paragraph dedup over the duplicate-planted corpus:
+    global first-occurrence keep per paragraph hash, documents reassembled
+    from surviving paragraphs (operators/dedup.paragraph_dedup). The planted
+    exact-duplicate docs (+200000) lose every paragraph and drop out."""
+    return dedup.paragraph_dedup(_corpus(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "clean_text",
+    )
+
+
+SQL_DEDUP_PARAGRAPH = f"""
+with corpus as ({CORPUS_SQL}),
+chunked as (
+  select doc_id, regexp_extract_all(text, '{dedup.PARA_CHUNK_RE}') as cs from corpus
+),
+chunks as (
+  select doc_id, unnest(cs) as chunk,
+         unnest(range(0, len(cs))) as chunk_idx
+  from chunked
+),
+hashed as (
+  select doc_id, chunk_idx, chunk, {_H32.format(x="chunk")} as h from chunks
+),
+kept as (
+  select doc_id, chunk_idx, chunk from (
+    select *, row_number() over (partition by h order by doc_id, chunk_idx) as rn
+    from hashed
+  ) where rn = 1
+),
+totals as (select doc_id, count(*)::BIGINT as n_chunks from hashed group by doc_id)
+select k.doc_id, t.n_chunks, count(*)::BIGINT as n_kept,
+       array_to_string(list(k.chunk order by k.chunk_idx), ' ') as clean_text
+from kept k join totals t using (doc_id)
+group by k.doc_id, t.n_chunks
+"""
+
+
+def q_text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality stage (operators/lm.fluency_scores): bigram
+    MLE transition tables trained on the corpus by aggregation, every doc
+    scored by mean transition probability via shuffle equi-joins, bucketed
+    head/middle/tail per language. Probability domain, not log domain:
+    ln() is not bit-identical across engines (see operators/lm.py)."""
+    from .operators.lm import fluency_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = fluency_scores(docs)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "mean_p",
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+
+
+SQL_TEXT_BIGRAM_FLUENCY = f"""
+with toks as (select doc_id, lang, {_SQL_TOKENS} as t from documents),
+pairs as (
+  select doc_id, lang, unnest(t[1:len(t)-1]) as w1, unnest(t[2:len(t)]) as w2
+  from toks where len(t) >= 2
+),
+bg as (select doc_id, lang, w1, w1 || ' ' || w2 as bigram from pairs),
+c2 as (select w1, bigram, count(*) as c2 from bg group by w1, bigram),
+c1 as (select w1, sum(c2) as c1 from c2 group by w1),
+scored as (
+  select bg.doc_id, bg.lang, c2.c2::DOUBLE / c1.c1::DOUBLE as p
+  from bg join c2 using (w1, bigram) join c1 using (w1)
+),
+per_doc as (
+  select doc_id, lang, count(*)::BIGINT as n_bigrams,
+         round(sum(cast(p as decimal(28,12)))::DOUBLE / count(*), 6) as mean_p
+  from scored group by doc_id, lang
+)
+select doc_id, lang, n_bigrams, mean_p,
+       ntile(3) over (partition by lang order by mean_p desc, doc_id) as bucket
+from per_doc
+"""
+
+
+def q_traindata_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (operators/mixing.domain_mix, τ=2):
+    per-source sampling weights w ∝ sqrt(n) and the doc allocation of a
+    100k-doc training budget. sqrt is IEEE-correctly-rounded so the weights
+    are bit-identical across engines (pow/ln are not)."""
+    from .operators.mixing import domain_mix
+
+    return domain_mix(_t(spark, sf_dir, "documents"), budget=100000)
+
+
+SQL_TRAINDATA_DOMAIN_MIX = """
+with counts as (select source, count(*)::BIGINT as n_docs from documents group by source),
+z as (select sum(cast(sqrt(n_docs) as decimal(28,12)))::DOUBLE as z from counts)
+select source, n_docs, round(sqrt(n_docs) / z, 6) as weight,
+       floor(sqrt(n_docs) / z * 100000.0)::BIGINT as target_docs
+from counts, z
+"""
+
+
+def q_crawl_bandwidth_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget politeness tier (operators/scheduler.bandwidth_admit):
+    per-host running-byte-sum window in priority order, admit while the
+    cumulative estimated response size fits the 20 kB round budget."""
+    from .operators.scheduler import bandwidth_admit
+
+    u = _urlset(spark, sf_dir).select(
+        "url",
+        "host",
+        F.col("seed_index").cast("long").alias("seed_index"),
+        F.col("depth").cast("long").alias("depth"),
+        (F.lit(200) + (F.col("doc_id") * 131) % 5000).cast("long").alias("est_bytes"),
+    )
+    out = bandwidth_admit(u, byte_budget=20000)
+    return out.select("url", "host", "est_bytes", F.col("cum_bytes").cast("long").alias("cum_bytes"))
+
+
+SQL_CRAWL_BANDWIDTH_ADMIT = f"""
+with u as (
+  select {CANON_URL_EXPR} as url, {HOST_EXPR} as host,
+         (doc_id % 7)::BIGINT as seed_index, (doc_id % 3)::BIGINT as depth,
+         (200 + (doc_id * 131) % 5000)::BIGINT as est_bytes
+  from documents
+),
+c as (
+  select *, sum(est_bytes) over (
+    partition by host order by seed_index, depth, url
+    rows between unbounded preceding and current row
+  ) as cum_bytes
+  from u
+)
+select url, host, est_bytes, cum_bytes from c where cum_bytes <= 20000
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2502,8 +2645,10 @@ where doc_id % 3 = 2
 #: (tail slots or red rows) moves into the head for round N+1. Every entry
 #: therefore gets a hard driver row at least every other round. r4 head:
 #: the 15 entries without an r3 driver row (incl. the four never-driver-run
-#: r3 operators) plus this round's fixed entries; r4 tail: 15 entries green
-#: in CORRECTNESS_r03.json and untouched by the r4 diff.
+#: r3 operators), the four NEW r4 operators (dedup_paragraph,
+#: text_bigram_fluency, traindata_domain_mix, crawl_bandwidth_admit), and
+#: this round's fixed entries; r4 tail: entries green in
+#: CORRECTNESS_r03.json and untouched by the r4 diff.
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -2526,6 +2671,11 @@ CATALOG: dict[str, QueryDef] = {
     "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_lsh_signature": QueryDef(q_ann_lsh_signature, SQL_ANN_LSH_SIGNATURE),
     "ann_lsh_topk": QueryDef(q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    # --- new r4 operators (first driver rows this round) ---
+    "dedup_paragraph": QueryDef(q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
+    "text_bigram_fluency": QueryDef(q_text_bigram_fluency, SQL_TEXT_BIGRAM_FLUENCY),
+    "traindata_domain_mix": QueryDef(q_traindata_domain_mix, SQL_TRAINDATA_DOMAIN_MIX),
+    "crawl_bandwidth_admit": QueryDef(q_crawl_bandwidth_admit, SQL_CRAWL_BANDWIDTH_ADMIT),
     # --- r4-touched entries (fixes this round need fresh driver rows) ---
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),

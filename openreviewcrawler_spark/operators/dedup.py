@@ -629,3 +629,76 @@ def minhash_lsh_incremental(
     return pairs.groupBy("new_id", "old_id").agg(
         F.count("*").cast("long").alias("n_bands")
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (MassiveText/Gopher repetition removal analog)
+# ---------------------------------------------------------------------------
+
+#: words per paragraph chunk — the fixture corpus is single-line word soup,
+#: so "paragraph" is a fixed word window; on real web text the same operator
+#: runs on newline-split paragraphs (swap the chunking regex), the dedup and
+#: reassembly stages are unchanged.
+PARA_WORDS = 20
+
+#: greedy left-to-right grouping into chunks of <= PARA_WORDS words; Java
+#: regex (Spark) and RE2 (DuckDB) both use leftmost-greedy matching here so
+#: the chunkings are identical. [^ ] not \S: the pattern text is shared
+#: verbatim with the SQL oracle and Spark SQL string literals consume
+#: backslash escapes while DuckDB's do not.
+PARA_CHUNK_RE = "[^ ]+( [^ ]+){0,%d}" % (PARA_WORDS - 1)
+
+
+def paragraph_chunks(corpus: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, chunk) — document text split into word-window
+    paragraphs, position preserved. One regexp_extract_all + posexplode; no
+    UDF, no lambda-captured expressions."""
+    chunks = F.expr(f"regexp_extract_all(text, '{PARA_CHUNK_RE}', 0)")
+    return corpus.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def paragraph_dedup(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_chunks, n_kept, clean_text) — remove every paragraph that
+    already occurred earlier in the corpus (global first-occurrence keep,
+    order = (doc_id, chunk_idx)), then reassemble each document from its
+    surviving paragraphs in original order. Documents whose every paragraph
+    is a duplicate drop out (the exact-duplicate docs the corpus plants).
+
+    Scale shape (10^10 docs): chunks are hashed to 64-bit (md5 prefix, the
+    cross-engine hash) so the wide chunk string never enters the keeper
+    shuffle; first-occurrence is ONE groupBy(hash) -> min(struct(doc,idx))
+    (map-side partial; a boilerplate paragraph duplicated on 10^9 pages is
+    ONE reduced row, no skew) + an equi-join back; reassembly is one
+    groupBy(doc) over kept chunks (bounded by document size). Three shuffles
+    total, all on keys AQE can split.
+    """
+    ch = track_persist(
+        paragraph_chunks(corpus).withColumn("h", hash32_col(F.col("chunk")))
+    )
+    keeper = ch.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("k")
+    )
+    kept = (
+        ch.join(keeper, "h")
+        .filter(
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("chunk_idx") == F.col("k.chunk_idx"))
+        )
+        .select("doc_id", "chunk_idx", "chunk")
+    )
+    totals = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return rebuilt.join(totals, "doc_id").select(
+        "doc_id", "n_chunks", "n_kept", "clean_text"
+    )

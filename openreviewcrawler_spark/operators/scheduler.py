@@ -105,3 +105,29 @@ def admit(
     if n_salts > 1:
         return admit_window_salted(cand, n_salts, budget_col)
     return admit_window(cand, budget_col)
+
+
+def bandwidth_admit(
+    cand: DataFrame, byte_budget: int, est_col: str = "est_bytes"
+) -> DataFrame:
+    """Per-host BYTE-budget admission — the bandwidth-aware politeness tier.
+
+    ``admit_window`` caps request COUNT per host; real crawl budgets are
+    bytes (a host serving 10 MB pages exhausts its politeness allowance in
+    far fewer requests). Candidates are taken in priority order per host
+    while the running byte total stays within ``byte_budget``; the first
+    overflowing candidate and everything after it wait for the next round.
+
+    Same shape as admit_window — one shuffle on host, a running-sum window
+    instead of row_number — so the salting skew-breaker composes the same
+    way. Integer arithmetic only (exact at any parallelism).
+    """
+    w = (
+        Window.partitionBy("host")
+        .orderBy(*[F.col(c) for c in PRIORITY_COLS])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cand.withColumn("cum_bytes", F.sum(F.col(est_col)).over(w))
+        .filter(F.col("cum_bytes") <= F.lit(byte_budget))
+    )
