@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_components",
     "dedup_incremental",
+    "dedup_paragraph",
+    "text_bigram_fluency",
     "traindata_stratified_sample",
     "traindata_decontaminate",
     "text_repetition",

@@ -1474,13 +1474,16 @@ group by 1, 2
 
 
 def q_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 shape: selective dim filter -> join -> grouped revenue. Customer
-    filter is broadcast; lineitem never scans non-needed columns."""
+    """Q3 shape: selective dim filter -> join -> grouped revenue. No forced
+    broadcast on customer: it scales linearly with SF (the same rule that
+    removed the per-doc broadcast from ngram_jaccard, r3 verdict #2) — AQE
+    still picks a broadcast join when the filtered side is actually small.
+    Lineitem never scans non-needed columns."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-01-01"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1999-01-01"))
     j = li.join(o, li.l_orderkey == o.o_orderkey).join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
+        c, o.o_custkey == c.c_custkey
     )
     return j.groupBy("o_orderkey").agg(
         _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -1499,7 +1502,11 @@ group by 1
 
 
 def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 shape: snowflake joins with small dims broadcast, revenue per nation."""
+    """Q5 shape: snowflake joins, revenue per nation. Broadcast hints ONLY
+    on the fixed-cardinality dims (nation=25, region=5 rows at every SF);
+    customer and supplier scale linearly with SF so they join by shuffle
+    unless AQE decides otherwise (same no-forced-broadcast-of-scaling-
+    relations rule as q3/ngram_jaccard)."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -1509,7 +1516,7 @@ def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )

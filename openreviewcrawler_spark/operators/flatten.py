@@ -260,9 +260,12 @@ def flatten_note_revisions(note_revisions: DataFrame, notes: DataFrame) -> DataF
     parent_content = notes.select(
         F.col("id").alias("__note_id"), F.col("content_json").alias("__parent_content")
     )
+    # no forced broadcast: parent_content is one row per NOTE (corpus-sized,
+    # wide content_json column) — the no-forced-broadcast-of-scaling-
+    # relations rule (r3 verdict #2). AQE broadcasts when actually small.
     return (
         note_revisions.join(
-            F.broadcast(parent_content),
+            parent_content,
             note_revisions["parent_id"] == parent_content["__note_id"],
             "left",
         )

@@ -223,3 +223,50 @@ def test_ngram_sizes_attach_without_forced_broadcast(spark, sf_dir):
     for i in hint_idx:
         sub = "\n".join(lines[i : i + 4])
         assert "__df" in sub and "n_sh" not in sub, sub
+
+
+def test_no_forced_broadcast_of_scaling_relations(spark, sf_dir):
+    """r4 audit extending r3 verdict #2 beyond ngram_jaccard: no catalog
+    query may carry a literal F.broadcast() hint on a relation whose row
+    count scales with the corpus/SF (customer, supplier, per-note content).
+    Hints on FIXED-cardinality dims (nation=25, region=5) and provably
+    capped lists (hot buckets, query sets, centroids) are fine; so is AQE
+    choosing broadcast from its own estimates at small SF — that logic
+    backs off at scale, a hint cannot."""
+    from openreviewcrawler_spark.catalog import q_q3_shipping, q_q5_region_revenue
+
+    # q3: zero hints — the filtered customer side still scales with SF
+    q3 = q_q3_shipping(spark, sf_dir)
+    assert "ResolvedHint" not in q3._jdf.queryExecution().analyzed().toString()
+
+    # q5: exactly the two fixed-cardinality dims are hinted
+    q5 = q_q5_region_revenue(spark, sf_dir)
+    lines = q5._jdf.queryExecution().analyzed().toString().splitlines()
+    hint_idx = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert len(hint_idx) == 2
+    for i in hint_idx:
+        sub = "\n".join(lines[i : i + 3])
+        assert ("nation" in sub) or ("region" in sub) or ("n_nationkey" in sub) or (
+            "r_regionkey" in sub
+        ), sub
+
+    # flatten_note_revisions: the per-note parent-content attach (wide
+    # content_json, one row per note) joins without a hint
+    from openreviewcrawler_spark.operators.flatten import flatten_note_revisions
+
+    def _note_like(extra: dict):
+        df = spark.createDataFrame([(1, "{}")], "id long, content_json string")
+        df = df.withColumns(
+            {c: F.lit(None).cast("string") for c in (
+                "original", "cdate", "tcdate", "tmdate", "ddate", "number",
+                "forum", "referent", "invitation", "replyto",
+            )}
+        ).withColumn("content", F.create_map().cast("map<string,string>"))
+        return df.withColumns(extra)
+
+    notes = _note_like({})
+    revs = _note_like(
+        {"parent_id": F.lit(1), "reply_count": F.lit(0).cast("long")}
+    )
+    out = flatten_note_revisions(revs, notes)
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
