@@ -73,10 +73,22 @@ def transition_tables(bigrams: DataFrame) -> tuple[DataFrame, DataFrame]:
 def fluency_scores(corpus: DataFrame, n_buckets: int = 3) -> DataFrame:
     """(doc_id, lang, n_bigrams, mean_p, bucket) — mean MLE transition
     probability per document plus the CCNet head/middle/tail bucket
-    (``ntile`` per language over descending fluency, doc_id tiebreak).
+    (semantics of ``ntile`` per language over descending fluency, doc_id
+    tiebreak; the SQL oracle states it as a literal ntile).
 
     mean_p = double(sum(decimal(28,12)(c2/c1)))/n, rounded to 6 — exact and
-    order-independent per the repo float-parity recipe."""
+    order-independent per the repo float-parity recipe.
+
+    Scale shape of the bucketing: a per-LANGUAGE window is a funnel — one
+    dominant language (most of a web corpus) lands every row in one task.
+    Instead the per-language rank rides the same scalable ordering stamp as
+    ``fetch_seq`` (``ordering.assign_seq_scalable``: range-repartition +
+    per-partition counts + Arrow stamp), ordered by (lang, -mean_p, doc_id);
+    per-language ranks subtract the language's global offset (one tiny
+    broadcast — languages are fixed cardinality, ~hundreds at web scale) and
+    the bucket is closed-form ntile arithmetic on (rank, lang_count).
+    Negation of a rounded double is IEEE-exact, so the sort key is still
+    bit-deterministic."""
     bg = track_persist(bigrams_df(corpus))
     c2, c1 = transition_tables(bg)
     scored = (
@@ -95,5 +107,31 @@ def fluency_scores(corpus: DataFrame, n_buckets: int = 3) -> DataFrame:
             6,
         ).alias("mean_p"),
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("mean_p"), F.asc("doc_id"))
-    return per_doc.withColumn("bucket", F.ntile(n_buckets).over(w))
+    from .ordering import assign_seq_scalable
+
+    ranked = assign_seq_scalable(
+        per_doc.withColumn("__negp", -F.col("mean_p")),
+        ["lang", "__negp", "doc_id"],
+        seq_col="__seq",
+    )
+    # per-language sizes/offsets from the ALREADY-persisted ranked input
+    # (assign_seq_scalable pins its repartitioned table, so this aggregate
+    # is a cache read, not a second evaluation of the scoring joins)
+    lang_sizes = ranked.groupBy("lang").agg(
+        F.count("*").alias("__n"), F.min("__seq").alias("__off")
+    )
+    r = F.col("__seq") - F.col("__off") + F.lit(1)  # 1-based rank in lang
+    k = F.lit(n_buckets)
+    q = (F.col("__n") - F.col("__n") % k) / k  # floor(n/k), exact int-in-double
+    rem = F.col("__n") % k
+    head = rem * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    bucket = (
+        F.when(r <= head, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - 1 - head) / q) + 1)
+        .cast("int")
+    )
+    return (
+        ranked.join(F.broadcast(lang_sizes), "lang")
+        .withColumn("bucket", bucket)
+        .select("doc_id", "lang", "n_bigrams", "mean_p", "bucket")
+    )
