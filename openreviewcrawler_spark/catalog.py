@@ -2641,6 +2641,119 @@ select url, host, est_bytes, cum_bytes from c where cum_bytes <= 20000
 """
 
 
+# --- crawl trap detection + MIME sniffing (r4) ------------------------------
+
+#: shared derivation (evaluated verbatim by BOTH engines): plant every trap
+#: shape — segment loop, calendar, query explosion, repeat-depth — plus
+#: clean controls. No backslash anywhere (CLAUDE.md escaping rule).
+TRAP_URL_EXPR = f"""case cast(doc_id % 6 as int)
+  when 0 then 'https://' || source || '.example/a/b/' || {_ID_STR}
+  when 1 then 'https://' || source || '.example/cat/p/cat/p/cat/p/' || {_ID_STR}
+  when 2 then 'https://' || source || '.example/2021/04/2021/05/2021/06/' || {_ID_STR}
+  when 3 then 'https://' || source || '.example/l?s=' || {_ID_STR}
+            || '&a=1&b=2&c=3&d=4&e=5'
+  when 4 then 'https://' || source || '.example/p/' || repeat('seg/', 15) || {_ID_STR}
+  else 'https://' || source || '.example/y/' || {_ID_STR}
+end"""
+
+
+def q_crawl_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap heuristics (operators/traps.classify_traps) over planted
+    loop/calendar/query-explosion URLs: five integer signals, a weighted
+    trap_score, and an ok/suspect/trap verdict — all codegen projections."""
+    from .operators.traps import classify_traps
+
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TRAP_URL_EXPR).alias("url")
+    )
+    return classify_traps(u).select(
+        "doc_id",
+        "url",
+        "n_segments",
+        "n_dup_segments",
+        "n_params",
+        "n_date_segments",
+        "url_len",
+        "trap_score",
+        "verdict",
+    )
+
+
+SQL_CRAWL_TRAP_DETECT = f"""
+with u as (select doc_id, {TRAP_URL_EXPR} as url from documents),
+p as (
+  select doc_id, url,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path,
+    regexp_extract(url, '[?]([^#]*)', 1) as query
+  from u
+),
+s as (
+  select doc_id, url,
+    len(list_filter(string_split(path, '/'), x -> x <> ''))::INT as n_segments,
+    (len(list_filter(string_split(path, '/'), x -> x <> ''))
+     - len(list_distinct(list_filter(string_split(path, '/'), x -> x <> ''))))::INT
+      as n_dup_segments,
+    (case when query = '' then 0 else len(string_split(query, '&')) end)::INT
+      as n_params,
+    len(regexp_extract_all(path, '/(19|20)[0-9][0-9]/'))::INT as n_date_segments,
+    length(url)::INT as url_len
+  from p
+)
+select *,
+  (2 * (n_dup_segments >= 2)::INT + 2 * (n_params >= 6)::INT
+   + (n_date_segments >= 2)::INT + (n_segments >= 12)::INT
+   + (url_len >= 300)::INT)::INT as trap_score,
+  case when (2 * (n_dup_segments >= 2)::INT + 2 * (n_params >= 6)::INT
+             + (n_date_segments >= 2)::INT + (n_segments >= 12)::INT
+             + (url_len >= 300)::INT) >= 3 then 'trap'
+       when (2 * (n_dup_segments >= 2)::INT + 2 * (n_params >= 6)::INT
+             + (n_date_segments >= 2)::INT + (n_segments >= 12)::INT
+             + (url_len >= 300)::INT) >= 1 then 'suspect'
+       else 'ok' end as verdict
+from s
+"""
+
+
+#: shared magic-prefix derivation — ASCII magics so the oracle can sniff the
+#: pre-encode string while Spark sniffs the encoded BINARY column.
+MAGIC_PREFIX_EXPR = """case cast(doc_id % 7 as int)
+  when 0 then '%PDF-1.7 '
+  when 1 then 'GIF89a'
+  when 2 then 'RIFF0000WAVE'
+  when 3 then 'OggS'
+  when 4 then '<!DOCTYPE html>'
+  when 5 then '<?xml version='
+  else ''
+end"""
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing (operators/multimodal.sniff_mime) on a
+    BINARY payload column: only the first 16 bytes are sliced out of the
+    blob (binary substring), so the payload never enters an exchange."""
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.expr(f"{MAGIC_PREFIX_EXPR} || text"), "utf-8").alias("payload"),
+    )
+    return multimodal.sniff_mime(pages).select("doc_id", "mime", "n_bytes")
+
+
+SQL_MIME_SNIFF = f"""
+with p as (select doc_id, {MAGIC_PREFIX_EXPR} || text as body from documents)
+select doc_id,
+  case when substr(body, 1, 4) = 'RIFF' and substr(body, 9, 4) = 'WAVE'
+         then 'audio/x-wav'
+       when substr(body, 1, 5) = '%PDF-' then 'application/pdf'
+       when substr(body, 1, 6) = 'GIF89a' then 'image/gif'
+       when substr(body, 1, 4) = 'OggS' then 'audio/ogg'
+       when substr(body, 1, 14) = '<!DOCTYPE html' then 'text/html'
+       when substr(body, 1, 5) = '<?xml' then 'application/xml'
+       else 'text/plain' end as mime,
+  octet_length(encode(body))::BIGINT as n_bytes
+from p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2652,10 +2765,12 @@ select url, host, est_bytes, cum_bytes from c where cum_bytes <= 20000
 #: (tail slots or red rows) moves into the head for round N+1. Every entry
 #: therefore gets a hard driver row at least every other round. r4 head:
 #: the 15 entries without an r3 driver row (incl. the four never-driver-run
-#: r3 operators), the four NEW r4 operators (dedup_paragraph,
-#: text_bigram_fluency, traindata_domain_mix, crawl_bandwidth_admit), and
-#: this round's fixed entries; r4 tail: entries green in
-#: CORRECTNESS_r03.json and untouched by the r4 diff.
+#: r3 operators), the six NEW r4 operators (dedup_paragraph,
+#: text_bigram_fluency, traindata_domain_mix, crawl_bandwidth_admit,
+#: crawl_trap_detect, mime_sniff), and this round's fixed entries; r4 tail:
+#: entries green in CORRECTNESS_r03.json and untouched by the r4 diff
+#: (dedup_exact and dedup_minhash_lsh rotate out to make room for the two
+#: late-r4 operators — both r3-green, policy-eligible).
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -2683,6 +2798,8 @@ CATALOG: dict[str, QueryDef] = {
     "text_bigram_fluency": QueryDef(q_text_bigram_fluency, SQL_TEXT_BIGRAM_FLUENCY),
     "traindata_domain_mix": QueryDef(q_traindata_domain_mix, SQL_TRAINDATA_DOMAIN_MIX),
     "crawl_bandwidth_admit": QueryDef(q_crawl_bandwidth_admit, SQL_CRAWL_BANDWIDTH_ADMIT),
+    "crawl_trap_detect": QueryDef(q_crawl_trap_detect, SQL_CRAWL_TRAP_DETECT),
+    "mime_sniff": QueryDef(q_mime_sniff, SQL_MIME_SNIFF),
     # --- r4-touched entries (fixes this round need fresh driver rows) ---
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),

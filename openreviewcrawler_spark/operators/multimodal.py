@@ -85,6 +85,44 @@ def decode_metadata(assets: DataFrame) -> DataFrame:
     )
 
 
+#: ASCII-representable magic prefixes -> MIME (cross-engine determinism:
+#: the bytes under test stay in string space on the oracle side, so the
+#: lookup is shared algebra; binary-only magics like PNG's 0x89 would need a
+#: hex-side oracle — same operator shape, dropped here for parity clarity).
+MAGIC_MIME: list[tuple[str, str]] = [
+    ("%PDF-", "application/pdf"),
+    ("GIF89a", "image/gif"),
+    ("OggS", "audio/ogg"),
+    ("<!DOCTYPE html", "text/html"),
+    ("<?xml", "application/xml"),
+]
+RIFF_WAVE_MIME = "audio/x-wav"  # 'RIFF' + 4 size bytes + 'WAVE'
+DEFAULT_MIME = "text/plain"
+
+
+def sniff_mime(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Content-type sniffing from binary magic bytes (no Content-Type header
+    trust — CDN mislabeling is endemic in web crawls).
+
+    Reads ONLY the first 16 bytes of the payload via binary ``substring``
+    (the blob itself is never decoded or shipped to Python), decodes that
+    sliver as latin-1-safe UTF-8 best effort, and matches magic prefixes as
+    codegen'd ``startswith`` chains. Appends ``mime`` and ``n_bytes``; at
+    100 TB this is a projection on the page scan — the 16-byte slice keeps
+    the full blob out of every downstream exchange.
+    """
+    head = F.decode(F.expr(f"substring({payload_col}, 1, 16)"), "UTF-8")
+    mime = F.when(
+        head.startswith("RIFF") & (F.substring(head, 9, 4) == "WAVE"),
+        F.lit(RIFF_WAVE_MIME),
+    )
+    for magic, m in MAGIC_MIME:
+        mime = mime.when(head.startswith(magic), F.lit(m))
+    return pages.withColumn("mime", mime.otherwise(F.lit(DEFAULT_MIME))).withColumn(
+        "n_bytes", F.length(F.col(payload_col)).cast("long")
+    )
+
+
 def sample_frames(assets: DataFrame, n_frames: int = 3) -> DataFrame:
     """Frame sampling: split each payload into ``n_frames`` equal slices
     (rows, not arrays). Real frame extraction swaps the slicer for a codec;
