@@ -2754,6 +2754,285 @@ from p
 """
 
 
+#: PII-planting snippet (shared verbatim): every doc gets exactly one
+#: synthetic PII span of a class chosen by doc_id % 3, appended to the text
+#: so counts and redaction have known ground truth. No backslashes (CLAUDE.md
+#: escaping rule) and all arithmetic < 2^30 (DuckDB overflow errors).
+PII_TEXT_EXPR = """text || case cast(doc_id % 3 as int)
+  when 0 then ' contact user' || cast(doc_id as varchar(30)) || '@mail'
+              || cast(doc_id % 7 as varchar(10)) || '.example now'
+  when 1 then ' origin 10.' || cast(doc_id % 256 as varchar(10)) || '.0.'
+              || cast(doc_id % 100 as varchar(10)) || ' logged'
+  else ' call 555-' || cast(100 + doc_id % 900 as varchar(10)) || '-'
+       || cast(1000 + doc_id % 9000 as varchar(10)) || ' x'
+end"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Dolma-style PII scrub (operators/pii.pii_cols): per-class span
+    counts + redacted-text hash over a corpus with planted emails / IPv4s /
+    phone numbers. Pure codegen'd regexp expressions — no shuffle at all;
+    the scan parallelism IS the operator parallelism at 100 TB."""
+    from .operators.pii import pii_cols
+    from .operators.textstats import hash32_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(PII_TEXT_EXPR).alias("page")
+    )
+    c = pii_cols(F.col("page"))
+    return docs.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ipv4"].alias("n_ipv4"),
+        c["n_phones"].alias("n_phones"),
+        c["n_pii"].alias("n_pii"),
+        hash32_col(c["redacted"]).alias("redacted_hash"),
+        F.length(c["redacted"]).cast("long").alias("redacted_len"),
+    )
+
+
+def _sql_text_pii_scrub() -> str:
+    from .operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+with p as (select doc_id, {PII_TEXT_EXPR} as page from documents),
+r1 as (select doc_id, page,
+         regexp_replace(page, '{EMAIL_RE}', '<EMAIL>', 'g') as after_email
+       from p),
+r2 as (select *, regexp_replace(after_email, '{IPV4_RE}', '<IP>', 'g') as after_ip
+       from r1),
+r3 as (select *, regexp_replace(after_ip, '{PHONE_RE}', '<PHONE>', 'g') as redacted
+       from r2)
+select doc_id,
+  len(regexp_extract_all(page, '{EMAIL_RE}'))::BIGINT as n_emails,
+  len(regexp_extract_all(after_email, '{IPV4_RE}'))::BIGINT as n_ipv4,
+  len(regexp_extract_all(after_ip, '{PHONE_RE}'))::BIGINT as n_phones,
+  (len(regexp_extract_all(page, '{EMAIL_RE}'))
+   + len(regexp_extract_all(after_email, '{IPV4_RE}'))
+   + len(regexp_extract_all(after_ip, '{PHONE_RE}')))::BIGINT as n_pii,
+  ('0x' || substr(md5(redacted), 1, 8))::BIGINT as redacted_hash,
+  length(redacted)::BIGINT as redacted_len
+from r3
+"""
+
+
+def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index built in the SAME pass as the WARC shard layout
+    (sources/warc.cdx_index): SURT key, shard, byte offset, record length,
+    payload digest — the seek index a 100 TB archive reader needs, with no
+    second scan of the payload bytes."""
+    from .sources.warc import cdx_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return cdx_index(docs, n_shards=8)
+
+
+SQL_WARC_CDX_INDEX = """
+with recs as (
+  select doc_id, text,
+         'https://h' || cast(doc_id % 7 as varchar(10)) || '.example/p/'
+           || cast(doc_id as varchar(30)) as url
+  from documents
+), sized as (
+  select (doc_id % 8)::INT as shard, doc_id, url, md5(text) as digest,
+         (length('WARC/1.0' || chr(10) || 'WARC-Target-URI: ' || url || chr(10)
+                 || 'Content-Length: ' || cast(length(text) as varchar(30))
+                 || chr(10) || chr(10)) + length(text) + 2)::BIGINT as record_len
+  from recs
+)
+select 'example,h' || cast(doc_id % 7 as varchar(10)) || ')/p/'
+         || cast(doc_id as varchar(30)) as surt,
+       shard,
+       (sum(record_len) over (partition by shard order by doc_id)
+        - record_len)::BIGINT as offset,
+       record_len, digest, doc_id
+from sized
+"""
+
+
+#: boilerplate-framing snippet (shared verbatim): wrap each document in the
+#: chrome a scraped HTML page carries — nav menu, share bar, optional
+#: recommendation line, copyright footer — newline-delimited so the
+#: line-level extractor has real structure to strip.
+BOILER_PAGE_EXPR = """'menu home about contact login' || chr(10)
+ || text || chr(10)
+ || 'share on social' || chr(10)
+ || case when doc_id % 2 = 0
+         then 'related articles you may like about ' || source || chr(10)
+         else '' end
+ || 'copyright 2020 ' || source || ' all rights reserved'"""
+
+#: line-level keep rule (documented for the SQL twin): a line survives iff
+#: it has >= 5 space-tokens AND its first token is not a chrome marker.
+_BOILER_MARKERS = ("copyright", "menu", "related", "share")
+
+
+def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trafilatura-style main-content extraction: split the framed page on
+    newlines, keep content lines (>= 5 words, first token not a chrome
+    marker), reassemble. Pure higher-order array expressions — lambdas touch
+    ONLY their own argument (the per-element re-inline trap, CLAUDE.md), no
+    explode, no shuffle: linear in input splits at 100 TB."""
+    from .operators.textstats import hash32_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(BOILER_PAGE_EXPR).alias("page")
+    )
+    lines = F.split(F.col("page"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (F.size(F.split(l, " ")) >= 5)
+        & ~F.substring_index(l, " ", 1).isin(*_BOILER_MARKERS),
+    )
+    main_text = F.array_join(kept, "\n")
+    page_chars = F.length("page").cast("long")
+    kept_chars = F.length(main_text).cast("long")
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        page_chars.alias("page_chars"),
+        kept_chars.alias("kept_chars"),
+        F.round(kept_chars / page_chars, 6).alias("content_ratio"),
+        hash32_col(main_text).alias("main_hash"),
+    )
+
+
+SQL_TEXT_BOILERPLATE_STRIP = f"""
+with p as (select doc_id, {BOILER_PAGE_EXPR} as page from documents),
+l as (select doc_id, page, string_split(page, chr(10)) as lines from p),
+k as (select doc_id, page, lines,
+        list_filter(lines, x -> len(string_split(x, ' ')) >= 5
+          and not list_contains(['copyright', 'menu', 'related', 'share'],
+                                string_split(x, ' ')[1])) as kept
+      from l),
+m as (select doc_id, page, lines, kept,
+        array_to_string(kept, chr(10)) as main_text from k)
+select doc_id,
+  len(lines)::BIGINT as n_lines,
+  len(kept)::BIGINT as n_kept,
+  length(page)::BIGINT as page_chars,
+  length(main_text)::BIGINT as kept_chars,
+  round(length(main_text)::DOUBLE / length(page)::DOUBLE, 6) as content_ratio,
+  ('0x' || substr(md5(main_text), 1, 8))::BIGINT as main_hash
+from m
+"""
+
+#: shard byte budget for the output manifest (bytes == chars in the ASCII
+#: fixture; a binary corpus would swap in octet_length on both engines).
+_SHARD_BUDGET = 65536
+
+
+def q_traindata_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding for the packed corpus: each document is
+    assigned the shard its byte-offset starts in (exclusive prefix sum of
+    sizes in doc_id order div the shard budget), then a per-shard manifest
+    row. The prefix sum is operators/packing.prefix_sum_scalable — the
+    two-pass partition pattern, NOT a global window funnel; the manifest agg
+    is one map-side-partial groupBy. Integer sums, so no fold-order hazard."""
+    from .operators.packing import prefix_sum_scalable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    with_off = prefix_sum_scalable(docs, "n_chars", ["doc_id"], "cum_before")
+    shard = F.expr(f"cum_before div {_SHARD_BUDGET}").cast("long").alias("shard_id")
+    return (
+        with_off.select(shard, "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
+
+
+SQL_TRAINDATA_SHARD_MANIFEST = f"""
+with cum as (
+  select doc_id, n_chars,
+         coalesce(sum(n_chars) over (order by doc_id
+           rows between unbounded preceding and 1 preceding), 0) as cum_before
+  from documents
+)
+select (cum_before // {_SHARD_BUDGET})::BIGINT as shard_id,
+       count(*)::BIGINT as n_docs,
+       sum(n_chars)::BIGINT as shard_bytes,
+       min(doc_id)::BIGINT as first_doc,
+       max(doc_id)::BIGINT as last_doc
+from cum
+group by 1
+"""
+
+
+#: URL-synthesis snippet for the cardinality sketch (shared verbatim): a
+#: duplicated URL universe — 1499 possible paths, so true distinct is
+#: min(n_docs, 1499) and the sketch has real duplicates to collapse at
+#: sf >= 0.01. All constants < 2^30 (DuckDB BIGINT-mixing rule).
+HLL_URL_EXPR = (
+    "'https://h' || cast(doc_id % 13 as varchar(10)) || '.example/p/'"
+    " || cast(doc_id % 1499 as varchar(10))"
+)
+
+
+def q_url_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-URL cardinality (operators/sketch): the
+    seen-set size a 10^10-URL frontier reports WITHOUT a count(distinct)
+    shuffle — the register groupBy moves at most m=256 rows per input
+    partition, so the plan is scan + O(m) shuffle at any corpus size. The
+    reference keeps this count as len() of an in-memory dict
+    (/root/reference/crawler.py `already_done`)."""
+    from .operators.sketch import hll_estimate_df
+
+    urls = _t(spark, sf_dir, "documents").select(
+        F.expr(HLL_URL_EXPR).alias("url")
+    )
+    return hll_estimate_df(urls, "url")
+
+
+def _sql_url_cardinality_hll() -> str:
+    from .operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql(HLL_URL_EXPR, "documents")
+
+
+#: skewed host snippet for the heavy-hitter sketch (shared verbatim):
+#: host h0 absorbs every doc_id divisible by its residue class — a
+#: deterministic Zipf-ish head over <= 23 hosts.
+CM_HOST_EXPR = "'h' || cast(doc_id % ((doc_id % 23) + 1) as varchar(10))"
+
+
+def q_host_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters per host (operators/sketch): the sketch is a
+    fixed d x w = 256-cell counts table — broadcast-able BY CONSTRUCTION,
+    independent of corpus size — so per-host frequency estimates attach
+    map-side. Emits estimate vs truth per distinct host (overcount >= 0,
+    one-sided error); at 100 TB the truth side is exactly the per-host
+    rollup the crawler already maintains, making this a free audit."""
+    from .operators.sketch import cm_estimates_df
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.expr(CM_HOST_EXPR).alias("host")
+    )
+    return cm_estimates_df(hosts, "host")
+
+
+def _sql_host_heavy_hitters_cm() -> str:
+    from .operators.sketch import cm_oracle_sql
+
+    return cm_oracle_sql(
+        CM_HOST_EXPR, "documents", key_alias="host"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2765,12 +3044,15 @@ from p
 #: (tail slots or red rows) moves into the head for round N+1. Every entry
 #: therefore gets a hard driver row at least every other round. r4 head:
 #: the 15 entries without an r3 driver row (incl. the four never-driver-run
-#: r3 operators), the six NEW r4 operators (dedup_paragraph,
+#: r3 operators), the twelve NEW r4 operators (dedup_paragraph,
 #: text_bigram_fluency, traindata_domain_mix, crawl_bandwidth_admit,
-#: crawl_trap_detect, mime_sniff), and this round's fixed entries; r4 tail:
-#: entries green in CORRECTNESS_r03.json and untouched by the r4 diff
-#: (dedup_exact and dedup_minhash_lsh rotate out to make room for the two
-#: late-r4 operators — both r3-green, policy-eligible).
+#: crawl_trap_detect, mime_sniff, text_pii_scrub, warc_cdx_index,
+#: text_boilerplate_strip, traindata_shard_manifest, url_cardinality_hll,
+#: host_heavy_hitters_cm), and this round's fixed entries; r4 tail: entries
+#: green in CORRECTNESS_r03.json and untouched by the r4 diff (dedup_exact,
+#: dedup_minhash_lsh, lang_id, text_quality, token_count, text_repetition,
+#: q5_region_revenue, top_orders_per_customer and sessionization rotate out
+#: to make room for the late-r4 operators — all r3-green, policy-eligible).
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -2800,6 +3082,18 @@ CATALOG: dict[str, QueryDef] = {
     "crawl_bandwidth_admit": QueryDef(q_crawl_bandwidth_admit, SQL_CRAWL_BANDWIDTH_ADMIT),
     "crawl_trap_detect": QueryDef(q_crawl_trap_detect, SQL_CRAWL_TRAP_DETECT),
     "mime_sniff": QueryDef(q_mime_sniff, SQL_MIME_SNIFF),
+    "text_pii_scrub": QueryDef(q_text_pii_scrub, _sql_text_pii_scrub()),
+    "warc_cdx_index": QueryDef(q_warc_cdx_index, SQL_WARC_CDX_INDEX),
+    "text_boilerplate_strip": QueryDef(
+        q_text_boilerplate_strip, SQL_TEXT_BOILERPLATE_STRIP
+    ),
+    "traindata_shard_manifest": QueryDef(
+        q_traindata_shard_manifest, SQL_TRAINDATA_SHARD_MANIFEST
+    ),
+    "url_cardinality_hll": QueryDef(q_url_cardinality_hll, _sql_url_cardinality_hll()),
+    "host_heavy_hitters_cm": QueryDef(
+        q_host_heavy_hitters_cm, _sql_host_heavy_hitters_cm()
+    ),
     # --- r4-touched entries (fixes this round need fresh driver rows) ---
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),

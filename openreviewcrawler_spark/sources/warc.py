@@ -44,19 +44,65 @@ def warc_layout(
     url_col: str = "url",
     payload_col: str = "text",
     order_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(shard, doc_id, url, record_len, offset) — byte layout of the sharded
-    archive. ``offset`` is the record's start position within its shard
-    file; records are laid out in ``order_col`` order (deterministic at any
-    parallelism — never partition/task order)."""
+    """(shard, doc_id, url, record_len, offset[, extras]) — byte layout of
+    the sharded archive. ``offset`` is the record's start position within
+    its shard file; records are laid out in ``order_col`` order
+    (deterministic at any parallelism — never partition/task order).
+    ``extra_cols`` are carried through unchanged (e.g. a payload digest
+    computed in the same scan for the CDX index)."""
     payload_len = F.length(F.col(payload_col)).cast("long")
     header = warc_header_col(F.col(url_col), payload_len)
     record_len = (F.length(header).cast("long") + payload_len + F.lit(_SEP_LEN)).alias(
         "record_len"
     )
     shard = F.pmod(F.col(order_col), F.lit(n_shards)).cast("int").alias("shard")
-    base = records.select(shard, F.col(order_col), F.col(url_col), record_len)
+    extra = [F.col(c) for c in (extra_cols or [])]
+    base = records.select(shard, F.col(order_col), F.col(url_col), record_len, *extra)
     w = Window.partitionBy("shard").orderBy(order_col)
     return base.withColumn(
         "offset", (F.sum("record_len").over(w) - F.col("record_len")).cast("long")
+    )
+
+
+def surt_key_col(url: Column) -> Column:
+    """SURT-style sort key for a CDX index: hostname components reversed and
+    comma-joined, then ``)`` + path — ``https://b.a.example/p/1`` becomes
+    ``example,a,b)/p/1``. Pure string/array expressions (split on ``[.]`` —
+    regex split, no backslash; see CLAUDE.md escaping rule)."""
+    no_scheme = F.substring_index(url, "://", -1)
+    host = F.substring_index(no_scheme, "/", 1)
+    path = F.substring(no_scheme, F.length(host) + 1, F.lit(1 << 30))
+    rev_host = F.array_join(F.reverse(F.split(host, "[.]")), ",")
+    return F.concat(rev_host, F.lit(")"), path)
+
+
+def cdx_index(
+    records: DataFrame,
+    n_shards: int,
+    url_col: str = "url",
+    payload_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """CDX-style capture index over the sharded WARC layout: one row per
+    record with ``(surt, shard, offset, record_len, digest)`` — everything a
+    reader needs to seek straight to a record without scanning the archive.
+    Built in the SAME pass as the layout (the whole point of plan-time
+    offsets, see module docstring): the digest rides ``warc_layout`` as an
+    extra column, so no second scan of the payload bytes and no join.
+    Deterministic — no wall-clock capture timestamp (the corpus fixture has
+    none); a live crawl would thread ``fetched_at`` through unchanged."""
+    with_digest = records.withColumn("digest", F.md5(F.col(payload_col)))
+    layout = warc_layout(
+        with_digest, n_shards, url_col=url_col, payload_col=payload_col,
+        order_col=order_col, extra_cols=["digest"],
+    )
+    return layout.select(
+        surt_key_col(F.col(url_col)).alias("surt"),
+        "shard",
+        "offset",
+        "record_len",
+        "digest",
+        F.col(order_col),
     )
