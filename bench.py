@@ -57,6 +57,9 @@ HEADLINE = [
     "traindata_shard_manifest",
     "url_cardinality_hll",
     "host_heavy_hitters_cm",
+    "dedup_substring",
+    "vocab_induct_topk",
+    "quality_classifier_hashgram",
     "traindata_stratified_sample",
     "traindata_decontaminate",
     "text_repetition",

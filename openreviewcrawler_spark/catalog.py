@@ -3033,6 +3033,118 @@ def _sql_host_heavy_hitters_cm() -> str:
     )
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication statistics (operators/dedup.
+    substring_dup_stats): per-document share of 8-token windows occurring
+    elsewhere in the corpus — the Lee-et-al signal that document-level
+    dedup misses. Windows hash to 64-bit before any shuffle; frequency is
+    one map-side-partial groupBy (boilerplate on 10^9 pages = one row)."""
+    return dedup.substring_dup_stats(_corpus(spark, sf_dir))
+
+
+def _sql_dedup_substring() -> str:
+    k = dedup.SUBSTR_K
+    window = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""
+with corpus as ({CORPUS_SQL}),
+t as (select doc_id, {_SQL_TOKENS} as toks from corpus
+      where len({_SQL_TOKENS}) >= {k}),
+w as (select doc_id, unnest(list_distinct(
+        list_transform(range(1, len(toks) - {k - 2}), i -> {window})
+      )) as shingle from t),
+hw as (select doc_id, {_H32.format(x='shingle')} as h from w),
+f as (select h, count(*) as nd from hw group by h)
+select hw.doc_id,
+       count(*)::BIGINT as n_windows,
+       sum(case when f.nd >= 2 then 1 else 0 end)::BIGINT as n_dup,
+       round(sum(case when f.nd >= 2 then 1 else 0 end)::DOUBLE
+             / count(*)::DOUBLE, 6) as dup_fraction
+from hw join f using (h)
+group by hw.doc_id
+"""
+
+
+VOCAB_TOP_K = 100
+
+
+def q_vocab_induct_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction: corpus token frequencies, top-K by
+    (count desc, token) with cumulative corpus coverage. The top-K is
+    TakeOrderedAndProject (distributed partial top-K per partition — no
+    global sort, no single-task funnel); the cumulative window then runs
+    over K rows, bounded by the vocab size, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    topk = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "token",
+            "cnt",
+            F.round(
+                F.sum("cnt").over(w).cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_INDUCT_TOPK = f"""
+with tok as (select unnest({_SQL_TOKENS}) as token from documents),
+c as (select token, count(*)::BIGINT as cnt from tok group by token),
+tot as (select sum(cnt)::BIGINT as total from c),
+top as (select token, cnt from c order by cnt desc, token limit {VOCAB_TOP_K})
+select row_number() over (order by cnt desc, token) as rank, token, cnt,
+       round((sum(cnt) over (order by cnt desc, token
+                rows between unbounded preceding and current row))::DOUBLE
+             / total::DOUBLE, 6) as coverage
+from top cross join tot
+"""
+
+
+def q_quality_classifier_hashgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance scoring (operators/classifier):
+    bucket weights = scaled target-domain share per hashed token bucket
+    (integer division — no log-likelihood, ln is not cross-engine
+    bit-stable), doc score = integer sum of token weights. The weight
+    table is bounded by N_BUCKETS, so it broadcasts by construction; the
+    target domain here is the English slice of the corpus."""
+    from .operators.classifier import hashgram_scores, hashgram_weights
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    )
+    weights = hashgram_weights(docs, "is_en")
+    return hashgram_scores(docs, weights)
+
+
+def _sql_quality_classifier_hashgram() -> str:
+    from .operators.classifier import N_BUCKETS, W_SCALE
+
+    return f"""
+with tok as (
+  select doc_id, (case when lang = 'en' then 1 else 0 end) as is_t,
+         unnest({_SQL_TOKENS}) as token
+  from documents
+),
+b as (select doc_id, is_t, ({_H32.format(x='token')} % {N_BUCKETS})::INT as bucket
+      from tok),
+w as (select bucket, ((sum(is_t) * {W_SCALE}) // count(*))::BIGINT as w
+      from b group by bucket)
+select b.doc_id, count(*)::BIGINT as n_toks, sum(w.w)::BIGINT as score,
+       round(sum(w.w)::DOUBLE / count(*)::DOUBLE, 6) as mean_w
+from b join w using (bucket)
+group by b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3044,15 +3156,18 @@ def _sql_host_heavy_hitters_cm() -> str:
 #: (tail slots or red rows) moves into the head for round N+1. Every entry
 #: therefore gets a hard driver row at least every other round. r4 head:
 #: the 15 entries without an r3 driver row (incl. the four never-driver-run
-#: r3 operators), the twelve NEW r4 operators (dedup_paragraph,
+#: r3 operators), the fifteen NEW r4 operators (dedup_paragraph,
 #: text_bigram_fluency, traindata_domain_mix, crawl_bandwidth_admit,
 #: crawl_trap_detect, mime_sniff, text_pii_scrub, warc_cdx_index,
 #: text_boilerplate_strip, traindata_shard_manifest, url_cardinality_hll,
-#: host_heavy_hitters_cm), and this round's fixed entries; r4 tail: entries
-#: green in CORRECTNESS_r03.json and untouched by the r4 diff (dedup_exact,
-#: dedup_minhash_lsh, lang_id, text_quality, token_count, text_repetition,
-#: q5_region_revenue, top_orders_per_customer and sessionization rotate out
-#: to make room for the late-r4 operators — all r3-green, policy-eligible).
+#: host_heavy_hitters_cm, dedup_substring, vocab_induct_topk,
+#: quality_classifier_hashgram), and this round's fixed entries; r4 tail
+#: (slots 51-80): entries green in CORRECTNESS_r03.json and untouched by
+#: the r4 diff (q1_pricing, q3_shipping, q5_region_revenue,
+#: top_orders_per_customer, sessionization, lang_id, text_quality,
+#: token_count, text_repetition, host_quality_rollup, doc_fingerprint,
+#: mm_decode_meta, mm_frame_sample, dedup_exact and dedup_minhash_lsh
+#: rotate out to make room — all r3-green, policy-eligible).
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -3093,6 +3208,11 @@ CATALOG: dict[str, QueryDef] = {
     "url_cardinality_hll": QueryDef(q_url_cardinality_hll, _sql_url_cardinality_hll()),
     "host_heavy_hitters_cm": QueryDef(
         q_host_heavy_hitters_cm, _sql_host_heavy_hitters_cm()
+    ),
+    "dedup_substring": QueryDef(q_dedup_substring, _sql_dedup_substring()),
+    "vocab_induct_topk": QueryDef(q_vocab_induct_topk, SQL_VOCAB_INDUCT_TOPK),
+    "quality_classifier_hashgram": QueryDef(
+        q_quality_classifier_hashgram, _sql_quality_classifier_hashgram()
     ),
     # --- r4-touched entries (fixes this round need fresh driver rows) ---
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),

@@ -702,3 +702,46 @@ def paragraph_dedup(corpus: DataFrame) -> DataFrame:
     return rebuilt.join(totals, "doc_id").select(
         "doc_id", "n_chunks", "n_kept", "clean_text"
     )
+
+
+SUBSTR_K = 8  # token-window width for substring-level dup statistics
+
+
+def substring_dup_stats(corpus: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, n_windows, n_dup, dup_fraction) — per-document share of
+    k-token windows that occur in at least one OTHER place in the corpus
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": duplicated substrings, not just duplicated documents, drive
+    memorization). Windows are the distinct k-shingles of each document.
+
+    Scale shape (10^10 docs): windows are hashed to 64-bit before any
+    shuffle (the wide window string never moves), the frequency table is
+    ONE groupBy(h) with map-side partial (a boilerplate window on 10^9
+    pages reduces to one row — no skew), and the per-doc rollup is one
+    equi-join + one groupBy. The exploded window table is persisted so the
+    frequency side and the probe side read cache instead of re-running the
+    shingle job (the r3 double-run lesson)."""
+    win = track_persist(
+        shingles_df(corpus, n=k)
+        .withColumn("h", hash32_col(F.col("shingle")))
+        .select("doc_id", "h")
+    )
+    freq = win.groupBy("h").agg(F.count("*").alias("nd"))
+    per_doc = (
+        win.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup",
+        F.round(
+            F.col("n_dup").cast("double") / F.col("n_windows").cast("double"), 6
+        ).alias("dup_fraction"),
+    )
