@@ -28,7 +28,7 @@ DuckDB oracle window (``traindata_pack_sequences``) matches bit-for-bit.
 from __future__ import annotations
 
 import numpy as np
-from pyspark import StorageLevel, TaskContext
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,29 +52,36 @@ def prefix_sum_scalable(
 
     d = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
     d = d.sortWithinPartitions(*order_cols)
+    # Partition id cached AS DATA (see ordering.assign_seq_scalable): reading
+    # TaskContext.partitionId() at stamp time mis-numbers partitions whenever
+    # the stamped plan is consumed inside a union-fused stage. The data column
+    # freezes the id assigned during the standalone counts job below.
+    d = d.withColumn("__pid", F.spark_partition_id())
     d = track_persist(d, StorageLevel.MEMORY_AND_DISK)
 
     part_sums = (
-        d.select(F.spark_partition_id().alias("__pid"), F.col(value_col).alias("__v"))
-        .groupBy("__pid")
-        .agg(F.sum("__v").alias("s"))
+        d.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
         .collect()
     )
     sums = {r["__pid"]: int(r["s"]) for r in part_sums}
     offsets: dict[int, int] = {}
     acc = 0
-    for pid in range(num_partitions):
+    for pid in sorted(sums):
         offsets[pid] = acc
-        acc += sums.get(pid, 0)
+        acc += sums[pid]
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
 
     def _stamp(batches):
-        ctx = TaskContext.get()
-        base = b_offsets.value[ctx.partitionId()]
+        base = None
         for pdf in batches:
-            pdf = pdf.copy()
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = b_offsets.value[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns=["__pid"])
             v = pdf[value_col].to_numpy(dtype=np.int64)
             pdf[out_col] = base + np.concatenate(([0], np.cumsum(v)[:-1]))
             base += int(v.sum())

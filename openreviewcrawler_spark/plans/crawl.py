@@ -19,7 +19,7 @@ from __future__ import annotations
 import tempfile
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.htmltext import extract_batch
@@ -119,36 +119,65 @@ def run_round(
 ) -> dict:
     """Execute one scheduling round; returns the round's result DataFrames
     and counts. Caller materializes/commits."""
-    cand = anti_join_seen(frontier, seen, bloom=bloom).persist()
-    allowed, denied = apply_robots(cand, robots, cfg.default_budget, cfg.round_seconds)
-    denied = denied.persist()
-    admitted = admit(allowed, impl=cfg.admit_impl, n_salts=cfg.n_salts).persist()
-
-    # One driver barrier for all three stage counts (instead of three count()
-    # jobs): a union-tagged aggregation materializes cand/denied/admitted into
-    # the block cache in a single job. At 10^10-frontier scale every driver
-    # round-trip is a full-cluster barrier — this is the difference between 1
-    # and 3 stalls per scheduling round.
-    tagged = (
-        cand.select(F.lit("cand").alias("__k"), F.length("url").alias("__b"))
-        .unionByName(denied.select(F.lit("denied").alias("__k"), F.length("url").alias("__b")))
-        .unionByName(admitted.select(F.lit("admitted").alias("__k"), F.length("url").alias("__b")))
+    # One driver barrier for all stage counts — and no duplicated pipeline
+    # work. The previous shape union-tagged cand/denied/admitted into one
+    # aggregation job; that was one barrier, but the three union branches each
+    # carried the full scheduling lineage, so the anti-join + robots pipeline
+    # ran up to 3x per round (cache population races within a single job).
+    # ``Observation`` metrics ride the ONE action that materializes
+    # ``admitted`` (whose lineage passes through cand and allowed), so every
+    # stage count — plus the broadcast byte estimate and the seed_index
+    # bounds the barrier-free sequence stamp needs — is a side-effect of work
+    # the round does anyway. denied = cand - allowed by construction
+    # (apply_robots partitions its input), so n_denied needs no denied scan.
+    # At 10^10-frontier scale this is ONE full-cluster barrier per scheduling
+    # round, with zero recompute.
+    # unnamed Observations auto-generate unique names — bench reps re-run the
+    # same (round_no, seq_offset) in one session, so fixed names would collide
+    obs_cand = Observation()
+    obs_allowed = Observation()
+    obs_adm = Observation()
+    cand = (
+        anti_join_seen(frontier, seen, bloom=bloom)
+        .observe(obs_cand, F.count(F.lit(1)).alias("n"))
+        .persist()
     )
-    stats = {
-        r["__k"]: (r["n"], r["b"])
-        for r in tagged.groupBy("__k")
-        .agg(F.count("*").alias("n"), F.sum("__b").alias("b"))
-        .collect()
-    }
-    n_candidates = stats.get("cand", (0, 0))[0]
-    n_admitted, admitted_url_bytes = stats.get("admitted", (0, 0))
-    n_denied = stats.get("denied", (0, 0))[0]
+    allowed, denied = apply_robots(cand, robots, cfg.default_budget, cfg.round_seconds)
+    allowed = allowed.observe(obs_allowed, F.count(F.lit(1)).alias("n"))
+    denied = denied.persist()
+    admitted = (
+        admit(allowed, impl=cfg.admit_impl, n_salts=cfg.n_salts)
+        .observe(
+            obs_adm,
+            F.sum(F.length("url")).alias("b"),
+            F.min("seed_index").alias("smin"),
+            F.max("seed_index").alias("smax"),
+        )
+        .persist()
+    )
+    n_admitted = admitted.count()
+    try:
+        n_candidates = int(obs_cand.get["n"])
+        n_denied = n_candidates - int(obs_allowed.get["n"])
+        adm = obs_adm.get
+    except Exception:
+        # A statically-empty input (empty LocalRelation frontier) lets the
+        # optimizer collapse the whole plan, dropping the CollectMetrics
+        # nodes — then every stage count is zero by construction. A
+        # runtime-empty admitted batch (all candidates denied) does NOT take
+        # this path: its observes executed and .get returns normally.
+        n_candidates = n_denied = 0
+        adm = {"b": None, "smin": None, "smax": None}
+    admitted_url_bytes = int(adm["b"] or 0)
     if n_candidates == 0:
         cand.unpersist()
         denied.unpersist()
         admitted.unpersist()
         return {"n_candidates": 0}
 
+    lead_bounds = (
+        (int(adm["smin"]), int(adm["smax"])) if adm["smin"] is not None else None
+    )
     stamped = assign_fetch_seq(
         admitted.drop("budget"),
         ["seed_index", "depth", "url"],
@@ -156,6 +185,7 @@ def run_round(
         offset=seq_offset,
         small_threshold=cfg.seq_small_threshold,
         known_count=n_admitted,
+        lead_bounds=lead_bounds,
     ).persist()
 
     # fetch + parse. Two physical strategies, same result:

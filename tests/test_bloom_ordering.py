@@ -68,3 +68,64 @@ def test_scalable_seq_equals_window(spark):
     }
     assert a == b
     assert sorted(a.values()) == list(range(10, 3010))
+
+def test_bucketed_seq_equals_window(spark):
+    from openreviewcrawler_spark.operators.ordering import assign_seq_bucketed
+
+    df = spark.createDataFrame(
+        [((i * 13) % 97, (i * 37) % 3, f"u{i:05d}") for i in range(3000)],
+        "seed_index int, depth int, url string",
+    ).repartition(16)
+    cols = ["seed_index", "depth", "url"]
+    a = {
+        r["url"]: r["s"]
+        for r in assign_seq_bucketed(
+            df, cols, "s", offset=10, lead_bounds=(0, 96), num_buckets=16
+        ).collect()
+    }
+    b = {
+        r["url"]: r["s"]
+        for r in assign_seq_global_window(df, cols, "s", offset=10).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(10, 3010))
+
+
+def test_bucketed_seq_no_extra_jobs(spark):
+    """The bucketed stamp must add ZERO driver barriers: building and
+    collecting the stamped output is one action with no preparatory jobs
+    (the scalable impl runs a sampling job + a counts job at call time)."""
+    from openreviewcrawler_spark.operators.ordering import assign_seq_bucketed
+
+    df = spark.createDataFrame(
+        [(i % 50, i % 3, f"u{i:05d}") for i in range(2000)],
+        "seed_index int, depth int, url string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = assign_seq_bucketed(df, ["seed_index", "depth", "url"], "s", lead_bounds=(0, 49))
+    mid = len(tracker.getJobIdsForGroup(None) or [])
+    assert mid == before, "plan construction must not launch jobs"
+    out.collect()
+
+
+def test_scalable_seq_survives_union_fused_consumer(spark):
+    """Regression: the stamp's partition offsets must come from cached DATA,
+    not TaskContext.partitionId(). When the stamped plan's FIRST
+    materialization happens inside a union-fused stage, task partition ids
+    are shifted by the other branch's partition count; reading them at stamp
+    time mis-numbers every partition (KeyError at best, silently wrong
+    fetch_seq at worst). The production shape that hits this is
+    ``stamped.unionByName(denied)`` in the crawl round."""
+    df = spark.createDataFrame(
+        [(i % 7, i % 3, f"u{i:05d}") for i in range(3000)],
+        "seed_index int, depth int, url string",
+    ).repartition(16)
+    cols = ["seed_index", "depth", "url"]
+    ref = assign_seq_global_window(df, cols, "s", offset=0)
+    stamped = assign_seq_scalable(df, cols, "s", offset=0)  # NOT materialized yet
+    u = ref.select("url", "s").unionByName(stamped.select("url", "s"))
+    mismatches = (
+        u.groupBy("url", "s").count().filter(F.col("count") != 2).count()
+    )
+    assert mismatches == 0

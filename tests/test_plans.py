@@ -270,3 +270,55 @@ def test_no_forced_broadcast_of_scaling_relations(spark, sf_dir):
     )
     out = flatten_note_revisions(revs, notes)
     assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_round_counts_ride_observations(spark):
+    """The round's stage counts are Observation side-effects of the ONE
+    action that materializes the admitted batch — no union-tagged counts job
+    (which re-ran the scheduling lineage once per branch). Checks: (a) the
+    counts equal independently-computed ground truth, (b) the degenerate
+    statically-empty frontier (optimizer collapses the plan, dropping the
+    CollectMetrics nodes) still reports zeros instead of hanging/raising."""
+    from openreviewcrawler_spark.operators.robots import apply_robots
+    from openreviewcrawler_spark.operators.seen import anti_join_seen
+    from openreviewcrawler_spark.plans.crawl import (
+        FRONTIER_SCHEMA,
+        SEEN_SCHEMA,
+        CrawlConfig,
+        run_round,
+        seeds_to_frontier,
+    )
+    from openreviewcrawler_spark.sources.bench_data import (
+        synth_pages,
+        synth_robots,
+        synth_seeds,
+        synth_seen,
+    )
+
+    n_pages, n_hosts = 900, 11
+    pages = synth_pages(spark, n_pages, n_hosts)
+    frontier = seeds_to_frontier(synth_seeds(spark, n_pages, n_hosts))
+    seen = synth_seen(spark, n_pages, n_hosts)
+    robots = synth_robots(spark, n_hosts, 4)
+    cfg = CrawlConfig(max_rounds=1, default_budget=4, seq_small_threshold=0)
+    r = run_round(spark, pages, frontier, seen, robots, cfg, 1, 0)
+
+    cand = anti_join_seen(frontier, seen)
+    allowed, denied = apply_robots(cand, robots, 4, 60.0)
+    assert r["n_candidates"] == cand.count()
+    assert r["n_denied"] == denied.count()
+    assert r["n_admitted"] == r["fetched"].count()
+    for df in r["_cached"]:
+        df.unpersist()
+
+    r0 = run_round(
+        spark,
+        pages,
+        spark.createDataFrame([], FRONTIER_SCHEMA),
+        spark.createDataFrame([], SEEN_SCHEMA),
+        robots,
+        cfg,
+        1,
+        0,
+    )
+    assert r0 == {"n_candidates": 0}
