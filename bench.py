@@ -507,6 +507,13 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
         if "wk" in v and "hi" in v and ups("wk") < ups("hi"):
             return "wk"
         e = strong_eff()
+        # super-linear strong scaling is physically impossible on identical
+        # input — it means the LO sample was steal-stretched (observed: lo
+        # 289 s vs ~72 s clean → "efficiency" 1.24, which the pair loop then
+        # accepted as target-met and stopped sampling). Resampling lo can
+        # only LOWER the ratio toward its honest value.
+        if e is not None and e > 1.0:
+            return "lo"
         if e is not None and e < target:
             return "hi"
         if (
