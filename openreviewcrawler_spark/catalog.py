@@ -2153,6 +2153,47 @@ from reach group by 1
 """
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size profile — the dedup QA report a 100 TB pass
+    publishes per shard: for each cluster size, how many near-dup clusters
+    exist, how many documents they cover, and how many rows dedup removes
+    (size−1 per cluster, the keeper stays). Singleton "clusters" (docs with
+    no near-dup) are reported too: their count is the survivor baseline.
+
+    Scale shape: the expensive part is the components labeling the pipeline
+    already computes; the profile itself is two map-side-partial groupBys
+    over (doc_id, component) — no joins, no windows, output rows bounded by
+    the largest cluster size."""
+    corpus = _corpus(spark, sf_dir)
+    edges = dedup.minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    comp = dedup.connected_components(edges, corpus.select("doc_id"))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+SQL_DEDUP_CLUSTER_STATS = f"""
+with comp as ({SQL_DEDUP_COMPONENTS}),
+sizes as (select component, count(*) as cluster_size from comp group by 1)
+select cluster_size::BIGINT as cluster_size,
+       count(*)::BIGINT as n_clusters,
+       (cluster_size * count(*))::BIGINT as n_docs,
+       ((cluster_size - 1) * count(*))::BIGINT as n_removed
+from sizes
+group by cluster_size
+"""
+
+
 def q_traindata_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data cleaning pass over the derived corpus — the
     full FIVE-stage ladder a 100 TB pretraining corpus runs nightly:
@@ -3161,8 +3202,11 @@ group by b.doc_id
 #: crawl_trap_detect, mime_sniff, text_pii_scrub, warc_cdx_index,
 #: text_boilerplate_strip, traindata_shard_manifest, url_cardinality_hll,
 #: host_heavy_hitters_cm, dedup_substring, vocab_induct_topk,
-#: quality_classifier_hashgram), and this round's fixed entries; r4 tail
-#: (slots 51-80): entries green in CORRECTNESS_r03.json and untouched by
+#: quality_classifier_hashgram) plus the late-r4 dedup_cluster_stats (new
+#: operators always enter inside the window; its insertion pushes the
+#: r3-green type_share to slot 51 — policy-eligible), and this round's
+#: fixed entries; r4 tail
+#: (slots 51-81): entries green in CORRECTNESS_r03.json and untouched by
 #: the r4 diff (q1_pricing, q3_shipping, q5_region_revenue,
 #: top_orders_per_customer, sessionization, lang_id, text_quality,
 #: token_count, text_repetition, host_quality_rollup, doc_fingerprint,
@@ -3182,6 +3226,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_components": QueryDef(q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_cluster_stats": QueryDef(q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
     "traindata_stratified_sample": QueryDef(
         q_traindata_stratified_sample, SQL_TRAINDATA_STRATIFIED_SAMPLE
     ),
