@@ -3014,6 +3014,95 @@ group by 1
 """
 
 
+_N_EPOCHS = 4
+
+
+def q_traindata_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic reshuffle of the training shards — the
+    dataloader order a resumable 100 TB run needs: every epoch visits every
+    shard exactly once, in an order that (a) differs between epochs and
+    (b) is a pure function of (epoch, shard_id), so any worker recomputes
+    its slice from the manifest with zero coordination and a resumed run
+    continues at the same position.
+
+    Scale shape: the per-epoch rank is NOT a per-epoch window funnel (that
+    would push millions of shards of one epoch through one task). The sort
+    key is an md5-derived 32-bit value, so its own high bits are an
+    order-aligned bucket: ranks ride ``ordering.assign_seq_bucketed`` on the
+    integral lead ``epoch * 4096 + h div 2^20`` — one job, no sampling pass,
+    no Python — and the within-epoch position is the global stamp minus
+    ``epoch * n_shards`` (every epoch is a full pass, so epoch blocks are
+    equal-sized by construction)."""
+    from .operators.ordering import assign_seq_bucketed
+    from .operators.packing import prefix_sum_scalable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    with_off = prefix_sum_scalable(docs, "n_chars", ["doc_id"], "cum_before")
+    shards = with_off.select(
+        F.expr(f"cum_before div {_SHARD_BUDGET}").cast("long").alias("shard_id")
+    ).distinct()
+    n_shards = shards.count()  # manifest-sized relation: cheap, exact
+    sched = shards.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))).alias("epoch"),
+        "shard_id",
+    ).select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "shard_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ep"),
+                        F.col("epoch").cast("string"),
+                        F.lit("|"),
+                        F.col("shard_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    lead = (F.col("epoch").cast("long") * 4096 + F.expr("h div 1048576")).alias(
+        "lead"
+    )
+    stamped = assign_seq_bucketed(
+        sched.select(lead, "h", "epoch", "shard_id"),
+        ["lead", "h", "shard_id"],
+        "seq",
+        lead_bounds=(0, _N_EPOCHS * 4096 - 1),
+    )
+    return stamped.select(
+        "epoch",
+        (F.col("seq") - F.col("epoch").cast("long") * n_shards).alias("position"),
+        "shard_id",
+    )
+
+
+SQL_TRAINDATA_EPOCH_SCHEDULE = f"""
+with cum as (
+  select doc_id, n_chars,
+         coalesce(sum(n_chars) over (order by doc_id
+           rows between unbounded preceding and 1 preceding), 0) as cum_before
+  from documents
+),
+shards as (select distinct (cum_before // {_SHARD_BUDGET})::BIGINT as shard_id from cum),
+sched as (
+  select e.epoch, s.shard_id,
+         {_H32.format(x="'ep' || cast(e.epoch as varchar) || '|' || cast(s.shard_id as varchar)")} as h
+  from shards s, (select unnest(range(0, {_N_EPOCHS})) as epoch) e
+)
+select epoch::INT as epoch,
+       (row_number() over (partition by epoch order by h, shard_id) - 1)::BIGINT as position,
+       shard_id
+from sched
+"""
+
+
 #: URL-synthesis snippet for the cardinality sketch (shared verbatim): a
 #: duplicated URL universe — 1499 possible paths, so true distinct is
 #: min(n_docs, 1499) and the sketch has real duplicates to collapse at
@@ -3202,11 +3291,11 @@ group by b.doc_id
 #: crawl_trap_detect, mime_sniff, text_pii_scrub, warc_cdx_index,
 #: text_boilerplate_strip, traindata_shard_manifest, url_cardinality_hll,
 #: host_heavy_hitters_cm, dedup_substring, vocab_induct_topk,
-#: quality_classifier_hashgram) plus the late-r4 dedup_cluster_stats (new
-#: operators always enter inside the window; its insertion pushes the
-#: r3-green type_share to slot 51 — policy-eligible), and this round's
-#: fixed entries; r4 tail
-#: (slots 51-81): entries green in CORRECTNESS_r03.json and untouched by
+#: quality_classifier_hashgram) plus the late-r4 dedup_cluster_stats and
+#: traindata_epoch_schedule (new operators always enter inside the window;
+#: their insertion pushes the r3-green global_totals and type_share to
+#: slots 51-52 — policy-eligible), and this round's fixed entries; r4 tail
+#: (slots 51-82): entries green in CORRECTNESS_r03.json and untouched by
 #: the r4 diff (q1_pricing, q3_shipping, q5_region_revenue,
 #: top_orders_per_customer, sessionization, lang_id, text_quality,
 #: token_count, text_repetition, host_quality_rollup, doc_fingerprint,
@@ -3227,6 +3316,9 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_embedding_cosine": QueryDef(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_components": QueryDef(q_dedup_components, SQL_DEDUP_COMPONENTS),
     "dedup_cluster_stats": QueryDef(q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
+    "traindata_epoch_schedule": QueryDef(
+        q_traindata_epoch_schedule, SQL_TRAINDATA_EPOCH_SCHEDULE
+    ),
     "traindata_stratified_sample": QueryDef(
         q_traindata_stratified_sample, SQL_TRAINDATA_STRATIFIED_SAMPLE
     ),
