@@ -229,7 +229,7 @@ def crawl_phase_main(cores: int, n_pages: int, n_hosts: int) -> None:
         # dirty and the repair loop resamples. A one-sided-slow min-of-1 can
         # only understate throughput; the anti-ratchet lo resample covers
         # the efficiency-inflation direction.
-        if time.time() - t_start > 1200:
+        if time.time() - t_start > 900:
             break
     print(json.dumps({"sec": best[0], "n": best[1], "fp": best[2]}))
 
@@ -283,8 +283,31 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
     cpus_lo = max(1, cpus_hi // 4)
     ratio = cpus_hi // cpus_lo
     n_hosts = max(256, cpus_max * 128)  # >> cores so per-host budgets can't starve parallelism
+    # Adaptive input sizing (r4): in a CAPPED window (this host spends hours
+    # at <24 of 32 effective cores) every phase stretches 3-5x, so at 6M
+    # pages one lo+hi+wk pass eats the whole scaling wall and the repair
+    # loop never runs — two full r4 attempts ended with every sample dirty
+    # and zero resamples. Sample ECONOMICS dominate there: halving the input
+    # roughly doubles the draws, and min-of-samples is what finds the quiet
+    # bursts. 3M is only honest because the round's serial floor was cut
+    # (~6.3 s -> ~2.5 s: observe-counts + barrier-free stamp) — by the
+    # BENCH.md cost model the floor share at 3M now caps strong efficiency
+    # at ~0.87, comfortably above target, where the OLD floor capped 2M at
+    # 0.77 (why 6M was chosen). An explicit SPARK_GRAFT_BENCH_PAGES always
+    # wins; the adaptation is recorded in the artifact.
+    if (
+        "SPARK_GRAFT_BENCH_PAGES" not in os.environ
+        and env["effective_cores_envelope"] < 24
+        and n_pages > 3_000_000
+    ):
+        out_adapted = n_pages
+        n_pages = 3_000_000
+    else:
+        out_adapted = None
     out = {"cores_hi": cpus_hi, "cores_lo": cpus_lo, "cores_max": cpus_max,
            "n_pages": n_pages}
+    if out_adapted is not None:
+        out["n_pages_adapted_from"] = out_adapted
     out.update(env)
     fps = {}
     best = {}  # min over CLEAN samples (post-probe confirmed the envelope)
@@ -655,17 +678,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # 6M default, sized from a measured per-round cost model (r3):
-    # T(cores, pages) ~ S + (P + a*pages)/cores with S~5-6 s serial driver
-    # cost (barriers, broadcast build, job scheduling; per-stage pinned
-    # profile: counts barrier ~2.3 s, fetch/broadcast ~2-3 s, seq stamp
-    # ~0.8 s), P~47 s parallelizable fixed work (the politeness-budget-
-    # capped ~196k-page fetch+parse is constant regardless of frontier
-    # size), a~23 s per M pages of scheduling work. At 2M the serial floor
-    # caps strong 2->8 efficiency at ~0.77 BY CONSTRUCTION (measured =
-    # model); at 5M the model gives ~0.82, at 6M ~0.83-0.84 — the input
-    # must be big enough that throughput, not the per-round floor, is what
-    # the ratio measures, while a lo-level rep (~87 s) still fits the
-    # driver's phase budget.
+    # T(cores, pages) ~ S + (P + a*pages)/cores. r3 constants: S~5-6 s
+    # serial driver cost (counts barrier ~2.3 s, fetch/broadcast ~2-3 s,
+    # seq stamp ~0.8 s), P~47 s parallelizable fixed work (the politeness-
+    # budget-capped ~196k-page fetch+parse is constant regardless of
+    # frontier size), a~23 s per M pages of scheduling work. At 2M the OLD
+    # floor capped strong 2->8 efficiency at ~0.77 BY CONSTRUCTION
+    # (measured = model); at 6M ~0.83-0.84. The r4 round cut S to ~2-3 s
+    # (observe-riding counts, barrier-free bucketed stamp, one cheaper
+    # broadcast build — A/B 85.4 -> 70.4 s at pinned 8co/6M), which lifts
+    # the 3M model ceiling to ~0.87; run_scaling exploits that by adapting
+    # 6M -> 3M when the measured envelope says the window is capped
+    # (sample economics beat input size there — see its comment).
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "6000000"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
