@@ -711,22 +711,27 @@ def main() -> None:
 
     from openreviewcrawler_spark.session import get_spark, stop_spark
 
-    spark = get_spark(
-        app_name="bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    queries = run_headline(spark, sf_dir)
-    total = round(sum(queries.values()), 3)
+    # SPARK_GRAFT_HEADLINE=0 skips the query suite (local iteration on the
+    # scaling machinery only; the driver's per-round run keeps the default)
+    if os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0":
+        spark = get_spark(
+            app_name="bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        queries = run_headline(spark, sf_dir)
+        total = round(sum(queries.values()), 3)
 
-    # Stop the headline JVM BEFORE the scaling phases: an idle local[32]
-    # session (48g heap, worker pool, GC threads) is NOT pinned, so it
-    # freeloads on exactly the cores the taskset'd phase subprocesses were
-    # measured on — the r4 steal-window run had it alive through every
-    # phase. The phases bring up their own fresh JVMs anyway.
-    stop_spark()
+        # Stop the headline JVM BEFORE the scaling phases: an idle local[32]
+        # session (48g heap, worker pool, GC threads) is NOT pinned, so it
+        # freeloads on exactly the cores the taskset'd phase subprocesses
+        # were measured on — the r4 steal-window run had it alive through
+        # every phase. The phases bring up their own fresh JVMs anyway.
+        stop_spark()
+    else:
+        queries, total = {}, 0.0
     crawl = run_scaling(cpus, n_pages) if do_scaling else None
 
     result = {
