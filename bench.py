@@ -538,11 +538,17 @@ def run_scaling(cpus_hi: int, n_pages: int) -> dict:
             return "hi"
         if "wk" in v and "hi" in v and ups("wk") < ups("hi"):
             return "wk"
-        # weak efficiency far above 1 means the lo denominator is poisoned
-        # too (mild >1 is legitimate amortization; 1.85 is not)
+        # weak efficiency far above 1 can mean a poisoned lo denominator —
+        # but at the adapted 3M input it is also the LEGITIMATE shape: the
+        # fixed ~50 s fetch+parse work amortizes over 4x input (attempt-4
+        # fit: weak 1.36 with a CLEAN, 5x-challenged lo). So treat it as a
+        # bounded lo-challenge, not an invariant: without the bound the
+        # repair loop resamples lo forever (min-of-samples only ever raises
+        # weak further) and the budget drains on a non-defect.
         if (
             "wk" in v and "lo" in v
             and ups("wk") / (ratio * ups("lo")) > 1.1
+            and samples.get("lo", 0) < 3
         ):
             return "lo"
         # a level whose every sample failed its own-cpuset post-probe gets
