@@ -3275,6 +3275,187 @@ group by b.doc_id
 """
 
 
+# --- DUST rule mining + adaptive delay + quota allocation + WARC revisit (r4b)
+
+#: shared derivation: three query params per URL — `id` determines content
+#: (the fingerprint), `sid` is a session id (content-irrelevant, varies
+#: within every (id, ref) residual → mines as 'strip'), `ref` a tracking
+#: tag that happens to be CONSTANT per host (source stripes doc_id mod 20,
+#: so doc_id parity is fixed within a host) → never tested, emits no rule
+#: row (no evidence ≠ strip — the mining must not strip what it never saw
+#: vary). doc_id%5=0 rows carry no query at all; since the stripe fixes
+#: doc_id mod 5 per host too, four whole hosts are query-free and emit
+#: nothing (the empty-params path).
+DUST_URL_EXPR = """case when doc_id % 5 = 0
+  then 'https://' || source || '.example/p'
+  else 'https://' || source || '.example/p?id=' || cast(doc_id % 50 as varchar(30))
+       || '&sid=' || cast(doc_id % 7 as varchar(30))
+       || case when doc_id % 2 = 0 then '&ref=home' else '&ref=mail' end
+end"""
+DUST_FP_EXPR = "substr(md5(source || ':' || cast(doc_id % 50 as varchar(30))), 1, 16)"
+
+
+def q_crawl_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (operators/dust.mine_dust_rules): which query params
+    never change the content fingerprint — `sid` mines as 'strip', `id` as
+    'keep', per-host-constant `ref` stays unevidenced (no row). Two
+    map-side-combined groupBys, no joins."""
+    from .operators.dust import mine_dust_rules
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.expr(DUST_URL_EXPR).alias("url"), F.expr(DUST_FP_EXPR).alias("fingerprint")
+    )
+    return mine_dust_rules(pages, min_groups=2)
+
+
+SQL_CRAWL_DUST_RULES = f"""
+with u as (select {DUST_URL_EXPR} as url, {DUST_FP_EXPR} as fingerprint from documents),
+p as (
+  select fingerprint,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) as host,
+         regexp_extract(url, '^([^?#]*)', 1) as base,
+         regexp_extract(url, '[?]([^#]*)', 1) as query
+  from u
+),
+w as (select *, list_filter(string_split(query, '&'), x -> x <> '') as params from p),
+e as (
+  select fingerprint, host,
+         regexp_extract(t.p, '^([^=]*)', 1) as param_key,
+         regexp_extract(t.p, '=(.*)$', 1) as param_value,
+         base || '?' || array_to_string(list_sort(list_filter(params, x -> x <> t.p)), '&')
+           as residual
+  from w, unnest(w.params) as t(p)
+),
+g as (
+  select host, param_key, residual,
+         count(distinct param_value) as n_values,
+         count(distinct fingerprint) as n_fps
+  from e group by 1, 2, 3
+),
+r as (
+  select host, param_key, count(*)::BIGINT as n_groups,
+         sum((n_fps = 1)::INT)::BIGINT as n_irrelevant
+  from g where n_values >= 2 group by 1, 2
+)
+select host, param_key, n_groups, n_irrelevant,
+       case when n_groups >= 2 and n_irrelevant = n_groups then 'strip' else 'keep' end
+         as rule
+from r
+"""
+
+
+def q_crawl_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-adaptive politeness (operators/scheduler.adaptive_delay):
+    per-host delay = clamp(200, 5000, 2x integer-mean latency, doubled when
+    error rate > 20%). Pure integer arithmetic — exact at any parallelism."""
+    from .operators.scheduler import adaptive_delay
+
+    log = _t(spark, sf_dir, "documents").select(
+        F.expr(HOST_EXPR).alias("host"),
+        (F.lit(50) + (F.col("doc_id") * 97) % 900).cast("long").alias("latency_ms"),
+        (F.col("doc_id") % 11 == 0).alias("is_err"),
+    )
+    return adaptive_delay(log)
+
+
+SQL_CRAWL_ADAPTIVE_DELAY = f"""
+with l as (
+  select {HOST_EXPR} as host,
+         (50 + (doc_id * 97) % 900)::BIGINT as latency_ms,
+         (doc_id % 11 = 0) as is_err
+  from documents
+),
+a as (
+  select host, count(*)::BIGINT as n_fetches, sum(latency_ms)::BIGINT as sum_latency,
+         sum(is_err::INT)::BIGINT as n_errs
+  from l group by host
+)
+select host, n_fetches, n_errs,
+       least(5000, greatest(200,
+         (case when 5 * n_errs > n_fetches then 2 else 1 end)
+         * ((2 * sum_latency) // n_fetches)))::BIGINT as delay_ms
+from a
+"""
+
+
+def q_crawl_quota_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder fetch-quota apportionment
+    (operators/scheduler.allocate_quota): integer-exact proportional split
+    of a 997-fetch round budget across hosts; sum(quota) == budget. The
+    remainder rank rides the barrier-free scalable seq stamp."""
+    from .operators.scheduler import allocate_quota
+
+    scores = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.expr(HOST_EXPR).alias("host"))
+        .agg(F.sum((F.col("doc_id") % 13) + 1).cast("long").alias("score"))
+    )
+    return allocate_quota(scores, budget=997)
+
+
+SQL_CRAWL_QUOTA_ALLOCATE = f"""
+with s as (
+  select {HOST_EXPR} as host, sum((doc_id % 13) + 1)::BIGINT as score
+  from documents group by 1
+),
+t as (select sum(score)::BIGINT as total_score from s),
+j as (
+  select host, score, ((997 * score) // total_score)::BIGINT as base_q,
+         ((997 * score) % total_score)::BIGINT as rem
+  from s, t
+),
+lo as (select (997 - sum(base_q))::BIGINT as leftover from j),
+r as (select *, row_number() over (order by rem desc, host asc) as rn from j)
+select host, score, base_q,
+       (base_q + case when rn <= leftover then 1 else 0 end)::BIGINT as quota
+from r, lo
+"""
+
+
+def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record dedup (sources/warc.revisit_records): identical
+    payload digests stored once; later captures become zero-payload
+    'revisit' records pointing at the earliest capture. One shuffle on
+    digest, windows stay inside dup clusters."""
+    from .sources.warc import revisit_records
+
+    caps = _corpus(spark, sf_dir).select(
+        F.concat(F.lit("https://cap.example/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id").cast("long").alias("capture_ts"),
+        "text",
+    )
+    return revisit_records(caps)
+
+
+SQL_WARC_REVISIT_DEDUP = f"""
+with c as ({CORPUS_SQL}),
+u as (
+  select 'https://cap.example/d/' || cast(doc_id as varchar(30)) as url,
+         doc_id::BIGINT as capture_ts, text
+  from c
+),
+d as (select url, capture_ts, md5(text) as digest, text from u),
+w as (
+  select url, capture_ts, digest,
+         first_value(url) over (
+           partition by digest order by capture_ts asc, url asc
+           rows between unbounded preceding and current row) as original_url,
+         first_value(capture_ts) over (
+           partition by digest order by capture_ts asc, url asc
+           rows between unbounded preceding and current row) as original_ts,
+         length(text) as len
+  from d
+)
+select url, capture_ts, digest,
+       case when url = original_url and capture_ts = original_ts
+            then 'response' else 'revisit' end as record_type,
+       original_url, original_ts,
+       (case when url = original_url and capture_ts = original_ts
+             then len else 0 end)::BIGINT as stored_len
+from w
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3291,10 +3472,13 @@ group by b.doc_id
 #: crawl_trap_detect, mime_sniff, text_pii_scrub, warc_cdx_index,
 #: text_boilerplate_strip, traindata_shard_manifest, url_cardinality_hll,
 #: host_heavy_hitters_cm, dedup_substring, vocab_induct_topk,
-#: quality_classifier_hashgram) plus the late-r4 dedup_cluster_stats and
-#: traindata_epoch_schedule (new operators always enter inside the window;
-#: their insertion pushes the r3-green global_totals and type_share to
-#: slots 51-52 — policy-eligible), and this round's fixed entries; r4 tail
+#: quality_classifier_hashgram) plus the late-r4 dedup_cluster_stats,
+#: traindata_epoch_schedule, crawl_dust_rules, crawl_adaptive_delay,
+#: crawl_quota_allocate and warc_revisit_dedup (new operators always enter
+#: inside the window; their insertion pushes the r3-green global_totals,
+#: type_share, flatten_authors_pivot, props_extract, merge_invitations and
+#: venue_id_assign past slot 50 — policy-eligible), and this round's fixed
+#: entries; r4 tail
 #: (slots 51-82): entries green in CORRECTNESS_r03.json and untouched by
 #: the r4 diff (q1_pricing, q3_shipping, q5_region_revenue,
 #: top_orders_per_customer, sessionization, lang_id, text_quality,
@@ -3351,6 +3535,10 @@ CATALOG: dict[str, QueryDef] = {
     "quality_classifier_hashgram": QueryDef(
         q_quality_classifier_hashgram, _sql_quality_classifier_hashgram()
     ),
+    "crawl_dust_rules": QueryDef(q_crawl_dust_rules, SQL_CRAWL_DUST_RULES),
+    "crawl_adaptive_delay": QueryDef(q_crawl_adaptive_delay, SQL_CRAWL_ADAPTIVE_DELAY),
+    "crawl_quota_allocate": QueryDef(q_crawl_quota_allocate, SQL_CRAWL_QUOTA_ALLOCATE),
+    "warc_revisit_dedup": QueryDef(q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
     # --- r4-touched entries (fixes this round need fresh driver rows) ---
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),

@@ -131,3 +131,95 @@ def bandwidth_admit(
         cand.withColumn("cum_bytes", F.sum(F.col(est_col)).over(w))
         .filter(F.col("cum_bytes") <= F.lit(byte_budget))
     )
+
+
+def adaptive_delay(
+    fetch_log: DataFrame,
+    base_ms: int = 500,
+    min_ms: int = 200,
+    max_ms: int = 5000,
+    lat_col: str = "latency_ms",
+    err_col: str = "is_err",
+) -> DataFrame:
+    """Latency-adaptive per-host crawl delay (AIMD-flavored politeness).
+
+    The reference crawler sleeps a fixed interval between requests
+    (/root/reference/crawler.py fetch loop); a web-scale engine instead
+    derives each host's delay from its OBSERVED behavior: slow or erroring
+    hosts get backed off, fast healthy ones get the floor. Rule (exact
+    integer arithmetic, bit-identical across engines at any parallelism):
+
+      raw   = (2 * sum(latency_ms)) div n_fetches          -- 2x mean
+      raw2  = raw * 2 if 5 * n_errs > n_fetches else raw   -- err_rate > 20%
+      delay = clamp(min_ms, max_ms, greatest(raw2, base_ms applies only
+              when the host has no observations -- absent hosts keep base)
+
+    Scale shape: ONE map-side-combined groupBy(host) over the fetch log;
+    output is O(hosts). No floats anywhere (integer div is exact; a decimal
+    mean would hit cross-engine division-precision rules).
+    """
+    agg = fetch_log.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(F.col(lat_col).cast("long")).alias("sum_latency"),
+        F.sum(F.col(err_col).cast("long")).alias("n_errs"),
+    )
+    # integral `div`, not `/`: long / long is DOUBLE in Spark, and a double
+    # round-trip loses exactness once sums pass 2^53 at real corpus sizes
+    raw = F.expr("(2 * sum_latency) div n_fetches")
+    bumped = F.when(F.lit(5) * F.col("n_errs") > F.col("n_fetches"), raw * 2).otherwise(raw)
+    delay = F.least(F.lit(max_ms).cast("long"), F.greatest(F.lit(min_ms).cast("long"), bumped))
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_errs",
+        delay.alias("delay_ms"),
+    )
+
+
+def allocate_quota(host_scores: DataFrame, budget: int, score_col: str = "score") -> DataFrame:
+    """Global fetch-quota allocation across hosts by largest-remainder method.
+
+    Given an integer quality ``score`` per host and a round-wide fetch
+    ``budget``, allocate per-host quotas proportional to score with the
+    apportionment remainder going to the largest fractional parts — the
+    deterministic way to turn host_quality_rollup scores into the
+    ``budget`` column the admit tier consumes, without floats:
+
+      base_h  = (budget * s_h) div total
+      rem_h   = (budget * s_h) mod total         -- fractional part * total
+      extra_h = 1 for the (budget - sum(base)) hosts with largest rem
+                (host name breaks ties), else 0
+
+    sum(quota) == budget exactly. Scale shape: two single-row aggregates
+    broadcast back (the stats.py global_totals pattern), and the remainder
+    RANK comes from the barrier-free scalable seq stamp — NOT a global
+    ``Window.orderBy`` (a one-task funnel over all hosts; the same reason
+    the fluency ntile was rewritten, CLAUDE.md r4). Scores arrive
+    pre-aggregated (one groupBy upstream), so everything here is O(hosts).
+    """
+    from .ordering import assign_seq_scalable
+
+    totals = host_scores.agg(
+        F.sum(F.col(score_col).cast("long")).alias("total_score")
+    )
+    j = host_scores.crossJoin(F.broadcast(totals)).select(
+        "host",
+        F.col(score_col).cast("long").alias("score"),
+        F.expr(f"(cast({budget} as bigint) * {score_col}) div total_score").alias("base_q"),
+        F.expr(f"(cast({budget} as bigint) * {score_col}) % total_score").alias("rem"),
+        "total_score",
+    )
+    leftover = j.agg((F.lit(budget) - F.sum("base_q")).cast("long").alias("leftover"))
+    # descending-remainder rank as an ascending stamp over (total-rem, host):
+    # (neg_rem, host) is a unique key since host is unique per row
+    ranked = assign_seq_scalable(
+        j.withColumn("neg_rem", F.col("total_score") - F.col("rem")),
+        ["neg_rem", "host"],
+        seq_col="rem_rank0",
+    )
+    out = ranked.crossJoin(F.broadcast(leftover)).withColumn(
+        "quota",
+        F.col("base_q")
+        + F.when(F.col("rem_rank0") < F.col("leftover"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return out.select("host", "score", "base_q", "quota")

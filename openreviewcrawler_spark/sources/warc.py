@@ -106,3 +106,55 @@ def cdx_index(
         "digest",
         F.col(order_col),
     )
+
+
+def revisit_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "text",
+    ts_col: str = "capture_ts",
+) -> DataFrame:
+    """WARC revisit-record dedup — store identical payload bytes ONCE.
+
+    Real archive writers (Heritrix/wget WARC mode) replace a capture whose
+    payload digest was already written by a zero-payload ``revisit`` record
+    pointing at the original capture. Per payload digest, the earliest
+    capture (ties broken by url — deterministic) is the ``response`` record;
+    every later capture becomes ``revisit`` carrying (original_url,
+    original_ts) and stores 0 payload bytes.
+
+    Output: (url, capture_ts, digest, record_type, original_url,
+    stored_len) with stored_len = payload length for the original, 0 for
+    revisits — sum(stored_len) is the archive's dedup win.
+
+    Scale shape: ONE shuffle on digest; the window partitions by digest
+    (dup-cluster-sized groups, no global funnel), `first` over the ordered
+    window is the running minimum = group minimum. Digest is md5 JVM-side.
+    """
+    d = captures.withColumn("digest", F.md5(F.col(payload_col)))
+    w = (
+        Window.partitionBy("digest")
+        .orderBy(F.col(ts_col).asc(), F.col(url_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        d.withColumn("original_url", F.first(url_col).over(w))
+        .withColumn("original_ts", F.first(ts_col).over(w))
+        .withColumn(
+            "record_type",
+            F.when(
+                (F.col(url_col) == F.col("original_url"))
+                & (F.col(ts_col) == F.col("original_ts")),
+                F.lit("response"),
+            ).otherwise(F.lit("revisit")),
+        )
+        .withColumn(
+            "stored_len",
+            F.when(
+                F.col("record_type") == "response", F.length(F.col(payload_col))
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    return out.select(
+        url_col, ts_col, "digest", "record_type", "original_url", "original_ts", "stored_len"
+    )
