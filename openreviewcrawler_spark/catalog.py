@@ -3456,6 +3456,135 @@ from w
 """
 
 
+# --- blocklist filter + snapshot diff + word diversity (r4c) ----------------
+
+#: shared derivation: a third of the urlset gains a www./cdn. subdomain so
+#: parent-domain rules must match at label boundaries; rules block two
+#: whole registered domains and one specific cdn subdomain.
+BLOCK_HOST_EXPR = """case cast(doc_id % 3 as int)
+  when 0 then 'www.' || source || '.example'
+  when 1 then 'cdn.' || source || '.example'
+  else source || '.example'
+end"""
+_BLOCK_RULES = ("src3.example", "src7.example", "cdn.src11.example")
+_BLOCK_RULES_SQL = "['cdn.src11.example', 'src3.example', 'src7.example']"
+
+
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist (operators/blocklist.blocklist_verdict):
+    label-boundary suffix matching against a broadcast rule list — a pure
+    projection, no shuffle. src3/src7 are blocked with every subdomain;
+    cdn.src11 is blocked but www.src11 and bare src11 are kept."""
+    from .operators.blocklist import blocklist_verdict
+
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(BLOCK_HOST_EXPR).alias("host")
+    )
+    return blocklist_verdict(pages, list(_BLOCK_RULES))
+
+
+SQL_URL_BLOCKLIST_FILTER = f"""
+with u as (select doc_id, {BLOCK_HOST_EXPR} as host from documents),
+s as (
+  select doc_id, host,
+         list_transform(
+           range(1, len(string_split(host, '.')) + 1),
+           i -> array_to_string(string_split(host, '.')[i:], '.')
+         ) as sufs
+  from u
+),
+m as (
+  select doc_id, host,
+         list_filter(sufs, x -> list_contains({_BLOCK_RULES_SQL}, x)) as hits
+  from s
+)
+select doc_id, host, coalesce(hits[1], '') as matched_rule, len(hits) = 0 as kept
+from m
+"""
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change capture (sources/checkpoint.snapshot_diff): full
+    outer join of two corpus versions on the key, payloads compared by
+    map-side md5 so only 32-byte digests shuffle; output is O(churn).
+    Planted churn: doc_id%17 removed, %13 changed, %19 re-added under a
+    shifted key."""
+    from .sources.checkpoint import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(v1, v2)
+
+
+SQL_CORPUS_SNAPSHOT_DIFF = """
+with v1 as (select doc_id, text from documents),
+v2 as (
+  select doc_id,
+         case when doc_id % 13 = 0 then text || ' [rev2]' else text end as text
+  from documents where doc_id % 17 <> 0
+  union all
+  select doc_id + 300000 as doc_id, text from documents where doc_id % 19 = 0
+),
+o as (select doc_id as k, md5(text) as old_digest from v1),
+n as (select doc_id as k, md5(text) as new_digest from v2),
+j as (
+  select coalesce(o.k, n.k) as doc_id, old_digest, new_digest
+  from o full outer join n on o.k = n.k
+),
+st as (
+  select doc_id,
+         case when old_digest is null then 'added'
+              when new_digest is null then 'removed'
+              when old_digest <> new_digest then 'changed'
+              else 'unchanged' end as status,
+         coalesce(old_digest, '') as old_digest,
+         coalesce(new_digest, '') as new_digest
+  from j
+)
+select * from st where status <> 'unchanged'
+"""
+
+
+def q_text_word_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson-index lexical diversity (operators/textstats.word_diversity):
+    exact integer numerator/denominator with one per-row double division —
+    the ln-free stand-in for token entropy (CLAUDE.md float-parity rule)."""
+    from .operators.textstats import word_diversity
+
+    return word_diversity(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_WORD_DIVERSITY = f"""
+with t as (
+  select doc_id, unnest({_SQL_TOKENS}) as tok from documents
+),
+c as (select doc_id, tok, count(*)::BIGINT as c from t group by 1, 2),
+a as (
+  select doc_id, sum(c)::BIGINT as n_tokens, sum(c * c)::BIGINT as sum_sq,
+         count(*)::BIGINT as n_distinct
+  from c group by doc_id
+)
+select doc_id, n_tokens, n_distinct, sum_sq,
+       round(sum_sq::DOUBLE / (n_tokens * n_tokens)::DOUBLE, 6) as simpson,
+       round((n_tokens * n_tokens)::DOUBLE / sum_sq::DOUBLE, 6) as inv_simpson
+from a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3474,11 +3603,13 @@ from w
 #: host_heavy_hitters_cm, dedup_substring, vocab_induct_topk,
 #: quality_classifier_hashgram) plus the late-r4 dedup_cluster_stats,
 #: traindata_epoch_schedule, crawl_dust_rules, crawl_adaptive_delay,
-#: crawl_quota_allocate and warc_revisit_dedup (new operators always enter
+#: crawl_quota_allocate, warc_revisit_dedup, url_blocklist_filter,
+#: corpus_snapshot_diff and text_word_diversity (new operators always enter
 #: inside the window; their insertion pushes the r3-green global_totals,
-#: type_share, flatten_authors_pivot, props_extract, merge_invitations and
-#: venue_id_assign past slot 50 — policy-eligible), and this round's fixed
-#: entries; r4 tail
+#: type_share, flatten_authors_pivot, props_extract, merge_invitations,
+#: venue_id_assign, forum_ascii_render, orphan_note_metrics and
+#: venue_listing past slot 50 — policy-eligible; window edge is now slot
+#: 50 = reply_forest), and this round's fixed entries; r4 tail
 #: (slots 51-82): entries green in CORRECTNESS_r03.json and untouched by
 #: the r4 diff (q1_pricing, q3_shipping, q5_region_revenue,
 #: top_orders_per_customer, sessionization, lang_id, text_quality,
@@ -3539,6 +3670,9 @@ CATALOG: dict[str, QueryDef] = {
     "crawl_adaptive_delay": QueryDef(q_crawl_adaptive_delay, SQL_CRAWL_ADAPTIVE_DELAY),
     "crawl_quota_allocate": QueryDef(q_crawl_quota_allocate, SQL_CRAWL_QUOTA_ALLOCATE),
     "warc_revisit_dedup": QueryDef(q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
+    "url_blocklist_filter": QueryDef(q_url_blocklist_filter, SQL_URL_BLOCKLIST_FILTER),
+    "corpus_snapshot_diff": QueryDef(q_corpus_snapshot_diff, SQL_CORPUS_SNAPSHOT_DIFF),
+    "text_word_diversity": QueryDef(q_text_word_diversity, SQL_TEXT_WORD_DIVERSITY),
     # --- r4-touched entries (fixes this round need fresh driver rows) ---
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),

@@ -173,3 +173,39 @@ def repetition_cols(text: Column) -> dict[str, Column]:
         "distinct_token_ratio": F.round(distinct_ratio, 4),
         "dup_bigram_frac": F.round(dup_bigram_frac, 4),
     }
+
+
+def word_diversity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Simpson-index lexical diversity — a rational-exact gibberish signal.
+
+    Entropy is the textbook diversity measure but needs ``ln``, which is NOT
+    bit-stable across engines (CLAUDE.md r4); the Simpson concentration
+    index sum_i (c_i/N)^2 carries the same keep/drop signal for corpus
+    filtering and is a RATIO OF INTEGERS: emit the exact numerator
+    sum(c_i^2) and N, divide once per row in doubles (per-row double
+    arithmetic IS bit-identical), round. ``inv_simpson`` = N^2/sum(c_i^2)
+    reads as "effective vocabulary size": 1.0 = one token repeated (spam),
+    N = all tokens distinct.
+
+    Scale shape: explode tokens -> groupBy (doc, token) -> groupBy doc, both
+    map-side combined, keys salted by nothing (doc_id already spreads);
+    output one row per doc. No windows, no joins, no floats until the final
+    per-row division.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        "sum_sq",
+        F.round(F.col("sum_sq") / (F.col("n_tokens") * F.col("n_tokens")), 6).alias("simpson"),
+        F.round((F.col("n_tokens") * F.col("n_tokens")) / F.col("sum_sq"), 6).alias("inv_simpson"),
+    )
