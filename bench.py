@@ -62,6 +62,11 @@ HEADLINE = [
     "quality_classifier_hashgram",
     "traindata_stratified_sample",
     "traindata_decontaminate",
+    "crawl_dust_rules",
+    "crawl_quota_allocate",
+    "warc_revisit_dedup",
+    "url_blocklist_filter",
+    "text_word_diversity",
     "text_repetition",
     "host_quality_rollup",
     "anchor_text_rollup",
