@@ -99,6 +99,7 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     generated source, so the warmup must be the same plan), then once timed.
     First-run-in-a-cold-JVM cost is a one-off per cluster deploy; the number
     that predicts 100 TB throughput is the warm per-round cost."""
+    from openreviewcrawler_spark.caching import release_persisted
     from openreviewcrawler_spark.catalog import CATALOG
 
     # global warmup: Arrow python workers, noop sink machinery
@@ -115,6 +116,8 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
             # pay its own materialization — that is the per-round cost on
             # fresh crawl data.
             spark.catalog.clearCache()
+            release_persisted()  # empty the track_persist registry too —
+            # clearCache drops the data but stale handles would accumulate
             t0 = time.time()  # otherwise lands arbitrary 5-20 s on one query
             _materialize(CATALOG[name].build(spark, sf_dir))
             dt = time.time() - t0

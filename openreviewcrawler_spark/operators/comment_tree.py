@@ -80,8 +80,12 @@ def reply_forest_global(notes: DataFrame, max_depth: int = 32) -> DataFrame:
         F.col("id").alias("root_id"),
         F.lit(0).cast("int").alias("depth"),
     )
+    from ..caching import track_persist
+
     levels = [roots]
-    current = roots.persist()
+    # tracked: every level stays referenced by the returned union, so the
+    # handles must outlive the call (released between queries by the caller)
+    current = track_persist(roots)
     for depth in range(1, max_depth + 1):
         nxt = (
             base.alias("c")
@@ -99,7 +103,8 @@ def reply_forest_global(notes: DataFrame, max_depth: int = 32) -> DataFrame:
                 F.col("__root").alias("root_id"),
                 F.lit(depth).cast("int").alias("depth"),
             )
-        ).persist()
+        )
+        nxt = track_persist(nxt)
         if nxt.isEmpty():
             nxt.unpersist()
             break

@@ -73,7 +73,12 @@ def assign_seq_scalable(
     # job below is the first action, runs the plan standalone (ids 0..P-1 in
     # range order), and every later consumer reads the frozen value.
     d = d.withColumn("__pid", F.spark_partition_id())
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    # tracked: the returned DataFrame still references this cache, so the
+    # handle must outlive the call — callers release between queries via
+    # caching.release_persisted (the r4 ADVICE leak class)
+    from ..caching import track_persist
+
+    d = track_persist(d, StorageLevel.MEMORY_AND_DISK)
 
     counts = d.groupBy("__pid").count().collect()
     sizes = {r["__pid"]: r["count"] for r in counts}

@@ -45,6 +45,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    from openreviewcrawler_spark.caching import release_persisted
     from openreviewcrawler_spark.catalog import CATALOG
     from openreviewcrawler_spark.session import get_spark
 
@@ -62,6 +63,7 @@ def main() -> int:
             sdf = qd.build(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            release_persisted()  # drop builder-tracked caches between entries
         except Exception as e:
             failures.append((name, f"SPARK ERROR {type(e).__name__}: {str(e)[:300]}"))
             print(f"FAIL  {name:28s} spark-error")
