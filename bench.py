@@ -735,8 +735,14 @@ def main() -> None:
             extra_conf={"spark.ui.showConsoleProgress": "false"},
         )
         spark.sparkContext.setLogLevel("ERROR")
+        # bracket the suite with whole-host probes so even a headline-only
+        # artifact says whether its window was steal-capped (the r4 lesson:
+        # per-query times are 3-5x noise in stolen windows — unprobed
+        # numbers can't be compared across runs)
+        probe_before = host_cpu_probe(cpus)
         queries = run_headline(spark, sf_dir)
         total = round(sum(queries.values()), 3)
+        probe_after = host_cpu_probe(cpus)
 
         # Stop the headline JVM BEFORE the scaling phases: an idle local[32]
         # session (48g heap, worker pool, GC threads) is NOT pinned, so it
@@ -746,6 +752,7 @@ def main() -> None:
         stop_spark()
     else:
         queries, total = {}, 0.0
+        probe_before = probe_after = None
     crawl = run_scaling(cpus, n_pages) if do_scaling else None
 
     result = {
@@ -755,6 +762,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": sf,
+        "headline_probes": [p for p in (probe_before, probe_after) if p],
     }
     if crawl is not None:
         crawl["host_cpu_probe"] = host_cpu_probe(cpus)
@@ -790,6 +798,10 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
     }
+    if probe_before:
+        compact["headline_effective_cores"] = [
+            p["effective_parallelism"] for p in (probe_before, probe_after)
+        ]
     if crawl is not None:
         compact["crawl"] = {k: crawl[k] for k in _COMPACT_CRAWL if k in crawl}
         compact["crawl"]["n_probes"] = len(crawl.get("quiet_window_probes", []))

@@ -3585,6 +3585,114 @@ from a
 """
 
 
+# --- robots sitemap discovery + rate timeseries + token-budget trim (r4d) ---
+
+#: robots bodies WITH Sitemap: directives (separate fixture from
+#: _ROBOTS_BODY_EXPR so the robots_parse oracle is untouched). Exercises:
+#: directive inside and outside UA blocks (position-independent per RFC
+#: 9309 §2.3), duplicates collapsing, comment-only alternative, CRLF on
+#: even hosts, the URL's own '://' surviving the first-colon split.
+_SMAP_BODY_LF = """concat_ws(chr(10),
+ 'User-agent: *',
+ 'Disallow: /x',
+ concat('Sitemap: https://h', cast(doc_id as varchar(30)),
+        '.example/s', cast(doc_id % 3 as varchar(10)), '.xml'),
+ case when doc_id % 4 = 0 then 'Sitemap: https://cdn.example/extra.xml'
+      else '# no extra sitemap' end,
+ case when doc_id % 5 = 0 then concat('Sitemap: https://h',
+        cast(doc_id as varchar(30)), '.example/s',
+        cast(doc_id % 3 as varchar(10)), '.xml')
+      else 'Allow: /public' end)"""
+_SMAP_BODY_EXPR = f"""case when doc_id % 2 = 0
+ then replace({_SMAP_BODY_LF}, chr(10), chr(13) || chr(10))
+ else {_SMAP_BODY_LF} end"""
+
+
+def q_robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots->sitemap discovery link (operators/robots.sitemap_directives):
+    Sitemap: lines are position-independent (RFC 9309 §2.3), so no block
+    tracking — line grammar + filter + distinct, map-side throughout."""
+    from .operators.robots import sitemap_directives
+
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+            F.expr(_SMAP_BODY_EXPR).alias("body"),
+        )
+    )
+    return sitemap_directives(bodies)
+
+
+SQL_ROBOTS_SITEMAP_URLS = f"""
+with bodies as (
+  select 'h' || cast(doc_id as varchar(30)) as host, {_SMAP_BODY_EXPR} as body
+  from documents where doc_id < 40
+), ls as (
+  select host, unnest(string_split_regex(body, '\r?\n')) as raw from bodies
+), cleaned as (
+  select host, trim(regexp_replace(raw, '#.*$', '')) as line from ls
+), parsed as (
+  select host,
+         lower(trim(split_part(line, ':', 1))) as key,
+         trim(substring(line, strpos(line, ':') + 1, length(line))) as val
+  from cleaned where strpos(line, ':') > 0
+)
+select distinct host, val as sitemap_url
+from parsed where key = 'sitemap' and val <> ''
+"""
+
+
+def q_crawl_rate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event-rate rollup (operators/stats.rate_timeseries):
+    one map-side-combined groupBy on (hour bucket, type); decimal-exact
+    value sums per the float-parity recipe."""
+    from .operators.stats import rate_timeseries
+
+    return rate_timeseries(_t(spark, sf_dir, "events"), bucket_s=3600)
+
+
+SQL_CRAWL_RATE_TIMESERIES = """
+select epoch_ms(ts) // 3600000 as bucket, event_type,
+       count(*)::BIGINT as n_events,
+       round(sum(value::DECIMAL(18,4))::DOUBLE, 4) as sum_value
+from events
+group by 1, 2
+"""
+
+
+def q_traindata_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection (operators/packing.token_budget_trim):
+    greedy best-first prefix under a 15k-token budget via the scalable
+    exclusive prefix sum (no global window funnel); straddlers drop whole."""
+    from .operators.packing import token_budget_trim
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 37) % 100).cast("long").alias("score"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return token_budget_trim(docs, budget=15000)
+
+
+SQL_TRAINDATA_TOKEN_BUDGET_TRIM = """
+with d as (
+  select doc_id, ((doc_id * 37) % 100)::BIGINT as score,
+         len(string_split(text, ' '))::BIGINT as n_tokens
+  from documents
+),
+c as (
+  select *, coalesce(sum(n_tokens) over (
+    order by score desc, doc_id
+    rows between unbounded preceding and 1 preceding), 0)::BIGINT as tok_prefix
+  from d
+)
+select doc_id, score, n_tokens, tok_prefix
+from c where tok_prefix + n_tokens <= 15000
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3601,15 +3709,18 @@ from a
 #: crawl_trap_detect, mime_sniff, text_pii_scrub, warc_cdx_index,
 #: text_boilerplate_strip, traindata_shard_manifest, url_cardinality_hll,
 #: host_heavy_hitters_cm, dedup_substring, vocab_induct_topk,
-#: quality_classifier_hashgram) plus the late-r4 dedup_cluster_stats,
-#: traindata_epoch_schedule, crawl_dust_rules, crawl_adaptive_delay,
-#: crawl_quota_allocate, warc_revisit_dedup, url_blocklist_filter,
-#: corpus_snapshot_diff and text_word_diversity (new operators always enter
-#: inside the window; their insertion pushes the r3-green global_totals,
-#: type_share, flatten_authors_pivot, props_extract, merge_invitations,
-#: venue_id_assign, forum_ascii_render, orphan_note_metrics and
-#: venue_listing past slot 50 — policy-eligible; window edge is now slot
-#: 50 = reply_forest), and this round's fixed entries; r4 tail
+#: quality_classifier_hashgram) plus the late-r4 batches:
+#: dedup_cluster_stats, traindata_epoch_schedule, crawl_dust_rules,
+#: crawl_adaptive_delay, crawl_quota_allocate, warc_revisit_dedup,
+#: url_blocklist_filter, corpus_snapshot_diff, text_word_diversity,
+#: robots_sitemap_urls, crawl_rate_timeseries and
+#: traindata_token_budget_trim (new operators always enter inside the
+#: window; their insertion pushes the r3-green global_totals, type_share,
+#: flatten_authors_pivot, props_extract, merge_invitations,
+#: venue_id_assign, forum_ascii_render, orphan_note_metrics,
+#: venue_listing, median_by_group, revision_latest and reply_forest past
+#: slot 50 — policy-eligible; window edge is now slot 50 =
+#: comment_histogram), and this round's fixed entries; r4 tail
 #: (slots 51-82): entries green in CORRECTNESS_r03.json and untouched by
 #: the r4 diff (q1_pricing, q3_shipping, q5_region_revenue,
 #: top_orders_per_customer, sessionization, lang_id, text_quality,
@@ -3673,6 +3784,11 @@ CATALOG: dict[str, QueryDef] = {
     "url_blocklist_filter": QueryDef(q_url_blocklist_filter, SQL_URL_BLOCKLIST_FILTER),
     "corpus_snapshot_diff": QueryDef(q_corpus_snapshot_diff, SQL_CORPUS_SNAPSHOT_DIFF),
     "text_word_diversity": QueryDef(q_text_word_diversity, SQL_TEXT_WORD_DIVERSITY),
+    "robots_sitemap_urls": QueryDef(q_robots_sitemap_urls, SQL_ROBOTS_SITEMAP_URLS),
+    "crawl_rate_timeseries": QueryDef(q_crawl_rate_timeseries, SQL_CRAWL_RATE_TIMESERIES),
+    "traindata_token_budget_trim": QueryDef(
+        q_traindata_token_budget_trim, SQL_TRAINDATA_TOKEN_BUDGET_TRIM
+    ),
     # --- r4-touched entries (fixes this round need fresh driver rows) ---
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),

@@ -115,3 +115,34 @@ def pack_sequences(
              - F.col("seq_id") + F.lit(1)).cast("long"),
         )
     )
+
+
+def token_budget_trim(
+    docs: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data selection under a global token budget: keep the highest-quality
+    documents whose token counts fit.
+
+    Training runs are sized in tokens, not documents; given an integer
+    quality ``score`` per doc, the kept set is the greedy best-first prefix
+    — exactly the docs whose EXCLUSIVE prefix sum of tokens in
+    (score desc, id) order still fits ``budget`` with their own tokens.
+    A straddling document (starts inside, ends outside) is dropped whole —
+    budgets bound what the trainer reads, so partial docs don't count.
+
+    Scale shape: one :func:`prefix_sum_scalable` pass (range-repartition +
+    O(partitions) counts job + Arrow stamp — no global window funnel), then
+    a pure filter. Deterministic at any parallelism; integer arithmetic
+    only.
+    """
+    d = docs.withColumn("__neg_score", -F.col(score_col))
+    stamped = prefix_sum_scalable(
+        d, token_col, ["__neg_score", id_col], "tok_prefix"
+    )
+    return stamped.filter(
+        F.col("tok_prefix") + F.col(token_col) <= F.lit(budget)
+    ).drop("__neg_score")

@@ -183,3 +183,43 @@ def parse_robots(bodies: DataFrame, host_col: str = "host",
             "crawl_delay_s",
         )
     )
+
+
+def sitemap_directives(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, sitemap_url) — ``Sitemap:`` directives from raw robots.txt.
+
+    Per RFC 9309 §2.3 sitemap references stand OUTSIDE User-agent groups,
+    so unlike ``parse_robots`` no block tracking is needed: every
+    ``Sitemap:`` line applies regardless of position. This is the discovery
+    link the crawl bootstrap chains: robots fetch -> sitemap URLs ->
+    ``sources/sitemap.parse_sitemaps`` -> frontier seeds.
+
+    Same line grammar as ``parse_robots`` (CRLF-safe split, ``#`` comment
+    strip, case-insensitive keys, value = everything after the FIRST colon
+    so the URL's own ``://`` survives). Duplicate directives collapse.
+
+    Scale shape: map-side explode of small per-host bodies + one distinct;
+    output is the tiny host->sitemap dimension the fetcher consumes.
+    """
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\r?\n")).alias("raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "host",
+        F.lower(F.trim(F.substring_index(F.col("line"), ":", 1))).alias("key"),
+        F.trim(
+            F.expr("substring(line, instr(line, ':') + 1, length(line))")
+        ).alias("val"),
+        (F.instr(F.col("line"), ":") > 0).alias("has_colon"),
+    ).filter(F.col("has_colon"))
+    return (
+        parsed.filter((F.col("key") == "sitemap") & (F.col("val") != ""))
+        .select("host", F.col("val").alias("sitemap_url"))
+        .distinct()
+    )

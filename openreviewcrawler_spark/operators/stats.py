@@ -152,3 +152,37 @@ def orphan_metrics(orphans: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_orphans"),
         F.min("id").alias("first_orphan_id"),
     )
+
+
+def rate_timeseries(
+    events: DataFrame,
+    bucket_s: int = 60,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window fetch-rate rollup — events per time bucket per type.
+
+    The crawl dashboard's counts-over-time: one groupBy on the (bucket,
+    type) pair where bucket = epoch_millis div (bucket_s*1000) — an
+    integral projection, so the whole rollup is a single map-side-combined
+    aggregation (the streaming twin is ``streaming/ingest.py``'s windowed
+    metrics; this is the batch/backfill path over the same event log).
+
+    Value sums follow the float-parity recipe (CLAUDE.md): summands cast
+    to DECIMAL(18,4) — exact, associative, fold-order independent — sum
+    cast back to DOUBLE, rounded. Parquet timestamps arrive NTZ in Spark;
+    the cast to timestamp is an identity relabel under the UTC session TZ.
+    """
+    bucket = F.expr(
+        f"unix_millis(cast({ts_col} as timestamp)) div {bucket_s * 1000}"
+    ).alias("bucket")
+    return (
+        events.groupBy(bucket, F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
