@@ -3693,6 +3693,69 @@ from c where tok_prefix + n_tokens <= 15000
 """
 
 
+# --- minhash sketch-accuracy QA (r4d) ---------------------------------------
+
+
+def q_dedup_minhash_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy QA (operators/dedup.minhash_error_profile):
+    |estimated − true| Jaccard over the LSH candidate pairs in 0.05-wide
+    error bins — the per-corpus calibration behind any dedup threshold.
+    Signatures computed once (persisted, shared with the band table); every
+    join is candidate-bounded."""
+    from .operators.dedup import minhash_error_profile
+
+    return minhash_error_profile(_corpus(spark, sf_dir))
+
+
+def _sql_minhash_error_profile() -> str:
+    from .operators import dedup
+
+    matches = " + ".join(f"(l.mh{j} = r.mh{j})::INT" for j in range(dedup.N_MINHASH))
+    return f"""
+{_sql_banded_cte()},
+hot as (
+  select band, bkey from banded_all group by band, bkey
+  having count(*) > {dedup.MAX_BUCKET}
+),
+banded as (
+  select b.* from banded_all b
+  where not exists (select 1 from hot h where h.band = b.band and h.bkey = b.bkey)
+),
+pairs as (
+  select l.doc_id as doc_a, r.doc_id as doc_b
+  from banded l
+  join banded r on l.band = r.band and l.bkey = r.bkey and l.doc_id < r.doc_id
+  group by 1, 2
+),
+est as (
+  select p.doc_a, p.doc_b, ({matches}) / {dedup.N_MINHASH}.0 as est_j
+  from pairs p
+  join sig l on l.doc_id = p.doc_a
+  join sig r on r.doc_id = p.doc_b
+),
+sizes as (select doc_id, count(*)::BIGINT as n_sh from sh group by doc_id),
+inter as (
+  select p.doc_a, p.doc_b, count(*)::BIGINT as n_inter
+  from pairs p
+  join sh s1 on s1.doc_id = p.doc_a
+  join sh s2 on s2.doc_id = p.doc_b and s2.shingle = s1.shingle
+  group by 1, 2
+),
+jj as (
+  select e.est_j,
+         coalesce(i.n_inter, 0)
+           / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))::DOUBLE as true_j
+  from est e
+  left join inter i on i.doc_a = e.doc_a and i.doc_b = e.doc_b
+  join sizes za on za.doc_id = e.doc_a
+  join sizes zb on zb.doc_id = e.doc_b
+)
+select floor(abs(est_j - true_j) * 20)::INT as err_bucket,
+       count(*)::BIGINT as n_pairs
+from jj group by 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3713,14 +3776,15 @@ from c where tok_prefix + n_tokens <= 15000
 #: dedup_cluster_stats, traindata_epoch_schedule, crawl_dust_rules,
 #: crawl_adaptive_delay, crawl_quota_allocate, warc_revisit_dedup,
 #: url_blocklist_filter, corpus_snapshot_diff, text_word_diversity,
-#: robots_sitemap_urls, crawl_rate_timeseries and
-#: traindata_token_budget_trim (new operators always enter inside the
-#: window; their insertion pushes the r3-green global_totals, type_share,
-#: flatten_authors_pivot, props_extract, merge_invitations,
-#: venue_id_assign, forum_ascii_render, orphan_note_metrics,
-#: venue_listing, median_by_group, revision_latest and reply_forest past
-#: slot 50 — policy-eligible; window edge is now slot 50 =
-#: comment_histogram), and this round's fixed entries; r4 tail
+#: robots_sitemap_urls, dedup_minhash_error_profile,
+#: crawl_rate_timeseries and traindata_token_budget_trim (new operators
+#: always enter inside the window; their insertion pushes the r3-green
+#: global_totals, type_share, flatten_authors_pivot, props_extract,
+#: merge_invitations, venue_id_assign, forum_ascii_render,
+#: orphan_note_metrics, venue_listing, median_by_group, revision_latest,
+#: reply_forest and comment_histogram past slot 50 — policy-eligible;
+#: window edge is now slot 50 = frontier_link_rank), and this round's
+#: fixed entries; r4 tail
 #: (slots 51-82): entries green in CORRECTNESS_r03.json and untouched by
 #: the r4 diff (q1_pricing, q3_shipping, q5_region_revenue,
 #: top_orders_per_customer, sessionization, lang_id, text_quality,
@@ -3785,6 +3849,9 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_snapshot_diff": QueryDef(q_corpus_snapshot_diff, SQL_CORPUS_SNAPSHOT_DIFF),
     "text_word_diversity": QueryDef(q_text_word_diversity, SQL_TEXT_WORD_DIVERSITY),
     "robots_sitemap_urls": QueryDef(q_robots_sitemap_urls, SQL_ROBOTS_SITEMAP_URLS),
+    "dedup_minhash_error_profile": QueryDef(
+        q_dedup_minhash_error_profile, _sql_minhash_error_profile()
+    ),
     "crawl_rate_timeseries": QueryDef(q_crawl_rate_timeseries, SQL_CRAWL_RATE_TIMESERIES),
     "traindata_token_budget_trim": QueryDef(
         q_traindata_token_budget_trim, SQL_TRAINDATA_TOKEN_BUDGET_TRIM

@@ -124,14 +124,17 @@ def minhash_signatures(corpus: DataFrame, n_hashes: int = N_MINHASH) -> DataFram
     )
 
 
-def banded_signatures(corpus: DataFrame) -> DataFrame:
+def banded_signatures(corpus: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, bkey) — LSH band rows, B per document.
 
     Bands of 4 minhash rows each; band key = joined minhash string. All B
     band rows come from ONE signature evaluation via a single explode (a
     B-way union of selects over the signature plan embeds — and runs — the
-    shingle->signature pipeline B times)."""
-    sig = minhash_signatures(corpus)
+    shingle->signature pipeline B times). Pass a pre-built (ideally
+    persisted) ``sig`` when the caller also needs the raw signatures
+    (``minhash_error_profile``) so the shingle job runs once."""
+    if sig is None:
+        sig = minhash_signatures(corpus)
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = []
     for b in range(N_BANDS):
@@ -148,7 +151,7 @@ def banded_signatures(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(corpus: DataFrame, banded: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, n_bands) — candidate near-dup pairs sharing >=1 LSH band.
 
     The self-join is an equi-join on (band, key): at 10^10 docs this shuffles
@@ -163,8 +166,10 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
     # hot-bucket anti-join and both self-join sides all read the cache
     # instead of re-running the signature job. Materializing signatures is
     # also the 100 TB-scale shape — the corpus-sized shingle explode runs
-    # exactly once.
-    banded = track_persist(banded_signatures(corpus))
+    # exactly once. (Callers that already built/persisted the band table
+    # pass it in; they own its handle.)
+    if banded is None:
+        banded = track_persist(banded_signatures(corpus))
     bucket_sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("__bn"))
     banded = banded.join(
         F.broadcast(bucket_sizes.filter(F.col("__bn") > MAX_BUCKET)),
@@ -744,4 +749,73 @@ def substring_dup_stats(corpus: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         F.round(
             F.col("n_dup").cast("double") / F.col("n_windows").cast("double"), 6
         ).alias("dup_fraction"),
+    )
+
+
+def minhash_error_profile(corpus: DataFrame, n_buckets: int = 20) -> DataFrame:
+    """Sketch-accuracy QA: |estimated − true| Jaccard over the LSH candidate
+    pairs, bucketed into ``n_buckets`` equal-width error bins.
+
+    The minhash signature ESTIMATES Jaccard (matching positions / H); dedup
+    thresholds are set against that estimate, so the pipeline should report
+    how far it sits from the exact set Jaccard on the pairs it actually
+    surfaces — the per-corpus calibration a threshold choice needs (the
+    textbook std-error 1/sqrt(H) ≈ 0.25 at H=16 says nothing about a
+    specific corpus's shingle distributions).
+
+    Float discipline: est = matches/16 is dyadic (exact); true =
+    n_inter/(|A|+|B|−n_inter) is one correctly-rounded integer division;
+    their difference, abs, and ×n_buckets are single IEEE ops — so the
+    bucket id is bit-identical across engines with no decimal scaffolding.
+
+    Scale shape: signatures computed ONCE (persisted, shared by the band
+    table), candidate pairs from the capped LSH join, then three equi-joins
+    keyed on pair doc ids / shingles — every join is candidate-bounded;
+    nothing all-pairs. Output is ≤ n_buckets+1 rows.
+    """
+    sig = track_persist(minhash_signatures(corpus))
+    banded = track_persist(banded_signatures(corpus, sig=sig))
+    pairs = minhash_lsh_pairs(corpus, banded=banded).select("doc_a", "doc_b")
+
+    matches = sum(
+        (F.col(f"l.mh{j}") == F.col(f"r.mh{j}")).cast("int") for j in range(N_MINHASH)
+    )
+    est = pairs.join(sig.alias("l"), F.col("doc_a") == F.col("l.doc_id")).join(
+        sig.alias("r"), F.col("doc_b") == F.col("r.doc_id")
+    ).select("doc_a", "doc_b", (matches / F.lit(N_MINHASH)).alias("est_j"))
+
+    sh = track_persist(shingles_df(corpus))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_j",
+            (
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("true_j"),
+        )
+    )
+    return (
+        j.select(
+            F.floor(F.abs(F.col("est_j") - F.col("true_j")) * n_buckets)
+            .cast("int")
+            .alias("err_bucket")
+        )
+        .groupBy("err_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )

@@ -83,3 +83,16 @@ def test_rate_timeseries_buckets_and_exact_sums(spark):
     assert out[(base, "fetch")]["sum_value"] == 3.75
     assert out[(base + 1, "fetch")]["n_events"] == 1
     assert out[(base, "error")]["sum_value"] == 0.75
+
+
+def test_minhash_error_profile_exact_dups_land_in_bucket_zero(spark):
+    from openreviewcrawler_spark.operators.dedup import minhash_error_profile
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    out = {r["err_bucket"]: r["n_pairs"] for r in minhash_error_profile(corpus).collect()}
+    # the exact-dup pair (est=1, true=1 -> err 0) is the only candidate pair
+    assert out == {0: 1}
