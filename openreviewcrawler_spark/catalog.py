@@ -3756,6 +3756,55 @@ from jj group by 1
 """
 
 
+# --- deterministic weighted dataset interleave (r4d) ------------------------
+
+#: per-source weight, shared verbatim (1..4 derived from the name's last char)
+_ILV_WEIGHT_EXPR = "ascii(right(source, 1)) % 4 + 1"
+
+
+def q_traindata_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted block-cyclic dataset interleave
+    (operators/mixing.interleave_datasets): the k-th doc of source s lands
+    at slot (k div w_s)*W + offset_s + (k mod w_s) — per-source rank from
+    ONE global scalable stamp (no per-source window funnel), integer
+    arithmetic throughout."""
+    from .operators.mixing import interleave_datasets
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select("source", F.expr(_ILV_WEIGHT_EXPR).cast("long").alias("weight"))
+    )
+    return interleave_datasets(docs, weights)
+
+
+SQL_TRAINDATA_INTERLEAVE = f"""
+with d as (select doc_id, source from documents),
+r as (
+  select doc_id, source,
+         (row_number() over (partition by source order by doc_id) - 1)::BIGINT as k
+  from d
+),
+w as (
+  select source, ({_ILV_WEIGHT_EXPR})::BIGINT as weight
+  from (select distinct source from documents)
+),
+tw as (select sum(weight)::BIGINT as block_w from w),
+o as (
+  select source, weight,
+         coalesce(sum(weight) over (
+           order by source rows between unbounded preceding and 1 preceding
+         ), 0)::BIGINT as block_offset
+  from w
+)
+select r.doc_id, r.source, r.k, o.weight,
+       ((r.k // o.weight) * tw.block_w + o.block_offset + (r.k % o.weight))::BIGINT
+         as slot
+from r join o on r.source = o.source, tw
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3777,14 +3826,15 @@ from jj group by 1
 #: crawl_adaptive_delay, crawl_quota_allocate, warc_revisit_dedup,
 #: url_blocklist_filter, corpus_snapshot_diff, text_word_diversity,
 #: robots_sitemap_urls, dedup_minhash_error_profile,
-#: crawl_rate_timeseries and traindata_token_budget_trim (new operators
+#: crawl_rate_timeseries, traindata_token_budget_trim and
+#: traindata_interleave (new operators
 #: always enter inside the window; their insertion pushes the r3-green
 #: global_totals, type_share, flatten_authors_pivot, props_extract,
 #: merge_invitations, venue_id_assign, forum_ascii_render,
 #: orphan_note_metrics, venue_listing, median_by_group, revision_latest,
-#: reply_forest and comment_histogram past slot 50 — policy-eligible;
-#: window edge is now slot 50 = frontier_link_rank), and this round's
-#: fixed entries; r4 tail
+#: reply_forest, comment_histogram and frontier_link_rank past slot 50 —
+#: policy-eligible; window edge is now slot 50 = crawl_recrawl_due), and
+#: this round's fixed entries; r4 tail
 #: (slots 51-82): entries green in CORRECTNESS_r03.json and untouched by
 #: the r4 diff (q1_pricing, q3_shipping, q5_region_revenue,
 #: top_orders_per_customer, sessionization, lang_id, text_quality,
@@ -3856,6 +3906,7 @@ CATALOG: dict[str, QueryDef] = {
     "traindata_token_budget_trim": QueryDef(
         q_traindata_token_budget_trim, SQL_TRAINDATA_TOKEN_BUDGET_TRIM
     ),
+    "traindata_interleave": QueryDef(q_traindata_interleave, SQL_TRAINDATA_INTERLEAVE),
     # --- r4-touched entries (fixes this round need fresh driver rows) ---
     "robots_parse": QueryDef(q_robots_parse, SQL_ROBOTS_PARSE),
     "sitemap_extract": QueryDef(q_sitemap_extract, SQL_SITEMAP_EXTRACT),

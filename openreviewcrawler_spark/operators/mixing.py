@@ -50,3 +50,76 @@ def domain_mix(docs: DataFrame, budget: int, source_col: str = "source") -> Data
             F.floor(w * F.lit(float(budget))).cast("long").alias("target_docs"),
         )
     )
+
+
+def interleave_datasets(
+    docs: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted interleave of sources into one global order —
+    the distributed analog of ``interleave_datasets`` in dataloader stacks.
+
+    Sources repeat block-cyclically: one block of W = Σ w_s slots holds
+    w_s consecutive slots per source (sources in name order), so the k-th
+    document of source s (docs ordered by id within source) lands at
+
+        slot = (k div w_s) * W  +  block_offset_s  +  (k mod w_s)
+
+    Pure integer arithmetic; slots are unique by construction and a source
+    that exhausts simply leaves its later block positions empty (``slot``
+    is a PRIORITY key the loader sorts by, not a dense index — gaps are
+    fine and keep the formula stateless).
+
+    Scale shape: the per-source rank k comes from ONE global scalable
+    stamp over (source, id) minus each source's broadcast start offset
+    (min(seq) per source — a tiny agg), NOT from a per-source window: at
+    web scale a corpus has few, huge sources, so ``Window.partitionBy
+    (source)`` would funnel each source through one task. The weight/offset
+    dimension is O(sources) and computed with a window over that tiny
+    table only.
+    """
+    from pyspark.sql import Window
+
+    from .ordering import assign_seq_scalable
+
+    stamped = assign_seq_scalable(
+        docs.select(F.col(source_col).alias("source"), F.col(id_col)),
+        ["source", id_col],
+        seq_col="__seq",
+    )
+    starts = stamped.groupBy("source").agg(F.min("__seq").alias("__start"))
+
+    # O(sources) dimension: block offsets via a window over the tiny table
+    # (explicitly NOT the corpus — see docstring)
+    w_dim = weights.select(F.col(source_col).alias("source"), F.col("weight"))
+    wspec = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    dim = w_dim.withColumn(
+        "block_offset", F.coalesce(F.sum("weight").over(wspec), F.lit(0))
+    ).crossJoin(
+        F.broadcast(w_dim.agg(F.sum("weight").alias("block_w")))
+    )
+
+    out = (
+        stamped.join(F.broadcast(starts), "source")
+        .join(F.broadcast(dim), "source")
+        .select(
+            id_col,
+            "source",
+            (F.col("__seq") - F.col("__start")).cast("long").alias("k"),
+            F.col("weight").cast("long").alias("weight"),
+            F.col("block_offset").cast("long").alias("block_offset"),
+            F.col("block_w").cast("long").alias("block_w"),
+        )
+    )
+    # integral `div` (long / long is DOUBLE in Spark — inexact past 2^53)
+    return out.select(
+        id_col,
+        "source",
+        "k",
+        "weight",
+        F.expr("(k div weight) * block_w + block_offset + (k % weight)")
+        .cast("long")
+        .alias("slot"),
+    )
