@@ -95,11 +95,14 @@ def interleave_datasets(
     # (explicitly NOT the corpus — see docstring)
     w_dim = weights.select(F.col(source_col).alias("source"), F.col("weight"))
     wspec = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    wspec_all = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # block_w via a full-frame window over the SAME tiny table — not a
+    # single-row crossJoin, which would plan as BroadcastNestedLoopJoin
     dim = w_dim.withColumn(
         "block_offset", F.coalesce(F.sum("weight").over(wspec), F.lit(0))
-    ).crossJoin(
-        F.broadcast(w_dim.agg(F.sum("weight").alias("block_w")))
-    )
+    ).withColumn("block_w", F.sum("weight").over(wspec_all))
 
     out = (
         stamped.join(F.broadcast(starts), "source")

@@ -1,0 +1,88 @@
+"""Plan-shape guards for the late-round-4 operators.
+
+Each assertion pins the property that makes the operator safe at corpus
+scale; a refactor that silently reintroduces a global window, a nested-loop
+join, or a Python row UDF fails here long before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BAD_ALWAYS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _assert_clean(plan: str, *also_banned: str):
+    for op in BAD_ALWAYS + also_banned:
+        assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+def test_dust_rules_plan_is_aggregate_only(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_dust_rules
+
+    plan = _plan(q_crawl_dust_rules(spark, sf_dir))
+    # two groupBys, no joins, no windows: the mining must stay a pure
+    # aggregation cascade over the exploded params
+    _assert_clean(plan, "Window", "SortMergeJoin", "BroadcastHashJoin")
+
+
+def test_adaptive_delay_plan_is_single_aggregate(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_adaptive_delay
+
+    plan = _plan(q_crawl_adaptive_delay(spark, sf_dir))
+    _assert_clean(plan, "Window", "Join")
+    assert plan.count("Exchange") <= 2, plan  # one shuffle (+AQE read)
+
+
+def test_word_diversity_and_rate_rollup_plans(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import (
+        q_crawl_rate_timeseries,
+        q_text_word_diversity,
+    )
+
+    _assert_clean(_plan(q_text_word_diversity(spark, sf_dir)), "Window", "Join")
+    _assert_clean(_plan(q_crawl_rate_timeseries(spark, sf_dir)), "Window", "Join")
+
+
+def test_snapshot_diff_shuffles_digests_not_payloads(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_corpus_snapshot_diff
+
+    plan = _plan(q_corpus_snapshot_diff(spark, sf_dir))
+    _assert_clean(plan)
+    # the md5 projection must land below the join: no Exchange row carries
+    # the text column (only 32-byte digests shuffle)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_interleave_has_no_corpus_side_window(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_traindata_interleave
+
+    plan = _plan(q_traindata_interleave(spark, sf_dir))
+    _assert_clean(plan)
+    # the only Window allowed is the one over the O(sources) weight dim —
+    # it must sit above an aggregate of the sources, never above the
+    # row-level documents scan. Every corpus-side consumer is the scalable
+    # stamp (mapInPandas), so a window whose subtree contains ArrowEvalPython
+    # or the raw scan would mean the per-source rank regressed to a funnel.
+    segments = plan.split("Window")
+    assert len(segments) <= 3, f"unexpected extra windows:\n{plan}"
+
+
+def test_revisit_window_is_partitioned_by_digest(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_warc_revisit_dedup
+
+    plan = _plan(q_warc_revisit_dedup(spark, sf_dir))
+    _assert_clean(plan)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "digest" in line, line  # never an unpartitioned window
