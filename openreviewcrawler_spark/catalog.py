@@ -791,6 +791,197 @@ def _sql_frontier_link_rank() -> str:
     return link_rank_sql(_RANK_EDGES_CTE, _RANK_NODES_CTE)
 
 
+def q_graph_hits_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority scheduling signal — fixed-iteration HITS
+    (operators/rank.hits_rank): hubs = listing pages to re-crawl for
+    DISCOVERY, authorities = content pages to fetch for QUALITY; the
+    complement of frontier_link_rank's PageRank. Deferred-normalization
+    recurrence keeps every intermediate integral (decimal-exact sums, one
+    division + round at the end), so scores are bit-identical to the
+    unrolled SQL oracle."""
+    from .operators.rank import hits_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 100).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    nodes = docs.select((F.col("doc_id") % 100).alias("node")).distinct()
+    out = hits_rank(edges, nodes, n_iter=2)
+    return out.select(F.col("node").cast("long").alias("node"), "hub", "authority")
+
+
+def _sql_graph_hits_rank() -> str:
+    from .operators.rank import hits_rank_sql
+
+    return hits_rank_sql(_RANK_EDGES_CTE, _RANK_NODES_CTE, n_iter=2)
+
+
+_BINPACK_HOST_EXPR = "'h' || cast(doc_id % ((doc_id % 37) + 1) as varchar(10))"
+
+
+def q_crawl_hostload_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetcher-slot assignment — serpentine LPT packing of per-host pending
+    load onto 8 fetcher slots (operators/scheduler.hostload_binpack). The
+    host synthesis is deliberately SKEWED (Zipf-ish: low doc_ids collapse
+    onto few hosts) so the packing problem is non-trivial; the rank comes
+    from the barrier-free scalable seq stamp, never a global window."""
+    from .operators.scheduler import hostload_binpack
+
+    frontier = _t(spark, sf_dir, "documents").select(
+        F.expr(_BINPACK_HOST_EXPR).alias("host")
+    )
+    return hostload_binpack(frontier, n_slots=8)
+
+
+SQL_CRAWL_HOSTLOAD_BINPACK = f"""
+with f as (select {_BINPACK_HOST_EXPR} as host from documents),
+loads as (select host, count(*) as pending from f group by host),
+ranked as (
+  select host, pending,
+         (row_number() over (order by pending desc, host) - 1)::BIGINT
+           as load_rank0
+  from loads
+)
+select host, pending, load_rank0,
+       (case when (load_rank0 // 8) % 2 = 0 then load_rank0 % 8
+             else 7 - (load_rank0 % 8) end)::BIGINT as slot
+from ranked
+"""
+
+
+def q_crawl_conditional_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revalidation planning — conditional-GET method selection per frontier
+    URL. A recrawl that already holds validators should spend bytes on
+    headers, not bodies: URLs with a stored ETag revalidate via
+    If-None-Match, URLs with only a Last-Modified stamp via
+    If-Modified-Since, everything else is a full fetch. History synthesis:
+    2/3 of URLs have a prior fetch (doc_id % 3 <> 0), half of those carry an
+    ETag (doc_id % 2 = 0). est_bytes prices the plan (full = body + headers,
+    revalidation = headers only) — the rollup a bandwidth budgeter consumes.
+
+    Scale shape: frontier LEFT JOIN history on the canonical url (both sides
+    shuffle on the join key, no size assumption on either — crawl history is
+    corpus-sized, so no broadcast hint, per the r3 ngram_jaccard lesson)."""
+    u = _urlset(spark, sf_dir)
+    cand = u.select("url", "doc_id").join(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id"
+    )
+    hist = u.filter(F.col("doc_id") % 3 != 0).select(
+        "url",
+        F.when(F.col("doc_id") % 2 == 0, F.md5("url")).alias("etag"),
+        (F.col("doc_id") % 10).cast("long").alias("last_mod_round"),
+    )
+    j = cand.join(hist, "url", "left")
+    method = (
+        F.when(F.col("etag").isNotNull(), F.lit("if-none-match"))
+        .when(F.col("last_mod_round").isNotNull(), F.lit("if-modified-since"))
+        .otherwise(F.lit("full"))
+    )
+    est = F.when(
+        method == "full", F.col("n_chars") + F.lit(256)
+    ).otherwise(F.lit(64))
+    return j.select(
+        "url",
+        method.alias("method"),
+        est.cast("long").alias("est_bytes"),
+        F.coalesce("last_mod_round", F.lit(-1)).cast("long").alias("last_mod_round"),
+    )
+
+
+SQL_CRAWL_CONDITIONAL_GET = f"""
+with u as (
+  select doc_id, {CANON_URL_EXPR} as url, n_chars from documents
+),
+hist as (
+  select {CANON_URL_EXPR} as url,
+         case when doc_id % 2 = 0 then md5({CANON_URL_EXPR}) end as etag,
+         (doc_id % 10)::BIGINT as last_mod_round
+  from documents where doc_id % 3 <> 0
+),
+j as (select u.url, u.n_chars, h.etag, h.last_mod_round
+      from u left join hist h on u.url = h.url)
+select url,
+       case when etag is not null then 'if-none-match'
+            when last_mod_round is not null then 'if-modified-since'
+            else 'full' end as method,
+       (case when etag is null and last_mod_round is null
+             then n_chars + 256 else 64 end)::BIGINT as est_bytes,
+       coalesce(last_mod_round, -1)::BIGINT as last_mod_round
+from j
+"""
+
+
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph joint degree spectrum — (in_degree, out_degree) ->
+    node count, the standard crawl-health profile (dangling mass, orphan
+    share, hub tail) over the frontier_link_rank graph.
+
+    Scale shape: ONE pass over edges — each edge explodes into exactly two
+    (node, direction) votes via a single generator (never a union of two
+    selects re-running the upstream, the r3 lesson), one map-side-combined
+    groupBy builds the O(nodes) degree table, zero-degree nodes re-enter by
+    a left join against the node universe, and the spectrum groupBy runs
+    over O(nodes) rows with O(distinct degree pairs) output.
+
+    The edge synthesis is deliberately IRREGULAR (dst modulus 83 vs the
+    100-node universe: residues 83-99 are pure sinks with in_degree 0, the
+    rest absorb uneven shares) — the rank graph's affine map is a bijection
+    on residues, whose spectrum degenerates to a single row."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    nodes = docs.select((F.col("doc_id") % 100).alias("node")).distinct()
+    votes = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("node"), F.lit(1).alias("is_out")),
+                F.struct(F.col("dst").alias("node"), F.lit(0).alias("is_out")),
+            )
+        ).alias("v")
+    ).select("v.*")
+    deg = votes.groupBy("node").agg(
+        F.sum("is_out").alias("out_degree"),
+        F.sum(1 - F.col("is_out")).alias("in_degree"),
+    )
+    full = nodes.join(deg, "node", "left").select(
+        F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+        F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+    )
+    return full.groupBy("in_degree", "out_degree").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+
+
+_DEG_EDGES_CTE = (
+    "select (doc_id % 100) as src, ((doc_id * 7 + 3) % 83) as dst"
+    " from documents where (doc_id % 100) <> ((doc_id * 7 + 3) % 83)"
+)
+
+SQL_GRAPH_DEGREE_STATS = f"""
+with edges as ({_DEG_EDGES_CTE}),
+nodes as ({_RANK_NODES_CTE}),
+votes as (
+  select src as node, 1 as is_out from edges
+  union all
+  select dst as node, 0 as is_out from edges
+),
+deg as (
+  select node, sum(is_out) as out_degree, sum(1 - is_out) as in_degree
+  from votes group by node
+),
+f as (
+  select coalesce(d.in_degree, 0)::BIGINT as in_degree,
+         coalesce(d.out_degree, 0)::BIGINT as out_degree
+  from nodes n left join deg d using (node)
+)
+select in_degree, out_degree, count(*)::BIGINT as n_nodes
+from f group by in_degree, out_degree
+"""
+
+
 def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: one full scheduling round — canonicalize -> seen anti-join ->
     robots filter + budgets -> per-host priority admit -> deterministic
@@ -3916,6 +4107,17 @@ CATALOG: dict[str, QueryDef] = {
     # --- r3-green entries still inside the driver window ---
     "crawl_fetch_seq": QueryDef(q_crawl_fetch_seq, SQL_CRAWL_FETCH_SEQ),
     "crawl_round": QueryDef(q_crawl_round, SQL_CRAWL_ROUND),
+    # slot 50 = the newest operator (new ops enter inside the window;
+    # crawl_recrawl_due is r3-green and untouched — policy-eligible tail)
+    "graph_hits_rank": QueryDef(q_graph_hits_rank, _sql_graph_hits_rank()),
+    # --- slots 51+: new late-r4 ops, first in line for the r5 window ---
+    "crawl_hostload_binpack": QueryDef(
+        q_crawl_hostload_binpack, SQL_CRAWL_HOSTLOAD_BINPACK
+    ),
+    "crawl_conditional_get": QueryDef(
+        q_crawl_conditional_get, SQL_CRAWL_CONDITIONAL_GET
+    ),
+    "graph_degree_stats": QueryDef(q_graph_degree_stats, SQL_GRAPH_DEGREE_STATS),
     "crawl_recrawl_due": QueryDef(q_crawl_recrawl_due, SQL_CRAWL_RECRAWL_DUE),
     "frontier_link_rank": QueryDef(q_frontier_link_rank, _sql_frontier_link_rank()),
     "comment_histogram": QueryDef(q_comment_histogram, SQL_COMMENT_HISTOGRAM),

@@ -62,6 +62,105 @@ def link_rank(
     return ranks.select("node", F.round(F.col("r"), 6).alias("rank"))
 
 
+def hits_rank(edges: DataFrame, nodes: DataFrame, n_iter: int = 2) -> DataFrame:
+    """(node, hub, authority) after ``n_iter`` synchronous HITS iterations
+    (Kleinberg) — the complement of PageRank for crawl scheduling: hub
+    scores find index/listing pages worth re-crawling for DISCOVERY,
+    authority scores find content pages worth fetching for QUALITY.
+
+    Numerical contract: per-iteration normalization is deliberately
+    DEFERRED.  Starting from h0 = 1.0, every intermediate hub/authority
+    value is an integral sum of integral values, so DECIMAL(28,12)-cast
+    sums are exact and fold-order independent (float parity recipe,
+    CLAUDE.md) with zero rounding anywhere in the recurrence.  Scores are
+    scaled once at the end by the exact max (division of exact integers is
+    a single correctly-rounded double op — bit-identical across engines);
+    a positive scalar preserves the ordering a scheduler consumes, which is
+    why textbook per-iteration L2 normalization (there to avoid overflow at
+    large iteration counts, irrelevant for fixed small ``n_iter``; growth
+    is <= (max_degree)^(2*n_iter), far inside DECIMAL(28,12)'s 16 integer
+    digits for any real host graph) can be dropped.
+
+    Scale shape per iteration: two edge->score equi-joins, each feeding one
+    map-side-combined groupBy; score tables are O(nodes), edges stream.
+    The final max is a 1-row aggregate broadcast — never a funnel over the
+    node table.
+    """
+    a = nodes.select("node", F.lit(1.0).alias("a"))
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    for _ in range(n_iter):
+        a_sum = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("h").cast("decimal(28,12)")).cast("double").alias("s"))
+        )
+        a = nodes.join(a_sum.withColumnRenamed("dst", "node"), "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("a")
+        )
+        h_sum = (
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("a").cast("decimal(28,12)")).cast("double").alias("s"))
+        )
+        h = nodes.join(h_sum.withColumnRenamed("src", "node"), "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0.0)).alias("h")
+        )
+    scores = a.join(h, "node")
+    mx = scores.agg(
+        F.max("h").alias("__hm"), F.max("a").alias("__am")
+    )
+    return scores.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.round(F.col("h") / F.greatest(F.col("__hm"), F.lit(1.0)), 6).alias("hub"),
+        F.round(F.col("a") / F.greatest(F.col("__am"), F.lit(1.0)), 6).alias(
+            "authority"
+        ),
+    )
+
+
+def hits_rank_sql(edges_cte: str, nodes_cte: str, n_iter: int = 2) -> str:
+    """The identical HITS recurrence unrolled as SQL CTE layers (oracle)."""
+    parts = [
+        f"edges as ({edges_cte})",
+        f"nodes as ({nodes_cte})",
+        "a0 as (select node, cast(1.0 as double) as a from nodes)",
+        "h0 as (select node, cast(1.0 as double) as h from nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"as{i + 1} as (select e.dst as node,"
+            f" cast(sum(cast(h.h as decimal(28,12))) as double) as s"
+            f" from edges e join h{i} h on e.src = h.node group by e.dst)"
+        )
+        parts.append(
+            f"a{i + 1} as (select n.node,"
+            f" coalesce(s, cast(0.0 as double)) as a"
+            f" from nodes n left join as{i + 1} using (node))"
+        )
+        parts.append(
+            f"hs{i + 1} as (select e.src as node,"
+            f" cast(sum(cast(a.a as decimal(28,12))) as double) as s"
+            f" from edges e join a{i + 1} a on e.dst = a.node group by e.src)"
+        )
+        parts.append(
+            f"h{i + 1} as (select n.node,"
+            f" coalesce(s, cast(0.0 as double)) as h"
+            f" from nodes n left join hs{i + 1} using (node))"
+        )
+    parts.append(
+        f"sc as (select a.node, h.h, a.a from a{n_iter} a join h{n_iter} h"
+        f" using (node))"
+    )
+    parts.append(
+        "mx as (select max(h) as hm, max(a) as am from sc)"
+    )
+    return (
+        "with " + ",\n".join(parts)
+        + "\nselect node, round(h / greatest(hm, 1.0), 6) as hub,"
+        + " round(a / greatest(am, 1.0), 6) as authority from sc, mx"
+    )
+
+
 def link_rank_sql(
     edges_cte: str, nodes_cte: str, n_iter: int = 3, damping: float = DAMPING
 ) -> str:

@@ -223,3 +223,39 @@ def allocate_quota(host_scores: DataFrame, budget: int, score_col: str = "score"
         + F.when(F.col("rem_rank0") < F.col("leftover"), F.lit(1)).otherwise(F.lit(0)),
     )
     return out.select("host", "score", "base_q", "quota")
+
+
+def hostload_binpack(frontier: DataFrame, n_slots: int) -> DataFrame:
+    """Assign hosts to ``n_slots`` fetcher slots — serpentine LPT packing.
+
+    A politeness-correct fetcher pins each host to exactly ONE slot (so
+    per-host delays serialize naturally); the scheduling problem is then
+    multiprocessor makespan: spread host loads so no slot becomes the
+    straggler. Sorted-descending serpentine (boustrophedon) assignment is
+    the classic deterministic approximation: rank hosts by pending count
+    descending, deal rank 0..n-1 left-to-right, rank n..2n-1 right-to-left,
+    and so on — each pass pairs the currently-lightest slots with the
+    currently-heaviest hosts.
+
+    Scale shape: one map-side-combined groupBy builds the O(hosts) load
+    table; the descending rank comes from the barrier-free scalable seq
+    stamp (NOT a global ``Window.orderBy`` funnel — same rationale as
+    ``allocate_quota``); the slot arithmetic is pure per-row codegen.
+    """
+    from .ordering import assign_seq_scalable
+
+    loads = frontier.groupBy("host").agg(F.count("*").alias("pending"))
+    ranked = assign_seq_scalable(
+        loads.withColumn("neg_pending", -F.col("pending")),
+        ["neg_pending", "host"],
+        seq_col="load_rank0",
+    )
+    pos = F.col("load_rank0") % n_slots
+    pas = F.expr(f"load_rank0 div {n_slots}")
+    slot = F.when(pas % 2 == 0, pos).otherwise(F.lit(n_slots - 1) - pos)
+    return ranked.select(
+        "host",
+        "pending",
+        F.col("load_rank0").cast("long").alias("load_rank0"),
+        slot.cast("long").alias("slot"),
+    )

@@ -1,0 +1,121 @@
+"""Late-r4 graph/scheduling operators: HITS hub/authority semantics on a
+hand-built graph, serpentine LPT packing properties, conditional-GET method
+classification, and degree-spectrum accounting (incl. zero-degree nodes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openreviewcrawler_spark.operators.rank import hits_rank
+from openreviewcrawler_spark.operators.scheduler import hostload_binpack
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+def _nodes(spark, ns):
+    return spark.createDataFrame([(n,) for n in ns], "node int")
+
+
+def test_hits_star_graph_separates_hub_from_authority(spark):
+    # 0 -> {1,2,3}: node 0 is the pure hub, 1-3 are equal pure authorities
+    out = hits_rank(
+        _edges(spark, [(0, 1), (0, 2), (0, 3)]),
+        _nodes(spark, [0, 1, 2, 3]),
+        n_iter=2,
+    ).collect()
+    by = {r["node"]: r for r in out}
+    assert by[0]["hub"] == 1.0 and by[0]["authority"] == 0.0
+    for n in (1, 2, 3):
+        assert by[n]["hub"] == 0.0
+        assert by[n]["authority"] == 1.0  # ties: all normalized to the max
+
+
+def test_hits_prefers_hub_pointing_at_strong_authorities(spark):
+    # both hubs fan out 2 links, but node 5 is co-cited by an extra page,
+    # making it the stronger authority and hub 0 (who cites it) the
+    # stronger hub after the second iteration
+    edges = [(0, 4), (0, 5), (1, 6), (1, 7), (2, 5)]
+    out = hits_rank(
+        _edges(spark, edges), _nodes(spark, range(8)), n_iter=2
+    ).collect()
+    by = {r["node"]: r for r in out}
+    assert by[5]["authority"] == 1.0
+    assert by[0]["hub"] > by[1]["hub"]
+    assert by[5]["authority"] > by[4]["authority"] > 0.0
+
+
+def test_binpack_assigns_every_host_once_and_balances(spark):
+    # 12 hosts with loads 12..1 onto 4 slots: serpentine over the sorted
+    # sequence gives per-slot sums within one pass-max of each other
+    rows = [(f"h{i:02d}",) for i in range(12) for _ in range(12 - i)]
+    frontier = spark.createDataFrame(rows, "host string")
+    out = hostload_binpack(frontier, n_slots=4).collect()
+    assert len(out) == 12  # one row per host
+    assert {r["slot"] for r in out} == {0, 1, 2, 3}
+    loads = {}
+    for r in out:
+        loads[r["slot"]] = loads.get(r["slot"], 0) + r["pending"]
+    # total 78; serpentine on a descending run keeps slots within the
+    # heaviest single item of a pass (here: exact balance not required,
+    # bound is deliberately loose so the test pins the SHAPE, not one sum)
+    assert max(loads.values()) - min(loads.values()) <= 12
+    # determinism: ranks are the descending-load order with host tiebreak
+    ranked = sorted(out, key=lambda r: r["load_rank0"])
+    pendings = [r["pending"] for r in ranked]
+    assert pendings == sorted(pendings, reverse=True)
+    # serpentine: first pass deals 0,1,2,3 — second reverses
+    assert [r["slot"] for r in ranked[:8]] == [0, 1, 2, 3, 3, 2, 1, 0]
+
+
+def test_conditional_get_classifies_and_prices(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_conditional_get
+
+    out = q_crawl_conditional_get(spark, sf_dir)
+    rows = out.collect()
+    methods = {r["method"] for r in rows}
+    assert methods == {"if-none-match", "if-modified-since", "full"}
+    for r in rows:
+        if r["method"] == "full":
+            assert r["est_bytes"] > 256 and r["last_mod_round"] == -1
+        else:
+            assert r["est_bytes"] == 64 and 0 <= r["last_mod_round"] <= 9
+    # history coverage: exactly the doc_id % 3 != 0 urls have validators
+    n_full = sum(1 for r in rows if r["method"] == "full")
+    assert n_full == len(rows) - sum(
+        1 for r in rows if r["method"] != "full"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_degree_stats_counts_every_node_once(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_graph_degree_stats
+
+    out = q_graph_degree_stats(spark, sf_dir)
+    rows = out.collect()
+    assert sum(r["n_nodes"] for r in rows) == 100  # node universe conserved
+    # the dst modulus (83) guarantees pure sinks: some spectrum row has
+    # in_degree == 0 with out_degree > 0
+    assert any(r["in_degree"] == 0 and r["out_degree"] > 0 for r in rows)
+    # one-pass shape: a single generator, no Union re-running the scan
+    # (AQE's toString repeats the plan under "== Initial Plan ==" — only
+    # the final section counts)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Generate") == 1
+    assert "Union" not in plan
+
+
+def test_hits_catalog_plan_has_no_corpus_broadcast_nested_loop(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_graph_hits_rank
+
+    plan = q_graph_hits_rank(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # the ONLY nested-loop join allowed is the final 1-row max broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
