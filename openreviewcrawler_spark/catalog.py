@@ -3996,6 +3996,91 @@ from r join o on r.source = o.source, tw
 """
 
 
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-reciprocity profile per source node (operators/rank.reciprocity)
+    — the link-farm / mutual-citation detector a discovery scheduler uses
+    to down-weight reciprocal neighborhoods. Edge synthesis plants
+    STRUCTURAL reciprocation (every doc_id % 3 == 0 edge also emits its
+    reverse) via ONE explode — never a union of two selects re-running the
+    upstream (the r3 lesson); accidental reverse pairs from the affine map
+    keep the rates non-trivial."""
+    from .operators.rank import reciprocity
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % 50).alias("a"),
+            ((F.col("doc_id") * 3 + 1) % 50).alias("b"),
+            (F.col("doc_id") % 3 == 0).alias("rev"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = (
+        base.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src"),
+                        F.col("b").alias("dst"),
+                        F.lit(True).alias("keep"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"),
+                        F.col("a").alias("dst"),
+                        F.col("rev").alias("keep"),
+                    ),
+                )
+            ).alias("v")
+        )
+        .select("v.*")
+        .filter("keep")
+        .drop("keep")
+    )
+    return reciprocity(edges)
+
+
+_RECIP_EDGES_CTE = """
+with base as (
+  select (doc_id % 50) as a, ((doc_id * 3 + 1) % 50) as b,
+         (doc_id % 3 = 0) as rev
+  from documents
+  where (doc_id % 50) <> ((doc_id * 3 + 1) % 50)
+)
+select a as src, b as dst from base
+union all
+select b as src, a as dst from base where rev
+"""
+
+
+def _sql_graph_reciprocity() -> str:
+    from .operators.rank import reciprocity_sql
+
+    return reciprocity_sql(_RECIP_EDGES_CTE)
+
+
+def q_crawl_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host tail-latency dashboard — exact discrete p50/p95/max over
+    the fetch log (operators/scheduler.latency_quantiles); the signal
+    behind politeness alarms that the mean-keyed adaptive_delay smooths
+    over. Same fetch-log synthesis as crawl_adaptive_delay."""
+    from .operators.scheduler import latency_quantiles
+
+    log = _t(spark, sf_dir, "documents").select(
+        F.expr(HOST_EXPR).alias("host"),
+        (F.lit(50) + (F.col("doc_id") * 97) % 900).cast("long").alias("latency_ms"),
+    )
+    return latency_quantiles(log)
+
+
+def _sql_crawl_latency_quantiles() -> str:
+    from .operators.scheduler import latency_quantiles_sql
+
+    return latency_quantiles_sql(
+        f"select {HOST_EXPR} as host,"
+        " (50 + (doc_id * 97) % 900)::BIGINT as latency_ms from documents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4024,7 +4109,7 @@ from r join o on r.source = o.source, tw
 #: merge_invitations, venue_id_assign, forum_ascii_render,
 #: orphan_note_metrics, venue_listing, median_by_group, revision_latest,
 #: reply_forest, comment_histogram and frontier_link_rank past slot 50 —
-#: policy-eligible; window edge is now slot 50 = crawl_recrawl_due), and
+#: policy-eligible; window edge is now slot 50 = graph_hits_rank), and
 #: this round's fixed entries; r4 tail
 #: (slots 51-82): entries green in CORRECTNESS_r03.json and untouched by
 #: the r4 diff (q1_pricing, q3_shipping, q5_region_revenue,
@@ -4166,6 +4251,13 @@ CATALOG: dict[str, QueryDef] = {
     "label_cascade": QueryDef(q_label_cascade, SQL_LABEL_CASCADE),
     "venue_year_rollup": QueryDef(q_venue_year_rollup, SQL_VENUE_YEAR_ROLLUP),
     "label_share_pivot": QueryDef(q_label_share_pivot, SQL_LABEL_SHARE_PIVOT),
+    # --- post-freeze r4 ops: tail slots, first in line for the r5 window
+    # (with crawl_hostload_binpack / crawl_conditional_get /
+    # graph_degree_stats above) ---
+    "graph_reciprocity": QueryDef(q_graph_reciprocity, _sql_graph_reciprocity()),
+    "crawl_latency_quantiles": QueryDef(
+        q_crawl_latency_quantiles, _sql_crawl_latency_quantiles()
+    ),
 }
 
 

@@ -191,3 +191,60 @@ def link_rank_sql(
         "with " + ",\n".join(parts)
         + f"\nselect node, round(r, 6) as rank from r{n_iter}"
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-source link reciprocity — (src, n_out, n_recip, recip_rate).
+
+    Crawl-graph health signal: a host whose outlinks are heavily
+    reciprocated is inside a link farm / mutual-citation cluster, while
+    genuine discovery edges are mostly one-way — schedulers down-weight
+    reciprocal neighborhoods when spending discovery budget (the same
+    motivation as the reference's per-venue fan-out caps,
+    reference crawler.py:105-139 fetch fan-out).
+
+    Scale shape: ONE distinct over (src, dst) — a map-side-combined
+    shuffle; the reverse orientation is an equi self-join on the SAME
+    (src, dst) shuffle key (AQE co-partitions both sides; no broadcast
+    hint — the edge table is corpus-sized, the r3 ngram_jaccard lesson);
+    then one map-side-combined groupBy on src. The deduped edge table is
+    persisted through the tracked-cache registry so the self-join's two
+    sides read cache instead of re-running the upstream synthesis (the
+    r3 "self-join embeds the upstream plan" lesson).
+
+    Float parity: n_recip / n_out is ONE correctly-rounded double
+    division per output row (bit-identical across engines), rounded once.
+    """
+    from ..caching import track_persist
+
+    e = track_persist(edges.select("src", "dst").distinct())
+    rev = e.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(1).alias("__m"),
+    )
+    tagged = e.join(rev, ["src", "dst"], "left")
+    got = F.sum(F.coalesce(F.col("__m"), F.lit(0)))
+    return tagged.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_out"),
+        got.cast("long").alias("n_recip"),
+        F.round(
+            got.cast("double") / F.count("*").cast("double"), 6
+        ).alias("recip_rate"),
+    )
+
+
+def reciprocity_sql(edges_cte: str) -> str:
+    """Oracle twin: identical dedup → reverse self-join → rollup."""
+    return f"""
+with raw as ({edges_cte}),
+e as (select distinct src, dst from raw),
+t as (
+  select e.src, e.dst,
+         case when x.src is not null then 1 else 0 end as m
+  from e left join e x on e.src = x.dst and e.dst = x.src
+)
+select src, count(*)::BIGINT as n_out, sum(m)::BIGINT as n_recip,
+       round(sum(m)::DOUBLE / count(*)::DOUBLE, 6) as recip_rate
+from t group by src
+"""

@@ -259,3 +259,70 @@ def hostload_binpack(frontier: DataFrame, n_slots: int) -> DataFrame:
         F.col("load_rank0").cast("long").alias("load_rank0"),
         slot.cast("long").alias("slot"),
     )
+
+
+def latency_quantiles(log: DataFrame) -> DataFrame:
+    """Per-host exact latency percentiles — (host, n_fetches, p50_ms,
+    p95_ms, max_ms), the crawl-operations dashboard row behind the
+    adaptive-delay controller (``adaptive_delay`` keys off the MEAN; tail
+    latency is what actually trips politeness alarms).
+
+    EXACT discrete quantiles (value at rank ``(n-1)*p div 100 + 1``), not
+    ``percentile_approx``: the approximate sketch is engine-specific and
+    can never match a cross-engine oracle bit-for-bit, while the discrete
+    definition is pure integer arithmetic over ranked rows.
+
+    Scale shape: one shuffle partitioned BY HOST (the politeness partition
+    key the whole crawl plan already uses), a per-host sort for
+    ``row_number`` + per-host ``count`` in the SAME window partition (one
+    exchange, two window functions), filter to the three target ranks,
+    then a map-side-combined groupBy on host. Per-host state is the sort
+    buffer — exact per-host quantiles require per-host order by
+    definition; a pathological mega-host is bounded upstream by the
+    per-host admission caps, never by this rollup.
+
+    Ties: ordering by latency alone makes row order among equal values
+    nondeterministic, but the VALUE at any rank is deterministic — the
+    only thing projected out.
+    """
+    w = Window.partitionBy("host").orderBy("latency_ms")
+    wall = Window.partitionBy("host")
+    idx = "((n - 1) * {p}) div 100 + 1"
+    x = (
+        log.select("host", "latency_ms")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wall))
+    )
+    at = lambda p: F.col("rn") == F.expr(idx.format(p=p))  # noqa: E731
+    keep = x.filter(at(50) | at(95) | (F.col("rn") == F.col("n")))
+    pick = lambda c: F.max(F.when(c, F.col("latency_ms"))).cast("long")  # noqa: E731
+    return keep.groupBy("host").agg(
+        F.max("n").cast("long").alias("n_fetches"),
+        pick(at(50)).alias("p50_ms"),
+        pick(at(95)).alias("p95_ms"),
+        pick(F.col("rn") == F.col("n")).alias("max_ms"),
+    )
+
+
+def latency_quantiles_sql(log_cte: str) -> str:
+    """Oracle twin of ``latency_quantiles`` — same discrete-rank
+    definition (DuckDB's quantile_disc interpolates differently; the
+    window form is the shared grammar)."""
+    return f"""
+with l as ({log_cte}),
+x as (
+  select host, latency_ms,
+         row_number() over (partition by host order by latency_ms) as rn,
+         count(*) over (partition by host) as n
+  from l
+)
+select host, max(n)::BIGINT as n_fetches,
+       max(case when rn = ((n - 1) * 50) // 100 + 1 then latency_ms end)::BIGINT as p50_ms,
+       max(case when rn = ((n - 1) * 95) // 100 + 1 then latency_ms end)::BIGINT as p95_ms,
+       max(case when rn = n then latency_ms end)::BIGINT as max_ms
+from x
+where rn = ((n - 1) * 50) // 100 + 1
+   or rn = ((n - 1) * 95) // 100 + 1
+   or rn = n
+group by host
+"""

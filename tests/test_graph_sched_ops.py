@@ -119,3 +119,29 @@ def test_hits_catalog_plan_has_no_corpus_broadcast_nested_loop(spark, sf_dir):
     # the ONLY nested-loop join allowed is the final 1-row max broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_reciprocity_counts_mutual_edges(spark):
+    from openreviewcrawler_spark.operators.rank import reciprocity
+
+    # 1<->2 mutual, 1->3 one-way, 3->4 one-way; duplicates collapse
+    edges = _edges(spark, [(1, 2), (2, 1), (1, 3), (3, 4), (1, 2)])
+    by = {r["src"]: r for r in reciprocity(edges).collect()}
+    assert (by[1]["n_out"], by[1]["n_recip"], by[1]["recip_rate"]) == (2, 1, 0.5)
+    assert (by[2]["n_out"], by[2]["n_recip"], by[2]["recip_rate"]) == (1, 1, 1.0)
+    assert (by[3]["n_out"], by[3]["n_recip"], by[3]["recip_rate"]) == (1, 0, 0.0)
+    assert 4 not in by  # no out-edges -> no row
+
+
+def test_latency_quantiles_discrete_ranks(spark):
+    from openreviewcrawler_spark.operators.scheduler import latency_quantiles
+
+    rows = [("a", v) for v in (10, 20, 30, 40)] + [("b", 7)]
+    log = spark.createDataFrame(rows, "host string, latency_ms long")
+    by = {r["host"]: r for r in latency_quantiles(log).collect()}
+    # n=4: p50 rank = (3*50)//100+1 = 2 -> 20; p95 rank = (3*95)//100+1 = 3 -> 30
+    assert (by["a"]["n_fetches"], by["a"]["p50_ms"], by["a"]["p95_ms"],
+            by["a"]["max_ms"]) == (4, 20, 30, 40)
+    # singleton host: every quantile is the single observation
+    assert (by["b"]["n_fetches"], by["b"]["p50_ms"], by["b"]["p95_ms"],
+            by["b"]["max_ms"]) == (1, 7, 7, 7)
