@@ -4081,6 +4081,27 @@ def _sql_crawl_latency_quantiles() -> str:
     )
 
 
+def q_crawl_host_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-skew dashboard row (operators/scheduler.host_skew_gini) —
+    Gini coefficient of per-host pending load over the same deliberately
+    Zipf-skewed host synthesis as crawl_hostload_binpack, so the metric
+    reads well away from 0."""
+    from .operators.scheduler import host_skew_gini
+
+    frontier = _t(spark, sf_dir, "documents").select(
+        F.expr(_BINPACK_HOST_EXPR).alias("host")
+    )
+    return host_skew_gini(frontier)
+
+
+def _sql_crawl_host_skew_gini() -> str:
+    from .operators.scheduler import host_skew_gini_sql
+
+    return host_skew_gini_sql(
+        f"select {_BINPACK_HOST_EXPR} as host from documents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4257,6 +4278,9 @@ CATALOG: dict[str, QueryDef] = {
     "graph_reciprocity": QueryDef(q_graph_reciprocity, _sql_graph_reciprocity()),
     "crawl_latency_quantiles": QueryDef(
         q_crawl_latency_quantiles, _sql_crawl_latency_quantiles()
+    ),
+    "crawl_host_skew_gini": QueryDef(
+        q_crawl_host_skew_gini, _sql_crawl_host_skew_gini()
     ),
 }
 

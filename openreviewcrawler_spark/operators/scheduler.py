@@ -326,3 +326,63 @@ where rn = ((n - 1) * 50) // 100 + 1
    or rn = n
 group by host
 """
+
+
+def host_skew_gini(frontier: DataFrame) -> DataFrame:
+    """Frontier skew profile — ONE row (n_hosts, total_pending, gini): the
+    Gini coefficient of the per-host pending-load distribution. The number
+    a crawl operator watches to decide when to salt hot hosts / rebalance
+    fetcher slots: 0 = perfectly even frontier, ->1 = a few mega-hosts own
+    the queue (the regime where ``admit_salted`` and AQE skew handling
+    start paying for themselves).
+
+    Exactness without ``ln`` (the r4 lesson — log-domain scores break the
+    cross-engine repr() gate): Gini over sorted loads is pure rational
+    arithmetic, G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with ranks
+    i ascending. Both sums are DECIMAL(38,0)-exact (associative, any fold
+    order); ONE double division at the end + round. Tie order between
+    equal loads cannot change sum(i*x_i), so the (pending, host) total
+    order is deterministic AND tie-robust.
+
+    Scale shape: one map-side-combined groupBy builds the O(hosts) load
+    table; the ascending rank is the barrier-free scalable stamp (never a
+    global ``Window.orderBy`` funnel over 10^8 hosts); the final agg is a
+    single-row reduce.
+    """
+    from .ordering import assign_seq_scalable
+
+    loads = frontier.groupBy("host").agg(F.count("*").alias("pending"))
+    ranked = assign_seq_scalable(loads, ["pending", "host"], seq_col="rank0")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum(F.col("pending").cast("decimal(38,0)")).alias("tot"),
+        F.sum(dec(F.col("rank0") + 1) * dec(F.col("pending"))).alias("iwx"),
+    )
+    num = F.lit(2) * F.col("iwx") - (F.col("n_hosts") + 1) * F.col("tot")
+    den = F.col("n_hosts") * F.col("tot")
+    return agg.select(
+        "n_hosts",
+        F.col("tot").cast("long").alias("total_pending"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )
+
+
+def host_skew_gini_sql(frontier_cte: str) -> str:
+    """Oracle twin — identical rational-arithmetic Gini."""
+    return f"""
+with f as ({frontier_cte}),
+loads as (select host, count(*)::BIGINT as pending from f group by host),
+ranked as (
+  select pending,
+         row_number() over (order by pending, host) as rnk
+  from loads
+)
+select count(*)::BIGINT as n_hosts,
+       cast(sum(pending::DECIMAL(38,0)) as BIGINT) as total_pending,
+       round(cast(2 * sum(rnk::DECIMAL(19,0) * pending::DECIMAL(19,0))
+                  - (count(*) + 1) * sum(pending::DECIMAL(38,0)) as DOUBLE)
+             / cast(count(*) * sum(pending::DECIMAL(38,0)) as DOUBLE), 6)
+         as gini
+from ranked
+"""

@@ -145,3 +145,14 @@ def test_latency_quantiles_discrete_ranks(spark):
     # singleton host: every quantile is the single observation
     assert (by["b"]["n_fetches"], by["b"]["p50_ms"], by["b"]["p95_ms"],
             by["b"]["max_ms"]) == (1, 7, 7, 7)
+
+
+def test_host_skew_gini_uniform_and_skewed(spark):
+    from openreviewcrawler_spark.operators.scheduler import host_skew_gini
+
+    mk = lambda hosts: spark.createDataFrame([(h,) for h in hosts], "host string")
+    even = host_skew_gini(mk(["a", "a", "b", "b"])).collect()[0]
+    assert (even["n_hosts"], even["total_pending"], even["gini"]) == (2, 4, 0.0)
+    # loads {a:3, b:1} -> sorted [1,3]: G = (2*(1*1+2*3) - 3*4) / (2*4) = 0.25
+    skew = host_skew_gini(mk(["a", "a", "a", "b"])).collect()[0]
+    assert (skew["n_hosts"], skew["total_pending"], skew["gini"]) == (2, 4, 0.25)
