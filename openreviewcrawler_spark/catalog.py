@@ -4081,6 +4081,69 @@ def _sql_crawl_latency_quantiles() -> str:
     )
 
 
+#: sitemapindex body synthesis: child sitemap locs, every third entry
+#: pretty-printed across lines, every fifth missing <loc> (dropped by the
+#: grammar), lastmod present on even ids only
+_SITEMAP_INDEX_BODY_EXPR = """concat(
+ '<?xml version="1.0"?><sitemapindex>',
+ '<sitemap>', case when doc_id % 3 = 0 then chr(10) || '  ' else '' end,
+ '<loc>https://h', cast(doc_id % 7 as varchar(10)), '.example/sitemap-',
+   cast(doc_id as varchar(30)), '-a.xml</loc>',
+ case when doc_id % 2 = 0 then concat('<lastmod>2026-03-',
+   lpad(cast(doc_id % 28 + 1 as varchar(10)), 2, '0'), '</lastmod>')
+   else '' end,
+ case when doc_id % 3 = 0 then chr(10) else '' end, '</sitemap>',
+ case when doc_id % 5 = 0 then '<sitemap><lastmod>2026-03-02</lastmod></sitemap>'
+      else concat('<sitemap><loc>https://h', cast(doc_id % 7 as varchar(10)),
+        '.example/sitemap-', cast(doc_id as varchar(30)), '-b.xml</loc></sitemap>')
+      end,
+ '</sitemapindex>')"""
+
+
+def q_sitemap_index_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-index layer (sources/sitemap.parse_sitemap_index): raw
+    <sitemapindex> bodies -> ordered (host, pos, sitemap_url, lastmod)
+    child-sitemap fetch rows — how hosts past the 50k-URL per-file limit
+    are actually discovered. Same pure-JVM-regexp, map-side-explode shape
+    as sitemap_extract; the oracle re-implements the grammar in SQL."""
+    from .sources.sitemap import parse_sitemap_index
+
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select(
+            F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("host"),
+            F.expr(_SITEMAP_INDEX_BODY_EXPR).alias("body"),
+        )
+    )
+    return parse_sitemap_index(bodies).select(
+        "host", F.col("pos").cast("long").alias("pos"), "sitemap_url", "lastmod"
+    )
+
+
+SQL_SITEMAP_INDEX_EXTRACT = f"""
+with bodies as (
+  select 's' || cast(doc_id as varchar(30)) as host,
+         {_SITEMAP_INDEX_BODY_EXPR} as body
+  from documents where doc_id < 30
+), arrs as (
+  select host,
+         regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1) as es
+  from bodies
+), e as (
+  select host, unnest(range(1, len(es) + 1)) - 1 as pos, unnest(es) as entry
+  from arrs
+), parsed as (
+  select host, pos::BIGINT as pos,
+         regexp_extract(entry, '<loc>([^<]*)</loc>', 1) as sitemap_url,
+         nullif(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), '')
+           as lastmod
+  from e
+)
+select host, pos, sitemap_url, lastmod from parsed where sitemap_url <> ''
+"""
+
+
 def q_crawl_host_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier-skew dashboard row (operators/scheduler.host_skew_gini) —
     Gini coefficient of per-host pending load over the same deliberately
@@ -4281,6 +4344,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_host_skew_gini": QueryDef(
         q_crawl_host_skew_gini, _sql_crawl_host_skew_gini()
+    ),
+    "sitemap_index_extract": QueryDef(
+        q_sitemap_index_extract, SQL_SITEMAP_INDEX_EXTRACT
     ),
 }
 

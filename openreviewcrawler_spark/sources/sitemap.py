@@ -55,3 +55,37 @@ def parse_sitemaps(bodies: DataFrame) -> DataFrame:
         )
         .filter(F.col("url") != "")
     )
+
+
+def parse_sitemap_index(bodies: DataFrame) -> DataFrame:
+    """bodies(host, body) -> (host, pos, sitemap_url, lastmod).
+
+    The sitemap-protocol INDEX layer: sites past the 50k-URL /
+    50 MB per-file limit shard their sitemaps and publish a
+    ``<sitemapindex>`` of ``<sitemap><loc>...</loc>`` entries — exactly
+    what large hosts (the ones a 10^10-URL frontier cares about) serve.
+    The crawler fetches the children this parser emits, then feeds each
+    child body through ``parse_sitemaps``; ``lastmod`` lets the scheduler
+    skip child sitemaps unchanged since the last crawl (pairs with
+    ``crawl_conditional_get`` to spend revalidation headers, not bodies).
+
+    Same scale shape and grammar discipline as ``parse_sitemaps``: pure
+    JVM regexp expressions, map-side posexplode, no shuffle, ``(?s)`` on
+    the entry splitter because real indexes are pretty-printed (the r4
+    ADVICE lesson), entries without ``<loc>`` dropped.
+    """
+    entries = F.regexp_extract_all(
+        F.col("body"), F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1
+    )
+    e = bodies.select("host", F.posexplode(entries).alias("pos", "entry"))
+    loc = F.regexp_extract(F.col("entry"), r"<loc>([^<]*)</loc>", 1)
+    lastmod = F.regexp_extract(F.col("entry"), r"<lastmod>([^<]*)</lastmod>", 1)
+    return (
+        e.select(
+            "host",
+            "pos",
+            loc.alias("sitemap_url"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )

@@ -127,3 +127,26 @@ def test_parse_sitemaps_pretty_printed_multiline(spark):
     assert rows[0]["lastmod"].strip() == "2026-03-01"
     assert rows[0]["priority"] == 0.8
     assert rows[1]["lastmod"] is None
+
+
+def test_parse_sitemap_index_grammar(spark):
+    from openreviewcrawler_spark.sources.sitemap import parse_sitemap_index
+
+    body = (
+        '<?xml version="1.0"?><sitemapindex>\n'
+        "<sitemap>\n  <loc>https://a.example/sm-1.xml</loc>\n"
+        "  <lastmod>2026-03-01</lastmod>\n</sitemap>\n"
+        "<sitemap><lastmod>2026-03-02</lastmod></sitemap>\n"  # no loc: dropped
+        "<sitemap><loc>https://a.example/sm-2.xml</loc></sitemap>\n"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame([("a", body), ("b", "<html>no index</html>")],
+                               "host string, body string")
+    rows = {(r["host"], r["pos"]): r for r in parse_sitemap_index(df).collect()}
+    # multiline entry parses (the (?s) lesson); pos counts RAW entries
+    assert rows[("a", 0)]["sitemap_url"] == "https://a.example/sm-1.xml"
+    assert rows[("a", 0)]["lastmod"] == "2026-03-01"
+    assert rows[("a", 2)]["sitemap_url"] == "https://a.example/sm-2.xml"
+    assert rows[("a", 2)]["lastmod"] is None
+    assert ("a", 1) not in rows  # loc-less entry dropped
+    assert not any(h == "b" for h, _ in rows)  # non-index body: zero rows
