@@ -4165,6 +4165,56 @@ def _sql_crawl_host_skew_gini() -> str:
     )
 
 
+def q_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ingest gate (operators/similarity.embedding_qa): per-label
+    vector counts, dimension range, zero-norm / NaN counts and norm stats
+    in ONE scan. Defects are PLANTED deterministically (vec_id % 50 == 0
+    zeroed, % 50 == 1 truncated to 8 dims) so the QA columns read
+    non-trivially; NaN counting is covered by the unit test (a planted NaN
+    would poison cross-engine min/max/decimal-sum semantics in the oracle
+    comparison itself)."""
+    from .operators.similarity import embedding_qa
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    doctored = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.when(F.col("vec_id") % 50 == 0, F.transform(e, lambda x: F.lit(0.0)))
+        .when(F.col("vec_id") % 50 == 1, F.slice(e, 1, 8))
+        .otherwise(e)
+        .alias("embedding"),
+    )
+    return embedding_qa(doctored)
+
+
+SQL_EMBEDDING_QA = """
+with raw as (
+  select label::BIGINT as label,
+         case when vec_id % 50 = 0
+                then list_transform(embedding::DOUBLE[], x -> 0.0)
+              when vec_id % 50 = 1 then (embedding::DOUBLE[])[1:8]
+              else embedding::DOUBLE[] end as e
+  from embeddings
+),
+d as (
+  select label, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y))
+           as norm
+  from raw
+)
+select label, count(*)::BIGINT as n_vectors,
+       min(len(e))::BIGINT as min_dim, max(len(e))::BIGINT as max_dim,
+       sum(case when norm = 0.0 then 1 else 0 end)::BIGINT as n_zero_norm,
+       sum(case when len(list_filter(e, x -> isnan(x))) > 0 then 1 else 0
+           end)::BIGINT as n_nan,
+       round(min(norm), 6) as min_norm, round(max(norm), 6) as max_norm,
+       round(cast(sum(cast(norm as decimal(28,12))) as double)
+             / count(*)::DOUBLE, 6) as mean_norm
+from d group by label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4348,6 +4398,7 @@ CATALOG: dict[str, QueryDef] = {
     "sitemap_index_extract": QueryDef(
         q_sitemap_index_extract, SQL_SITEMAP_INDEX_EXTRACT
     ),
+    "embedding_qa": QueryDef(q_embedding_qa, SQL_EMBEDDING_QA),
 }
 
 

@@ -390,3 +390,40 @@ def ann_lsh_topk(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFra
         .select("query_id", "cand_id", F.col("rank").cast("long").alias("rank"),
                 F.round(F.col("cos_raw"), 3).alias("cos"))
     )
+
+
+def embedding_qa(vectors: DataFrame) -> DataFrame:
+    """Embedding-table QA rollup — per label/source: (n_vectors, min_dim,
+    max_dim, n_zero_norm, n_nan, min_norm, max_norm, mean_norm).
+
+    The ingest gate in front of every ANN/dedup stage above: ragged
+    dimensions (min_dim != max_dim) break zip_with silently, zero-norm
+    vectors make cosine NaN, and NaN elements poison whole partitions of
+    a brute-force top-k — cheaper to count them in ONE scan than to debug
+    them downstream at 100 TB.
+
+    Scale shape: per-row array folds (the same fold shape as the
+    ANN norms — Arrow-free, JVM higher-order functions) then a single
+    map-side-combined groupBy on the label. Float parity: per-row norm is
+    bit-identical across engines (products + left fold + correctly-rounded
+    sqrt); min/max are order-independent; the mean rides the decimal-cast
+    sum recipe (exact, associative), one division + round at the end.
+    """
+    d = _as_double(vectors)
+    has_nan = F.exists("e", lambda x: F.isnan(x))
+    return d.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.min(F.size("e")).cast("long").alias("min_dim"),
+        F.max(F.size("e")).cast("long").alias("max_dim"),
+        F.sum(F.when(F.col("norm") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.sum(F.when(has_nan, 1).otherwise(0)).cast("long").alias("n_nan"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+        F.round(
+            F.sum(F.col("norm").cast("decimal(28,12)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_norm"),
+    )

@@ -410,3 +410,26 @@ def test_lsh_768d_configuration_end_to_end(spark):
     # distinct vectors must not all collide: buckets discriminate
     others = sum(1 for i in range(10) for j in range(20, 30) if by_vec[i] & by_vec[j])
     assert others < 20
+
+
+def test_embedding_qa_counts_planted_defects(spark):
+    from openreviewcrawler_spark.operators.similarity import embedding_qa
+
+    rows = [
+        (1, [3.0, 4.0], 0),          # norm 5
+        (2, [0.0, 0.0], 0),          # zero vector
+        (3, [1.0, float("nan")], 0), # NaN element
+        (4, [2.0], 1),               # ragged: dim 1
+        (5, [0.0, 2.0], 1),          # norm 2
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    by = {r["label"]: r for r in embedding_qa(df).collect()}
+    a = by[0]
+    assert (a["n_vectors"], a["min_dim"], a["max_dim"]) == (3, 2, 2)
+    assert (a["n_zero_norm"], a["n_nan"]) == (1, 1)
+    assert a["min_norm"] == 0.0  # NaN sorts greatest in Spark: min unaffected
+    b = by[1]
+    assert (b["n_vectors"], b["min_dim"], b["max_dim"]) == (2, 1, 2)
+    assert (b["min_norm"], b["max_norm"], b["mean_norm"]) == (2.0, 2.0, 2.0)
