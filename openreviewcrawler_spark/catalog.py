@@ -4165,6 +4165,47 @@ def _sql_crawl_host_skew_gini() -> str:
     )
 
 
+def q_crawl_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry scheduling (operators/scheduler.retry_backoff): per-URL
+    consecutive-failure state with truncated binary exponential backoff,
+    reset on success. Attempt-log synthesis: 1..(doc_id % 6 + 1) attempts
+    per URL, failures on (doc_id*5 + attempt) % 7 < 3 — runs of up to 3
+    consecutive failures, so all three statuses (ok / retry / give_up at
+    max_retries=2) appear."""
+    from .operators.scheduler import retry_backoff
+
+    attempts = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.explode(F.sequence(F.lit(1), F.col("doc_id") % 6 + 1)).alias(
+                "attempt_round"
+            ),
+            F.col("doc_id"),
+        )
+        .select(
+            "url",
+            F.col("attempt_round").cast("long").alias("attempt_round"),
+            ((F.col("doc_id") * 5 + F.col("attempt_round")) % 7 >= 3).alias("ok"),
+        )
+    )
+    return retry_backoff(attempts, max_retries=2)
+
+
+def _sql_crawl_retry_backoff() -> str:
+    from .operators.scheduler import retry_backoff_sql
+
+    return retry_backoff_sql(
+        """
+  select 'u' || cast(doc_id as varchar(30)) as url,
+         unnest(range(1, doc_id % 6 + 2))::BIGINT as attempt_round,
+         ((doc_id * 5 + unnest(range(1, doc_id % 6 + 2))) % 7 >= 3) as ok
+  from documents
+""",
+        max_retries=2,
+    )
+
+
 def q_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding ingest gate (operators/similarity.embedding_qa): per-label
     vector counts, dimension range, zero-norm / NaN counts and norm stats
@@ -4399,6 +4440,9 @@ CATALOG: dict[str, QueryDef] = {
         q_sitemap_index_extract, SQL_SITEMAP_INDEX_EXTRACT
     ),
     "embedding_qa": QueryDef(q_embedding_qa, SQL_EMBEDDING_QA),
+    "crawl_retry_backoff": QueryDef(
+        q_crawl_retry_backoff, _sql_crawl_retry_backoff()
+    ),
 }
 
 

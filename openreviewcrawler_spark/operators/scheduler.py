@@ -386,3 +386,97 @@ select count(*)::BIGINT as n_hosts,
          as gini
 from ranked
 """
+
+
+def retry_backoff(
+    attempts: DataFrame, max_retries: int = 2, cap_exp: int = 6
+) -> DataFrame:
+    """Fetch-failure lifecycle — per-URL retry state from the attempt log.
+
+    attempts(url, attempt_round, ok) -> (url, n_attempts, consec_fails,
+    last_round, status, next_round): ``consec_fails`` counts failures
+    SINCE the last success (a recovered URL resets its backoff — counting
+    lifetime failures would permanently penalize flaky-but-alive hosts),
+    ``status`` is 'ok' / 'retry' / 'give_up' (consec_fails > max_retries),
+    and a retry is scheduled at ``last_round + 2^min(consec_fails,
+    cap_exp)`` — truncated binary exponential backoff.
+
+    Exactness: the backoff is a dyadic INTEGER (shiftleft, never
+    ``pow``-via-double, same discipline as the HLL dyadic terms); every
+    output is integer or a small enum string.
+
+    Scale shape: two map-side-combined groupBys and one equi self-join,
+    ALL on the url shuffle key (AQE reuses the exchange); no window, no
+    broadcast of the corpus-sized attempt log.
+    """
+    agg = attempts.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_attempts"),
+        F.max("attempt_round").cast("long").alias("last_round"),
+        F.max(F.when(F.col("ok"), F.col("attempt_round"))).alias("last_ok"),
+    )
+    fails = (
+        attempts.join(agg.select("url", "last_ok"), "url")
+        .filter(
+            (~F.col("ok"))
+            & (F.col("attempt_round") > F.coalesce(F.col("last_ok"), F.lit(-1)))
+        )
+        .groupBy("url")
+        .agg(F.count("*").cast("long").alias("consec_fails"))
+    )
+    out = agg.join(fails, "url", "left").withColumn(
+        "consec_fails", F.coalesce(F.col("consec_fails"), F.lit(0)).cast("long")
+    )
+    status = (
+        F.when(F.col("consec_fails") == 0, F.lit("ok"))
+        .when(F.col("consec_fails") > max_retries, F.lit("give_up"))
+        .otherwise(F.lit("retry"))
+    )
+    # F.shiftleft takes a literal int for numBits; the column-shift form
+    # goes through expr
+    delay = F.expr(
+        f"shiftleft(1L, cast(least(consec_fails, {cap_exp}) as int))"
+    )
+    return out.select(
+        "url",
+        "n_attempts",
+        "consec_fails",
+        "last_round",
+        status.alias("status"),
+        F.when(status == "retry", F.col("last_round") + delay)
+        .cast("long")
+        .alias("next_round"),
+    )
+
+
+def retry_backoff_sql(
+    attempts_cte: str, max_retries: int = 2, cap_exp: int = 6
+) -> str:
+    """Oracle twin — identical reset-on-success + dyadic backoff."""
+    return f"""
+with a as ({attempts_cte}),
+g as (
+  select url, count(*)::BIGINT as n_attempts,
+         max(attempt_round)::BIGINT as last_round,
+         max(case when ok then attempt_round end) as last_ok
+  from a group by url
+),
+f as (
+  select a.url, count(*)::BIGINT as consec_fails
+  from a join g using (url)
+  where not a.ok and a.attempt_round > coalesce(g.last_ok, -1)
+  group by a.url
+),
+s as (
+  select g.url, g.n_attempts, g.last_round,
+         coalesce(f.consec_fails, 0)::BIGINT as consec_fails
+  from g left join f using (url)
+)
+select url, n_attempts, consec_fails, last_round,
+       case when consec_fails = 0 then 'ok'
+            when consec_fails > {max_retries} then 'give_up'
+            else 'retry' end as status,
+       case when consec_fails > 0 and consec_fails <= {max_retries}
+            then last_round + (1 << least(consec_fails, {cap_exp}))
+            end::BIGINT as next_round
+from s
+"""

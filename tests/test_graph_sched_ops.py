@@ -156,3 +156,21 @@ def test_host_skew_gini_uniform_and_skewed(spark):
     # loads {a:3, b:1} -> sorted [1,3]: G = (2*(1*1+2*3) - 3*4) / (2*4) = 0.25
     skew = host_skew_gini(mk(["a", "a", "a", "b"])).collect()[0]
     assert (skew["n_hosts"], skew["total_pending"], skew["gini"]) == (2, 4, 0.25)
+
+
+def test_retry_backoff_reset_on_success_and_giveup(spark):
+    from openreviewcrawler_spark.operators.scheduler import retry_backoff
+
+    log = spark.createDataFrame(
+        [("A", 1, True), ("A", 2, False), ("A", 3, False),
+         ("B", 1, False), ("B", 2, False), ("B", 3, False),
+         ("C", 1, False), ("C", 2, True)],
+        "url string, attempt_round long, ok boolean",
+    )
+    by = {r["url"]: r for r in retry_backoff(log, max_retries=2).collect()}
+    # A: 2 consecutive fails after the round-1 success -> retry at 3 + 2^2
+    assert (by["A"]["consec_fails"], by["A"]["status"], by["A"]["next_round"]) == (2, "retry", 7)
+    # B: 3 consecutive fails > max_retries -> give up, no next round
+    assert (by["B"]["consec_fails"], by["B"]["status"], by["B"]["next_round"]) == (3, "give_up", None)
+    # C: success resets the counter entirely
+    assert (by["C"]["consec_fails"], by["C"]["status"], by["C"]["next_round"]) == (0, "ok", None)
