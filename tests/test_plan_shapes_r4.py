@@ -86,3 +86,58 @@ def test_revisit_window_is_partitioned_by_digest(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "digest" in line, line  # never an unpartitioned window
+
+
+def test_reciprocity_plan_has_no_nested_loop_or_window(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_graph_reciprocity
+
+    plan = _plan(q_graph_reciprocity(spark, sf_dir))
+    # dedup + equi self-join + groupBy only; the rate must never become a
+    # window or an all-pairs comparison
+    _assert_clean(plan, "Window")
+
+
+def test_latency_quantile_windows_are_host_partitioned(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_latency_quantiles
+
+    plan = _plan(q_crawl_latency_quantiles(spark, sf_dir))
+    _assert_clean(plan)
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            saw_window = True
+            assert "host" in line, f"unpartitioned window:\n{line}"
+    assert saw_window  # the quantile ranks ARE windows — just never global
+
+
+def test_skew_gini_rank_is_stamp_not_window(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_host_skew_gini
+
+    plan = _plan(q_crawl_host_skew_gini(spark, sf_dir))
+    # ascending load rank must ride the scalable stamp (mapInPandas), never
+    # a global Window.orderBy funnel over the host table
+    _assert_clean(plan, "Window")
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_sitemap_index_parse_is_shuffle_free(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_sitemap_index_extract
+
+    plan = _plan(q_sitemap_index_extract(spark, sf_dir))
+    _assert_clean(plan, "Window", "Join")
+    assert plan.count("Exchange") == 0, plan  # map-side explode only
+
+
+def test_embedding_qa_is_single_aggregate(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_embedding_qa
+
+    plan = _plan(q_embedding_qa(spark, sf_dir))
+    _assert_clean(plan, "Window", "Join")
+    assert plan.count("Exchange") <= 2, plan  # one shuffle (+AQE read)
+
+
+def test_retry_backoff_joins_are_equi_only(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_retry_backoff
+
+    plan = _plan(q_crawl_retry_backoff(spark, sf_dir))
+    _assert_clean(plan, "Window")
