@@ -4206,6 +4206,57 @@ def _sql_crawl_retry_backoff() -> str:
     )
 
 
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID QA — confusion matrix of the n-gram/stopword heuristic
+    (lang_id entry) against the stored lang column: (lang_true, lang_pred,
+    n_docs, share-of-true-class). The acceptance gate one runs before
+    trusting lang_id to route 100 TB into per-language pipelines.
+
+    Scale shape: the heuristic is pure codegen'd expressions in the scan
+    projection; ONE map-side-combined groupBy builds the O(langs^2)
+    confusion table; the row-share window then runs over that tiny
+    aggregate, never over the corpus."""
+    from .operators.textstats import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_true"),
+        lang_id_col(tokens_col(F.col("text"))).alias("lang_pred"),
+    )
+    conf = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang_true")
+    return conf.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+def _sql_lang_id_confusion() -> str:
+    return f"""
+with x as ({_sql_lang_id()}),
+p as (
+  select d.lang as lang_true, x.lang_pred
+  from documents d join x using (doc_id)
+),
+c as (
+  select lang_true, lang_pred, count(*)::BIGINT as n_docs
+  from p group by lang_true, lang_pred
+)
+select lang_true, lang_pred, n_docs,
+       round(n_docs::DOUBLE /
+             (sum(n_docs) over (partition by lang_true))::DOUBLE, 6) as share
+from c
+"""
+
+
 def q_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding ingest gate (operators/similarity.embedding_qa): per-label
     vector counts, dimension range, zero-norm / NaN counts and norm stats
@@ -4442,6 +4493,9 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_qa": QueryDef(q_embedding_qa, SQL_EMBEDDING_QA),
     "crawl_retry_backoff": QueryDef(
         q_crawl_retry_backoff, _sql_crawl_retry_backoff()
+    ),
+    "lang_id_confusion": QueryDef(
+        q_lang_id_confusion, _sql_lang_id_confusion()
     ),
 }
 
