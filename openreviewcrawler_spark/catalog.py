@@ -4206,6 +4206,52 @@ def _sql_crawl_retry_backoff() -> str:
     )
 
 
+#: subdomained-host synthesis shared verbatim by both engines: 3 subdomain
+#: flavors (none on doc_id % 5 == 0), 7 base sites, 4 TLDs of which two
+#: ('co.uk', 'github.io') are multi-label public suffixes
+_DOMAIN_HOST_EXPR = """(case when doc_id % 5 = 0 then ''
+  else (case doc_id % 3 when 0 then 'www.' when 1 then 'blog.'
+        else 'shop.' end) end)
+ || 'site' || cast(doc_id % 7 as varchar(10)) || '.'
+ || (case doc_id % 4 when 0 then 'com' when 1 then 'co.uk'
+     when 2 then 'org' else 'github.io' end)"""
+
+
+def q_domain_budget_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) budget rollup
+    (functions/urls.registrable_domain_col): per-host politeness is not
+    enough when one owner controls thousands of subdomains — budgets and
+    quotas apply at the registrable domain, and 'a.blogspot.co.uk' must
+    group under 'blogspot.co.uk', not 'co.uk'. Simplified PSL subset
+    documented at the helper. Scale shape: two map-side-combined groupBys
+    (host, then domain), the eTLD+1 grammar pure codegen'd expressions in
+    between — no join, no window."""
+    from .functions.urls import registrable_domain_col
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.expr(_DOMAIN_HOST_EXPR).alias("host")
+    )
+    per_host = hosts.groupBy("host").agg(F.count("*").alias("pending"))
+    d = per_host.withColumn("domain", registrable_domain_col(F.col("host")))
+    return d.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("pending").cast("long").alias("n_urls"),
+    )
+
+
+def _sql_domain_budget_rollup() -> str:
+    from .functions.urls import registrable_domain_sql
+
+    return f"""
+with f as (select {_DOMAIN_HOST_EXPR} as host from documents),
+per_host as (select host, count(*)::BIGINT as pending from f group by host),
+d as (select {registrable_domain_sql('host')} as domain, pending
+      from per_host)
+select domain, count(*)::BIGINT as n_hosts, sum(pending)::BIGINT as n_urls
+from d group by domain
+"""
+
+
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID QA — confusion matrix of the n-gram/stopword heuristic
     (lang_id entry) against the stored lang column: (lang_true, lang_pred,
@@ -4496,6 +4542,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "lang_id_confusion": QueryDef(
         q_lang_id_confusion, _sql_lang_id_confusion()
+    ),
+    "domain_budget_rollup": QueryDef(
+        q_domain_budget_rollup, _sql_domain_budget_rollup()
     ),
 }
 

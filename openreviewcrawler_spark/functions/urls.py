@@ -177,3 +177,55 @@ def merge_invitation(invitation: str) -> str:
     """Python twin of :func:`merge_invitations_col` (oracle side)."""
     sub1 = re.sub(r"/(P|p)aper[0-9]+/", r"/\1aper.*/", invitation)
     return re.sub(r"/(P|p)aper/[0-9]+/", r"/\1aper/.*/", sub1)
+
+
+#: Multi-label public suffixes recognized by the simplified PSL subset —
+#: real politeness wants budgets at the REGISTRABLE domain (every
+#: *.blogspot.com subdomain shares one owner), and the full Mozilla
+#: Public Suffix List is a data file a production deployment would
+#: broadcast; this deterministic subset keeps the grammar testable and
+#: the oracle independent.
+MULTI_LABEL_SUFFIXES = ("co.uk", "org.uk", "com.au", "co.jp", "github.io")
+
+
+def registrable_domain_col(host: Column) -> Column:
+    """eTLD+1 of a hostname under the simplified PSL subset: the last two
+    labels, or the last three when the last two form a multi-label public
+    suffix (so 'a.b.co.uk' -> 'b.co.uk' but 'a.b.example' -> 'b.example').
+    Hosts with a single label (or exactly a multi-label suffix) pass
+    through unchanged. Pure codegen'd expressions; the split pattern is
+    '[.]' — shared verbatim with the SQL oracle (no backslash, the r4
+    escaping lesson)."""
+    parts = F.split(host, "[.]")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
+    return (
+        F.when(n <= 1, host)
+        .when(is_multi & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def registrable_domain_sql(host_expr: str) -> str:
+    """Oracle twin of :func:`registrable_domain_col` (DuckDB grammar —
+    repeated string_split kept inline for oracle independence; DuckDB
+    folds the common subexpression)."""
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    p = f"string_split({host_expr}, '.')"
+    n = f"len({p})"
+    last2 = f"({p}[{n} - 1] || '.' || {p}[{n}])"
+    last3 = f"({p}[{n} - 2] || '.' || {last2})"
+    return (
+        f"(case when {n} <= 1 then {host_expr}"
+        f" when {n} >= 3 and {last2} in ({suffixes}) then {last3}"
+        f" else {last2} end)"
+    )

@@ -174,3 +174,27 @@ def test_retry_backoff_reset_on_success_and_giveup(spark):
     assert (by["B"]["consec_fails"], by["B"]["status"], by["B"]["next_round"]) == (3, "give_up", None)
     # C: success resets the counter entirely
     assert (by["C"]["consec_fails"], by["C"]["status"], by["C"]["next_round"]) == (0, "ok", None)
+
+
+def test_registrable_domain_psl_subset(spark):
+    from openreviewcrawler_spark.functions.urls import registrable_domain_col
+
+    cases = [
+        ("a.b.co.uk", "b.co.uk"),        # multi-label suffix: 3 labels kept
+        ("deep.a.b.co.uk", "b.co.uk"),
+        ("a.b.example", "b.example"),    # unknown TLD: plain last-2
+        ("www.site.com", "site.com"),
+        ("site.com", "site.com"),
+        ("co.uk", "co.uk"),              # exactly the suffix: unchanged
+        ("localhost", "localhost"),      # single label: unchanged
+        ("x.github.io", "x.github.io"),  # user sites are registrable
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registrable_domain_col(F.col("host")).alias("d")
+        ).collect()
+    }
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)
