@@ -4217,6 +4217,63 @@ _DOMAIN_HOST_EXPR = """(case when doc_id % 5 = 0 then ''
      when 2 then 'org' else 'github.io' end)"""
 
 
+#: HTML body synthesis shared verbatim by both engines: one absolute link
+#: per doc, a relative link on even ids (multiline attrs on ids % 3 == 0),
+#: an href-less anchor on ids % 3 == 0 (must NOT extract)
+_HTML_BODY_EXPR = """'<html><p>doc</p><a href="https://h'
+ || cast(doc_id % 7 as varchar(10)) || '.example/p/'
+ || cast(doc_id as varchar(30)) || '">x</a>'
+ || (case when doc_id % 2 = 0 then
+      '<a class="m"' || (case when doc_id % 3 = 0 then chr(10) else ' ' end)
+      || 'href="/rel/' || cast(doc_id as varchar(30)) || '">y</a>'
+     else '' end)
+ || (case when doc_id % 3 = 0 then '<a name="no-href">z</a>' else '' end)
+ || '</html>'"""
+
+#: shared href grammar: (?is) so attribute lists spanning lines parse (the
+#: sitemap (?s) lesson applied to anchors); double-quoted hrefs only —
+#: documented subset, same as functions/htmltext._HREF_RE's quoted branch
+_HREF_PATTERN = '(?is)<a[^>]*href="([^"]*)"'
+
+
+def q_html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-expansion parse stage, JVM hot path: raw HTML ->
+    document-ordered (doc_id, pos, href, is_absolute) link rows via
+    regexp_extract_all — zero Python in the loop. The Arrow-batched
+    Python-regex twin (functions/htmltext.with_outlinks, byte-parity with
+    the reference's parse fixtures) remains the semantic reference; this
+    is the shape the 100 TB scan actually runs: pure codegen projection +
+    map-side posexplode, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_BODY_EXPR).alias("html")
+    )
+    hrefs = F.regexp_extract_all(F.col("html"), F.lit(_HREF_PATTERN), 1)
+    e = docs.select("doc_id", F.posexplode(hrefs).alias("pos", "href"))
+    return e.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "href",
+        F.col("href").startswith("http").alias("is_absolute"),
+    )
+
+
+SQL_HTML_LINK_EXTRACT = f"""
+with docs as (
+  select doc_id, {_HTML_BODY_EXPR} as html from documents
+), arrs as (
+  select doc_id,
+         regexp_extract_all(html, '{_HREF_PATTERN}', 1) as hs
+  from docs
+), e as (
+  select doc_id, unnest(range(1, len(hs) + 1)) - 1 as pos, unnest(hs) as href
+  from arrs
+)
+select doc_id, pos::BIGINT as pos, href,
+       (href like 'http%') as is_absolute
+from e
+"""
+
+
 def q_domain_budget_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registrable-domain (eTLD+1) budget rollup
     (functions/urls.registrable_domain_col): per-host politeness is not
@@ -4546,6 +4603,7 @@ CATALOG: dict[str, QueryDef] = {
     "domain_budget_rollup": QueryDef(
         q_domain_budget_rollup, _sql_domain_budget_rollup()
     ),
+    "html_link_extract": QueryDef(q_html_link_extract, SQL_HTML_LINK_EXTRACT),
 }
 
 

@@ -198,3 +198,26 @@ def test_registrable_domain_psl_subset(spark):
     }
     for host, want in cases:
         assert got[host] == want, (host, got[host], want)
+
+
+def test_html_link_extract_agrees_with_python_reference_path(spark, sf_dir):
+    """The JVM regexp hot path must extract the same links, in the same
+    document order, as the Arrow/Python path that holds byte-parity with
+    the reference's parse fixtures (functions/htmltext.extract_outlinks) —
+    on the double-quoted-href grammar both support."""
+    from openreviewcrawler_spark.catalog import q_html_link_extract, _t, _HTML_BODY_EXPR
+    from openreviewcrawler_spark.functions.htmltext import extract_outlinks
+
+    jvm = {}
+    for r in q_html_link_extract(spark, sf_dir).collect():
+        jvm.setdefault(r["doc_id"], []).append((r["pos"], r["href"]))
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_HTML_BODY_EXPR).alias("html"))
+        .collect()
+    )
+    assert bodies and jvm
+    for row in bodies:
+        want = extract_outlinks(row["html"])
+        got = [h for _, h in sorted(jvm.get(row["doc_id"], []))]
+        assert got == want, (row["doc_id"], got, want)
