@@ -4236,6 +4236,64 @@ _HTML_BODY_EXPR = """'<html><p>doc</p><a href="https://h'
 _HREF_PATTERN = '(?is)<a[^>]*href="([^"]*)"'
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+    k-means cells, then within-cell cosine >= 0.99 marks the higher id a
+    duplicate — lowest id survives, the same keeper rule as the whole
+    dedup family. Runs over the _vecset synthesis (planted exact
+    duplicates at vec_id % 10 == 0 + 100000), so kept=false rows are
+    guaranteed non-trivial."""
+    return similarity.semantic_dedup(_vecset(spark, sf_dir))
+
+
+SQL_DEDUP_SEMANTIC = f"""
+with vecset as ({VECSET_SQL}),
+v as (
+  select vec_id, embedding::DOUBLE[] as e,
+         {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
+  from vecset
+), cents0 as (
+  select row_number() over (order by vec_id) - 1 as cell, e as ce, nrm as cnrm
+  from (select * from v order by vec_id limit {similarity.IVF_K})
+), assign0 as (
+  select vec_id, cell from (
+    select v.vec_id, c.cell,
+      row_number() over (partition by v.vec_id order by
+        {_SQL_DOT.format(a='c.ce', b='v.e')} / (c.cnrm * v.nrm) desc, c.cell asc) as r
+    from v cross join cents0 c
+  ) where r = 1
+), dim as (
+  select a.cell, unnest(range(1, len(v.e) + 1)) as i, unnest(v.e) as val
+  from assign0 a join v on a.vec_id = v.vec_id
+), means as (
+  select cell, i, sum(val::DECIMAL(28,12))::DOUBLE / count(*) as m
+  from dim group by 1, 2
+), cents as (
+  select cell, ce, {_SQL_NORM.format(a='ce')} as cnrm from (
+    select cell, list(m order by i) as ce from means group by cell
+  )
+), assign as (
+  select vec_id, cell from (
+    select v.vec_id, c.cell,
+      row_number() over (partition by v.vec_id order by
+        {_SQL_DOT.format(a='c.ce', b='v.e')} / (c.cnrm * v.nrm) desc, c.cell asc) as r
+    from v cross join cents c
+  ) where r = 1
+), sv as (
+  select a.vec_id, a.cell, v.e, v.nrm
+  from assign a join v using (vec_id)
+), dup as (
+  select distinct a.vec_id
+  from sv a join sv b using (cell)
+  where b.vec_id < a.vec_id
+    and {_SQL_DOT.format(a='a.e', b='b.e')} / (a.nrm * b.nrm)
+        >= {similarity.SEMDEDUP_THRESHOLD}::DOUBLE
+)
+select s.vec_id, s.cell::BIGINT as cell, (d.vec_id is null) as kept
+from sv s left join dup d using (vec_id)
+"""
+
+
 def q_html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier-expansion parse stage, JVM hot path: raw HTML ->
     document-ordered (doc_id, pos, href, is_absolute) link rows via
@@ -4604,6 +4662,7 @@ CATALOG: dict[str, QueryDef] = {
         q_domain_budget_rollup, _sql_domain_budget_rollup()
     ),
     "html_link_extract": QueryDef(q_html_link_extract, SQL_HTML_LINK_EXTRACT),
+    "dedup_semantic": QueryDef(q_dedup_semantic, SQL_DEDUP_SEMANTIC),
 }
 
 

@@ -427,3 +427,67 @@ def embedding_qa(vectors: DataFrame) -> DataFrame:
             6,
         ).alias("mean_norm"),
     )
+
+
+SEMDEDUP_THRESHOLD = 0.99  # cosine above which two in-cell vectors are dups
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int = IVF_K,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication — (vec_id, cell, kept).
+
+    The embedding-space analog of the MinHash ladder (Abbas et al. 2023,
+    "SemDeDup"): k-means-cluster the corpus embeddings, then WITHIN each
+    cluster mark a vector as a duplicate when a lower-id vector in the
+    same cluster has cosine >= ``threshold`` (the lowest id of each
+    near-dup group survives — the same keeper rule as dedup_exact /
+    connected-components). Pairs are only ever compared inside a cell, so
+    the quadratic blowup of all-pairs cosine never materializes.
+
+    Scale shape: the quantizer is K rows (localCheckpointed once,
+    broadcast into both assignment passes — the r2 ivf lesson); the
+    assigned table is persisted through the tracked registry so the
+    in-cell self-join's two sides read cache (the r3 self-join lesson);
+    the join itself is an EQUI join on cell. Cell population is the knob:
+    production sizes K ~ corpus/10^3 so cells stay bounded (SemDeDup's
+    own recipe) — the hot-cell cap pattern from dedup.py applies verbatim
+    if the embedding distribution degenerates.
+
+    Float parity: per-pair cosine is bit-identical across engines (left
+    fold + one division), so the threshold comparison agrees bit-for-bit.
+    """
+    from ..caching import track_persist
+
+    cents = ivf_centroids(vectors, n_centroids).localCheckpoint(eager=True)
+    assign = ivf_assign(vectors, n_centroids, probe=1, cents=cents).select(
+        "vec_id", "cell"
+    )
+    d = _as_double(vectors).select("vec_id", "e", "norm")
+    sv = track_persist(d.join(assign, "vec_id"))
+    a = sv.select(
+        "cell",
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = sv.select(
+        "cell",
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(_cos("ea", "eb", "na", "nb") >= threshold)
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        sv.select("vec_id", F.col("cell").cast("long").alias("cell"))
+        .join(dup.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cell", F.col("__d").isNull().alias("kept"))
+    )

@@ -141,3 +141,22 @@ def test_retry_backoff_joins_are_equi_only(spark, sf_dir):
 
     plan = _plan(q_crawl_retry_backoff(spark, sf_dir))
     _assert_clean(plan, "Window")
+
+
+def test_semantic_dedup_pairs_are_cell_bounded(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_dedup_semantic
+
+    plan = _plan(q_dedup_semantic(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    # the only nested-loop join is the K-row quantizer broadcast — the
+    # established IVF shape; it textually repeats once per reference to
+    # the persisted assigned table (3 scans), because the pre-execution
+    # plan prints the cached subtree inline. The in-cell PAIR join must
+    # be a real equi join on cell.
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    pair_join = [
+        line
+        for line in plan.splitlines()
+        if "Join" in line and "cell" in line and "NestedLoop" not in line
+    ]
+    assert pair_join, plan

@@ -433,3 +433,22 @@ def test_embedding_qa_counts_planted_defects(spark):
     b = by[1]
     assert (b["n_vectors"], b["min_dim"], b["max_dim"]) == (2, 1, 2)
     assert (b["min_norm"], b["max_norm"], b["mean_norm"]) == (2.0, 2.0, 2.0)
+
+
+def test_semantic_dedup_keeps_lowest_id_of_near_group(spark):
+    from openreviewcrawler_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # exact dup of 1 -> dropped
+        (3, [0.0, 1.0], 0),   # orthogonal -> kept
+        (4, [0.99, 0.01], 0), # cosine vs v1 ~0.9999 -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    by = {r["vec_id"]: r["kept"] for r in semantic_dedup(df, n_centroids=2).collect()}
+    assert by[1] is True
+    assert by[2] is False
+    assert by[3] is True
+    assert by[4] is False
