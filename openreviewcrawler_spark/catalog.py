@@ -4504,6 +4504,216 @@ from d group by label
 #: token_count, text_repetition, host_quality_rollup, doc_fingerprint,
 #: mm_decode_meta, mm_frame_sample, dedup_exact and dedup_minhash_lsh
 #: rotate out to make room — all r3-green, policy-eligible).
+
+# ---------------------------------------------------------------------------
+# session-2 r4 batch: graph traversal, global priority pop, consistent-hash
+# sharding, head-metadata parse
+# ---------------------------------------------------------------------------
+
+_BFS_EDGES_CTE = (
+    "select (doc_id % 100) as src, ((doc_id * 7 + 3) % 83) as dst"
+    " from documents where (doc_id % 100) <> ((doc_id * 7 + 3) % 83)"
+)
+_BFS_SEEDS_CTE = (
+    "select distinct (doc_id % 100) as node from documents"
+    " where (doc_id % 100) % 17 = 0"
+)
+
+
+def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-depth BFS from the seed set (operators/rank.bfs_depth) — the
+    reference's level-by-level venue -> submissions -> replies walk
+    (reference crawler.py fetch loop) as a distributed frontier expansion
+    over the link graph; depth is the discovery hop count schedulers use
+    as the priority tiebreak (SURVEY O2). Irregular graph (dst modulus
+    83): nodes 83-99 are never link targets, so reachability and depth
+    are both non-trivial."""
+    from .operators.rank import bfs_depth
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = (
+        docs.select((F.col("doc_id") % 100).alias("node"))
+        .filter(F.col("node") % 17 == 0)
+        .distinct()
+    )
+    return bfs_depth(edges, seeds, max_depth=8)
+
+
+def _sql_graph_bfs_depth() -> str:
+    from .operators.rank import bfs_depth_sql
+
+    return bfs_depth_sql(_BFS_EDGES_CTE, _BFS_SEEDS_CTE, max_depth=8)
+
+
+#: triangle-graph synthesis: 20 planted K-ish cells (ring + chord edges on a
+#: 5-node id space per cell; members from doc_id % 3, cells from doc_id % 20,
+#: coprime so every (cell, member) combo appears) + the irregular noise graph
+_TRI_EDGES_CTE = """select (doc_id % 20) * 5 + (doc_id % 3) as src,
+       (doc_id % 20) * 5 + ((doc_id % 3) + 1) % 5 as dst from documents
+union all
+select (doc_id % 20) * 5 + (doc_id % 3) as src,
+       (doc_id % 20) * 5 + ((doc_id % 3) + 2) % 5 as dst from documents
+union all
+select (doc_id % 100) as src, ((doc_id * 7 + 3) % 83) as dst from documents"""
+
+
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation (operators/rank.triangle_counts) —
+    link-farm density, one order above reciprocity. Degree-ordered
+    orientation bounds the wedge join on power-law graphs. The Spark
+    synthesis emits all three edge families in ONE pass via a single
+    explode (the r3 union-re-runs-upstream lesson); the op dedups edges,
+    so only the edge SET must match the oracle's union-all text."""
+    from .operators.rank import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    cell5 = (F.col("doc_id") % 20) * 5
+    m = F.col("doc_id") % 3
+    edges = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (cell5 + m).alias("src"),
+                    (cell5 + (m + 1) % 5).alias("dst"),
+                ),
+                F.struct(
+                    (cell5 + m).alias("src"),
+                    (cell5 + (m + 2) % 5).alias("dst"),
+                ),
+                F.struct(
+                    (F.col("doc_id") % 100).alias("src"),
+                    ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return triangle_counts(edges)
+
+
+def _sql_graph_triangle_count() -> str:
+    from .operators.rank import triangle_counts_sql
+
+    return triangle_counts_sql(_TRI_EDGES_CTE)
+
+
+_PRIO_FRONTIER_CTE = (
+    "select doc_id, (doc_id * 13) % 97 as priority from documents"
+)
+_PRIO_BUDGET = 300
+
+
+def q_crawl_priority_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-B frontier pop without a total sort
+    (operators/scheduler.priority_admit): histogram threshold + boundary
+    class tie-break — the scale shape for popping a 10^10-row priority
+    queue; complements crawl_politeness_admit's PER-HOST window. Priority
+    domain 0..96, budget 300, so the boundary class is partially admitted
+    at every SF (~5 rows/class at sf0.001, ~52 at sf0.01)."""
+    from .operators.scheduler import priority_admit
+
+    frontier = _t(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("doc_id") * 13) % 97).alias("priority")
+    )
+    return priority_admit(
+        frontier, budget=_PRIO_BUDGET, priority_col="priority", id_col="doc_id"
+    )
+
+
+def _sql_crawl_priority_admit() -> str:
+    from .operators.scheduler import priority_admit_sql
+
+    return priority_admit_sql(
+        _PRIO_FRONTIER_CTE, _PRIO_BUDGET, priority_col="priority", id_col="doc_id"
+    )
+
+
+def q_crawl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash host->fetcher-shard map, before/after growing the
+    fleet 8 -> 9 (operators/scheduler.consistent_hash_assign). Politeness
+    pins a host to one fetcher; the ring guarantees a reshard moves only
+    ~1/9 of hosts where hash-mod would move ~8/9. Hosts reuse the
+    subdomained _DOMAIN_HOST_EXPR synthesis."""
+    from .operators.scheduler import consistent_hash_assign
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.expr(_DOMAIN_HOST_EXPR).alias("host")
+    )
+    return consistent_hash_assign(hosts, n_shards=8, n_shards_after=9)
+
+
+def _sql_crawl_shard_assign() -> str:
+    from .operators.scheduler import consistent_hash_sql
+
+    return consistent_hash_sql(
+        f"select {_DOMAIN_HOST_EXPR} as host from documents",
+        n_shards=8,
+        n_shards_after=9,
+    )
+
+
+#: head-section synthesis shared verbatim by both engines: title always,
+#: robots meta on 2/3 of docs (noindex,nofollow on one third), canonical
+#: link on doc_id % 4 == 1
+_HTML_HEAD_EXPR = """'<html><head><title>Doc '
+ || cast(doc_id as varchar(30)) || '</title>'
+ || (case when doc_id % 3 = 0 then
+      '<meta name="robots" content="noindex,nofollow">'
+     when doc_id % 3 = 1 then
+      '<meta name="robots" content="index,follow">'
+     else '' end)
+ || (case when doc_id % 4 = 1 then
+      '<link rel="canonical" href="https://canon.example/d/'
+      || cast(doc_id as varchar(30)) || '">'
+     else '' end)
+ || '</head><body><p>b</p></body></html>'"""
+
+_TITLE_PATTERN = '(?is)<title>([^<]*)</title>'
+_ROBOTS_META_PATTERN = '(?is)<meta name="robots" content="([^"]*)"'
+_CANONICAL_PATTERN = '(?is)<link rel="canonical" href="([^"]*)"'
+
+
+def q_html_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata parse stage, JVM hot path — title, meta-robots
+    directives (noindex/nofollow gate recrawl AND outlink expansion), and
+    the canonical link (feeds the DUST/canonicalize tier: a page that
+    declares a canonical is a known duplicate of it). Pure codegen
+    regexp_extract projections over the synthesized head, zero Python,
+    zero shuffle — the same 100 TB scan shape as html_link_extract;
+    both engines return '' for absent matches, compared verbatim."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_HEAD_EXPR).alias("html")
+    )
+    robots = F.regexp_extract(F.col("html"), _ROBOTS_META_PATTERN, 1)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("html"), _TITLE_PATTERN, 1).alias("title"),
+        robots.alias("robots_meta"),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+        F.regexp_extract(F.col("html"), _CANONICAL_PATTERN, 1).alias("canonical"),
+    )
+
+
+SQL_HTML_META_EXTRACT = f"""
+with docs as (
+  select doc_id, {_HTML_HEAD_EXPR} as html from documents
+)
+select doc_id,
+       regexp_extract(html, '{_TITLE_PATTERN}', 1) as title,
+       regexp_extract(html, '{_ROBOTS_META_PATTERN}', 1) as robots_meta,
+       contains(regexp_extract(html, '{_ROBOTS_META_PATTERN}', 1), 'noindex')
+         as noindex,
+       contains(regexp_extract(html, '{_ROBOTS_META_PATTERN}', 1), 'nofollow')
+         as nofollow,
+       regexp_extract(html, '{_CANONICAL_PATTERN}', 1) as canonical
+from docs
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -4663,6 +4873,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "html_link_extract": QueryDef(q_html_link_extract, SQL_HTML_LINK_EXTRACT),
     "dedup_semantic": QueryDef(q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "graph_bfs_depth": QueryDef(q_graph_bfs_depth, _sql_graph_bfs_depth()),
+    "graph_triangle_count": QueryDef(
+        q_graph_triangle_count, _sql_graph_triangle_count()
+    ),
+    "crawl_priority_admit_global": QueryDef(
+        q_crawl_priority_admit, _sql_crawl_priority_admit()
+    ),
+    "crawl_shard_assign": QueryDef(q_crawl_shard_assign, _sql_crawl_shard_assign()),
+    "html_meta_extract": QueryDef(q_html_meta_extract, SQL_HTML_META_EXTRACT),
 }
 
 

@@ -248,3 +248,172 @@ select src, count(*)::BIGINT as n_out, sum(m)::BIGINT as n_recip,
        round(sum(m)::DOUBLE / count(*)::DOUBLE, 6) as recip_rate
 from t group by src
 """
+
+
+def bfs_depth(edges: DataFrame, seeds: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Seed-set BFS hop distance — (node, depth) for every node reachable
+    from ``seeds`` within ``max_depth`` hops; depth = the crawler's
+    discovery depth (the reference walks venue -> submissions -> replies
+    level-by-level, reference crawler.py fetch loop — this is that
+    traversal as a distributed frontier expansion).
+
+    Scale shape: classic frontier-only iteration. Each level is ONE
+    equi-join of the CURRENT frontier (small) onto edges by src plus one
+    anti-join against the accumulated distance table — never a
+    whole-graph recomputation. Every level is persisted through the
+    tracked-cache registry before the union (the r3 "self-join embeds the
+    upstream plan" lesson: the anti-join's build side reads cache, and
+    the accumulated table is a union of CACHED levels, so no branch
+    re-runs upstream synthesis). One count() barrier per level is the
+    BFS-inherent sync point; the loop stops at the first empty frontier,
+    so bounded diameter => bounded rounds regardless of graph size.
+    """
+    from ..caching import track_persist
+
+    e = track_persist(edges.select("src", "dst").distinct())
+    dist = track_persist(
+        seeds.select("node").distinct().withColumn("depth", F.lit(0))
+    )
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = track_persist(
+            nxt.join(dist, "node", "left_anti").withColumn("depth", F.lit(d))
+        )
+        if new.count() == 0:
+            break
+        dist = track_persist(dist.unionByName(new))
+        frontier = new
+    return dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+def bfs_depth_sql(edges_cte: str, seeds_cte: str, max_depth: int = 8) -> str:
+    """Oracle twin: recursive CTE bounded by ``max_depth``; the recursive
+    UNION (distinct) keeps the walk table at O(nodes * max_depth) rows even
+    on cyclic graphs, and MIN(depth) recovers first-reach = BFS depth."""
+    return f"""
+with recursive raw as ({edges_cte}),
+e as (select distinct src, dst from raw),
+s as ({seeds_cte}),
+w(node, depth) as (
+  select node, 0 as depth from (select distinct node from s)
+  union
+  select e.dst, w.depth + 1 from w join e on e.src = w.node
+  where w.depth < {max_depth}
+)
+select node::BIGINT as node, min(depth)::BIGINT as depth
+from w group by node
+"""
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation — (node, n_tri) for every node in at
+    least one triangle. Link-farm / mutual-citation density signal: a
+    crawl neighborhood whose triangle density is high is a clique-shaped
+    cluster (the same health read as ``reciprocity``, one order up).
+
+    Scale shape: the degree-ordered "node iterator" algorithm. Edges are
+    deduped undirected (canonical lo/hi), then ORIENTED from the
+    (degree, id)-smaller endpoint to the larger — the standard trick that
+    bounds every node's oriented out-degree by O(sqrt(m)) so the wedge
+    self-join never explodes on skewed (power-law) web graphs; id-only
+    orientation would leave hub wedges quadratic. Wedges = one equi
+    self-join of the oriented table on the center u; closing edges = one
+    more equi-join on (v, w). The oriented table is persisted through the
+    tracked-cache registry (three readers). No broadcast hints — edge
+    tables are corpus-sized (the r3 ngram_jaccard lesson).
+    """
+    from ..caching import track_persist
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    votes = und.select(
+        F.explode(F.array(F.col("a").alias("n"), F.col("b").alias("n"))).alias(
+            "node"
+        )
+    )
+    deg = votes.groupBy("node").agg(F.count("*").alias("deg"))
+    withdeg = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = track_persist(
+        withdeg.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    pernode = tris.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node")
+    ).groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))
+    return pernode.select(F.col("node").cast("long").alias("node"), "n_tri")
+
+
+def triangle_counts_sql(edges_cte: str) -> str:
+    """Oracle twin: identical canonicalize -> degree-orient -> wedge join ->
+    closing-edge join -> explode rollup."""
+    return f"""
+with raw as ({edges_cte}),
+und as (
+  select distinct least(src, dst) as a, greatest(src, dst) as b
+  from raw where src <> dst
+),
+deg as (
+  select node, count(*) as deg from (
+    select unnest([a, b]) as node from und
+  ) group by node
+),
+wd as (
+  select u.a, u.b, da.deg as da, db.deg as db
+  from und u join deg da on u.a = da.node join deg db on u.b = db.node
+),
+oriented as (
+  select case when da < db or (da = db and a < b) then a else b end as u,
+         case when da < db or (da = db and a < b) then b else a end as v,
+         case when da < db or (da = db and a < b) then db else da end as dv
+  from wd
+),
+wedges as (
+  select e1.u, e1.v as v1, e2.v as v2
+  from oriented e1 join oriented e2 on e1.u = e2.u
+  where e1.dv < e2.dv or (e1.dv = e2.dv and e1.v < e2.v)
+),
+tris as (
+  select w.u, w.v1, w.v2
+  from wedges w join oriented c on c.u = w.v1 and c.v = w.v2
+)
+select node::BIGINT as node, count(*)::BIGINT as n_tri
+from (select unnest([u, v1, v2]) as node from tris)
+group by node
+"""

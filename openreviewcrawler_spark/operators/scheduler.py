@@ -480,3 +480,200 @@ select url, n_attempts, consec_fails, last_round,
             end::BIGINT as next_round
 from s
 """
+
+
+def priority_admit(
+    frontier: DataFrame, budget: int, priority_col: str = "priority", id_col: str = "url"
+) -> DataFrame:
+    """Global top-``budget`` frontier pop WITHOUT a total sort — the
+    scale-correct way to take the next fetch batch off a 10^10-row
+    priority queue (reference analog: the crawl loop pops its worklist in
+    priority order, reference crawler.py:41-45; a naive orderBy().limit()
+    funnels the whole frontier through one ordering).
+
+    Scale shape: (1) ONE map-side-combined groupBy builds the priority
+    HISTOGRAM — O(distinct priorities) rows, bounded by the score domain,
+    not the frontier; (2) the admission threshold is read off the
+    histogram's descending cumulative sum (a window over the tiny
+    histogram, never the data); (3) the 1-row threshold broadcast-joins
+    back: rows strictly above the threshold priority are admitted
+    map-side with NO shuffle, and only the BOUNDARY CLASS (the single
+    priority value where the cumulative crosses the budget) is tie-broken
+    by a window partitioned on that one priority — O(budget)-ish rows,
+    not the frontier. If the frontier fits the budget entirely, everything
+    admits (null threshold).
+
+    Tie-break contract: (priority desc, id asc) — identical to the oracle's
+    row_number formulation.
+    """
+    p, i = F.col(priority_col), F.col(id_col)
+    hist = frontier.groupBy(priority_col).agg(F.count("*").alias("__n"))
+    wcum = Window.orderBy(F.desc(priority_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thr = (
+        hist.withColumn("__cum", F.sum("__n").over(wcum))
+        .filter(F.col("__cum") >= budget)
+        .orderBy(F.desc(priority_col))
+        .limit(1)
+        .select(
+            p.alias("__thr_p"),
+            (F.lit(budget) - (F.col("__cum") - F.col("__n"))).alias("__room"),
+        )
+    )
+    tagged = frontier.join(F.broadcast(thr), how="cross")
+    above = tagged.filter(p > F.col("__thr_p")).select(frontier.columns)
+    boundary = tagged.filter(p == F.col("__thr_p"))
+    wb = Window.partitionBy(priority_col).orderBy(i.asc())
+    kept_boundary = (
+        boundary.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= F.col("__room"))
+        .select(frontier.columns)
+    )
+    admitted = above.unionByName(kept_boundary)
+    # empty thr (frontier smaller than budget) => cross join yields zero
+    # rows; admit the whole frontier via anti-join against the (then
+    # empty) admitted set's complement — cheaper: union the full frontier
+    # only when thr is empty, decided by a 1-row driver check on the
+    # already-tiny histogram aggregate.
+    total_under = (
+        hist.agg(F.sum("__n").alias("__t")).filter(F.col("__t") <= budget).count()
+    )
+    return frontier if total_under else admitted
+
+
+def priority_admit_sql(
+    frontier_cte: str, budget: int, priority_col: str = "priority", id_col: str = "url"
+) -> str:
+    """Oracle twin: the admitted set IS the global top-``budget`` by
+    (priority desc, id asc)."""
+    return f"""
+with f as ({frontier_cte}),
+r as (
+  select *, row_number() over (
+    order by {priority_col} desc, {id_col} asc
+  ) as __rn from f
+)
+select * exclude (__rn) from r where __rn <= {budget}
+"""
+
+
+RING_VNODES = 4
+
+
+def consistent_hash_assign(
+    hosts: DataFrame, n_shards: int, n_shards_after: int, n_vnodes: int = RING_VNODES
+) -> DataFrame:
+    """Consistent-hash host->crawler-shard assignment, before and after a
+    reshard — (host, shard_before, shard_after, moved). The crawl fleet's
+    partition map: politeness requires one host to live on one fetcher,
+    and growing the fleet from K to K' shards must move only ~1/K' of
+    hosts (hash(host) % K would reshuffle nearly everything).
+
+    Ring: ``n_vnodes`` points per shard at md5('s:'||shard||':'||vnode)
+    (the cross-engine 32-bit md5 kit); a host lands on the clockwise
+    successor of md5(host), wrapping past the top. Scale shape: the ring
+    is K'*V rows — broadcast — so assignment is a map-side
+    broadcast-nested-loop against a ~dozens-row build side followed by a
+    per-host argmin window over at most K'*V candidates per host (never a
+    host x host shuffle). Both epochs read the SAME joined candidates;
+    the before-epoch simply ignores points of shards >= ``n_shards``.
+    """
+    spark = hosts.sparkSession
+    ring = (
+        spark.range(n_shards_after)
+        .withColumnRenamed("id", "shard")
+        .select(
+            "shard",
+            F.explode(F.sequence(F.lit(0), F.lit(n_vnodes - 1))).alias("vnode"),
+        )
+        .select(
+            "shard",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("s:"),
+                            F.col("shard").cast("string"),
+                            F.lit(":"),
+                            F.col("vnode").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("point"),
+        )
+    )
+    h = hosts.select("host").distinct().select(
+        "host",
+        F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hp"),
+    )
+    cand = h.join(F.broadcast(ring), how="cross")
+    wrap = F.when(F.col("point") >= F.col("hp"), F.lit(0)).otherwise(F.lit(1))
+
+    def _pick(cands: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("host").orderBy("__wrap", "point", "shard")
+        return (
+            cands.withColumn("__wrap", wrap)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("host", F.col("shard").cast("long").alias(out))
+        )
+
+    before = _pick(cand.filter(F.col("shard") < n_shards), "shard_before")
+    after = _pick(cand, "shard_after")
+    return before.join(after, "host").select(
+        "host",
+        "shard_before",
+        "shard_after",
+        (F.col("shard_before") != F.col("shard_after")).alias("moved"),
+    )
+
+
+def consistent_hash_sql(
+    hosts_cte: str, n_shards: int, n_shards_after: int, n_vnodes: int = RING_VNODES
+) -> str:
+    """Oracle twin: identical ring, hash kit, and wrap-aware argmin."""
+    return f"""
+with hraw as ({hosts_cte}),
+h as (
+  select host, ('0x' || substr(md5(host), 1, 8))::BIGINT as hp
+  from (select distinct host from hraw)
+),
+ring as (
+  select s.shard, ('0x' || substr(md5(
+           's:' || s.shard::VARCHAR || ':' || v.vnode::VARCHAR
+         ), 1, 8))::BIGINT as point
+  from (select unnest(range({n_shards_after})) as shard) s
+  cross join (select unnest(range({n_vnodes})) as vnode) v
+),
+cand as (
+  select h.host, h.hp, r.shard, r.point,
+         case when r.point >= h.hp then 0 else 1 end as wrap
+  from h cross join ring r
+),
+pick_before as (
+  select host, shard::BIGINT as shard_before from (
+    select host, shard, row_number() over (
+      partition by host order by wrap, point, shard
+    ) as rn from cand where shard < {n_shards}
+  ) where rn = 1
+),
+pick_after as (
+  select host, shard::BIGINT as shard_after from (
+    select host, shard, row_number() over (
+      partition by host order by wrap, point, shard
+    ) as rn from cand
+  ) where rn = 1
+)
+select b.host, b.shard_before, a.shard_after,
+       (b.shard_before <> a.shard_after) as moved
+from pick_before b join pick_after a using (host)
+"""

@@ -221,3 +221,120 @@ def test_html_link_extract_agrees_with_python_reference_path(spark, sf_dir):
         want = extract_outlinks(row["html"])
         got = [h for _, h in sorted(jvm.get(row["doc_id"], []))]
         assert got == want, (row["doc_id"], got, want)
+
+
+# --- session-2 r4 batch: BFS depth, triangles, global pop, shard ring ---
+
+
+def test_bfs_depth_on_path_graph_and_early_stop(spark):
+    from openreviewcrawler_spark.operators.rank import bfs_depth
+
+    # path 0->1->2->3 plus a shortcut 0->2 and an unreachable island 8->9
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 2), (8, 9)])
+    seeds = _nodes(spark, [0])
+    out = {r["node"]: r["depth"] for r in bfs_depth(edges, seeds).collect()}
+    # shortcut wins: depth(2) == 1, not 2; island never appears
+    assert out == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_depth_multi_seed_takes_min_and_respects_cap(spark):
+    from openreviewcrawler_spark.operators.rank import bfs_depth
+
+    # chain 0..5; seeds at both ends: interior depths = min from either side
+    chain = [(i, i + 1) for i in range(5)]
+    out = {
+        r["node"]: r["depth"]
+        for r in bfs_depth(
+            _edges(spark, chain), _nodes(spark, [0, 5]), max_depth=2
+        ).collect()
+    }
+    # 5 is a seed (depth 0) even though it's also reachable at depth 5;
+    # max_depth=2 cuts the walk so node 3 (depth 3 from node 0) is absent
+    assert out == {0: 0, 1: 1, 2: 2, 5: 0}
+
+
+def test_triangle_counts_on_k4_and_triangle_free_star(spark):
+    from openreviewcrawler_spark.operators.rank import triangle_counts
+
+    # K4: every node participates in C(3,2) = 3 triangles; direction and
+    # duplicate edges must not matter (op canonicalizes + dedups)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    out = {r["node"]: r["n_tri"] for r in triangle_counts(_edges(spark, k4)).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # star graph has zero triangles -> empty result
+    star = [(0, i) for i in range(1, 6)]
+    assert triangle_counts(_edges(spark, star)).count() == 0
+
+
+def test_triangle_plan_is_equi_join_only(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_graph_triangle_count
+
+    plan = (
+        q_graph_triangle_count(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+        assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+def test_priority_admit_equals_naive_topk_and_full_admit(spark):
+    from openreviewcrawler_spark.operators.scheduler import priority_admit
+
+    rows = [(i, (i * 13) % 7) for i in range(40)]
+    f = spark.createDataFrame(rows, "doc_id long, priority long")
+    got = sorted(
+        (r["doc_id"], r["priority"])
+        for r in priority_admit(f, 15, "priority", "doc_id").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["priority"])
+        for r in f.orderBy(F.desc("priority"), F.asc("doc_id")).limit(15).collect()
+    )
+    assert got == want and len(got) == 15
+    # budget >= frontier => everything admits, no threshold applied
+    assert priority_admit(f, 40, "priority", "doc_id").count() == 40
+    assert priority_admit(f, 1000, "priority", "doc_id").count() == 40
+
+
+def test_priority_admit_boundary_tiebreak_is_id_asc(spark):
+    from openreviewcrawler_spark.operators.scheduler import priority_admit
+
+    # single priority class: the boundary IS the whole frontier, so the
+    # admitted ids must be exactly the budget smallest
+    f = spark.createDataFrame([(i, 5) for i in range(20)], "doc_id long, priority long")
+    got = sorted(r["doc_id"] for r in priority_admit(f, 7, "priority", "doc_id").collect())
+    assert got == list(range(7))
+
+
+def test_consistent_hash_ring_moves_few_hosts_and_stays_in_range(spark):
+    from openreviewcrawler_spark.operators.scheduler import consistent_hash_assign
+
+    hosts = spark.createDataFrame([(f"host{i}.example",) for i in range(200)], "host string")
+    out = consistent_hash_assign(hosts, n_shards=8, n_shards_after=9).collect()
+    assert len(out) == 200
+    assert all(0 <= r["shard_before"] < 8 for r in out)
+    assert all(0 <= r["shard_after"] < 9 for r in out)
+    moved = sum(r["moved"] for r in out)
+    # consistent hashing moves ~1/9 of keys on 8->9; hash-mod would move
+    # ~8/9. Allow generous slack over 4 vnodes/shard: must stay far below
+    # one-half, the signature property of the ring
+    assert moved < 100 == len([r for r in out if True]) // 2
+    # every moved host moved TO the new shard's points or within wrap:
+    # unmoved hosts dominate and keep identical placement
+    same = [r for r in out if not r["moved"]]
+    assert all(r["shard_before"] == r["shard_after"] for r in same)
+
+
+def test_consistent_hash_broadcast_side_is_ring_only(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_shard_assign
+
+    # the BNLJ here is DELIBERATE: its build side is the K'*V-row ring
+    # (36 rows), never the host table — assert hosts arrive via shuffle
+    # (window) and that no corpus-side broadcast hash join exists
+    df = q_crawl_shard_assign(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
