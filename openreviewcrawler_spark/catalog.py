@@ -4714,6 +4714,90 @@ from docs
 """
 
 
+
+_PACE_REQS_CTE = (
+    "select 'h' || cast(doc_id % 7 as varchar(10)) as host,"
+    " doc_id % 5 as rnd, count(*)::BIGINT as requested"
+    " from documents group by 1, 2"
+)
+_PACE_CAPACITY, _PACE_REFILL = 20, 10
+
+
+def q_crawl_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host token-bucket pacing (operators/scheduler.
+    token_bucket_pacing) — the running-clamp recurrence evaluated in ONE
+    vectorized applyInPandas over the pre-aggregated (host, round)
+    request table; oracle = the identical recurrence as a recursive CTE.
+    Capacity 20 / refill 10 against ~14 req/round at sf0.001 and ~143 at
+    sf0.01, so admissions, denials and partial refills all appear at
+    both SFs. Rounds are dense per host by construction (mod-7 x mod-5
+    over a contiguous doc_id range)."""
+    from .operators.scheduler import token_bucket_pacing
+
+    docs = _t(spark, sf_dir, "documents")
+    reqs = docs.groupBy(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        (F.col("doc_id") % 5).alias("rnd"),
+    ).agg(F.count("*").alias("requested"))
+    return token_bucket_pacing(
+        reqs, capacity=_PACE_CAPACITY, refill=_PACE_REFILL
+    )
+
+
+def _sql_crawl_token_bucket() -> str:
+    from .operators.scheduler import token_bucket_pacing_sql
+
+    return token_bucket_pacing_sql(
+        _PACE_REQS_CTE, capacity=_PACE_CAPACITY, refill=_PACE_REFILL
+    )
+
+
+_SCHED_FRONTIER_CTE = (
+    "select 'u' || cast(doc_id as varchar(30)) as url,"
+    " 'h' || cast(doc_id % 7 as varchar(10)) as host,"
+    " ((doc_id % 7) + 1) * 100 as delay_ms from documents"
+)
+
+
+def q_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-time assignment (operators/scheduler.politeness_schedule):
+    the admitted batch becomes explicit per-host timestamps — rank *
+    crawl_delay — that a fetcher fleet executes without coordination;
+    the timestamp twin of crawl_politeness_admit's top-k."""
+    from .operators.scheduler import politeness_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        (((F.col("doc_id") % 7) + 1) * 100).alias("delay_ms"),
+    )
+    return politeness_schedule(frontier)
+
+
+def _sql_crawl_politeness_schedule() -> str:
+    from .operators.scheduler import politeness_schedule_sql
+
+    return politeness_schedule_sql(_SCHED_FRONTIER_CTE)
+
+
+def q_embedding_quantize_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization QA (operators/similarity.quantize_qa): per-vector
+    affine scale + reconstruction-error bound — the gate that decides
+    which embedding shards may ship quantized. Pure map-side array
+    expressions; mn/mx/scale staged as columns before any lambda touches
+    them (the lambda-capture re-inline lesson)."""
+    from .operators.similarity import quantize_qa
+
+    return quantize_qa(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_quantize_qa() -> str:
+    from .operators.similarity import quantize_qa_sql
+
+    return quantize_qa_sql("select vec_id, embedding from embeddings")
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -4882,6 +4966,13 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_shard_assign": QueryDef(q_crawl_shard_assign, _sql_crawl_shard_assign()),
     "html_meta_extract": QueryDef(q_html_meta_extract, SQL_HTML_META_EXTRACT),
+    "crawl_token_bucket": QueryDef(q_crawl_token_bucket, _sql_crawl_token_bucket()),
+    "crawl_politeness_schedule": QueryDef(
+        q_crawl_politeness_schedule, _sql_crawl_politeness_schedule()
+    ),
+    "embedding_quantize_qa": QueryDef(
+        q_embedding_quantize_qa, _sql_embedding_quantize_qa()
+    ),
 }
 
 

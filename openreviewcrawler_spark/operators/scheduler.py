@@ -677,3 +677,126 @@ select b.host, b.shard_before, a.shard_after,
        (b.shard_before <> a.shard_after) as moved
 from pick_before b join pick_after a using (host)
 """
+
+
+def token_bucket_pacing(
+    reqs: DataFrame,
+    capacity: int,
+    refill: int,
+    host_col: str = "host",
+    round_col: str = "rnd",
+) -> DataFrame:
+    """Per-host token-bucket pacing across scheduling rounds — (host, rnd,
+    requested, admitted, denied, tokens_after). THE politeness primitive
+    the reference enforces with wall-clock sleeps (reference
+    crawler.py:105-139 per-venue fan-out + delay): a bucket starts full at
+    ``capacity``, refills ``refill`` tokens per round (clamped at
+    capacity), and each round admits min(requested, tokens).
+
+    The recurrence is a running CLAMP — non-associative, so it cannot be
+    a window aggregate. This is the sanctioned Arrow path (north rule:
+    budgets enforced in vectorized pandas UDFs, never per-row Python):
+    one ``applyInPandas`` per host group, a pure-integer sequential fold
+    over that host's ~handful of round rows. Scale shape: the input is
+    the PRE-AGGREGATED (host, round) request table — O(hosts * rounds),
+    orders of magnitude smaller than the frontier — so the per-host
+    shuffle moves rollup rows, not URLs; skew is bounded by rounds per
+    host, not request volume. Exact integer arithmetic end-to-end, so the
+    DuckDB recursive-CTE oracle matches bit-for-bit.
+    """
+    out_schema = (
+        f"{host_col} string, {round_col} long, requested long, "
+        "admitted long, denied long, tokens_after long"
+    )
+
+    def _pace(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(round_col).reset_index(drop=True)
+        toks = capacity
+        admitted, tokens_after = [], []
+        for i, req in enumerate(pdf["requested"]):
+            if i:
+                toks = min(capacity, toks + refill)
+            adm = min(int(req), toks)
+            toks -= adm
+            admitted.append(adm)
+            tokens_after.append(toks)
+        pdf["admitted"] = admitted
+        pdf["denied"] = pdf["requested"] - pdf["admitted"]
+        pdf["tokens_after"] = tokens_after
+        return pdf[
+            [host_col, round_col, "requested", "admitted", "denied", "tokens_after"]
+        ]
+
+    return reqs.groupBy(host_col).applyInPandas(_pace, out_schema)
+
+
+def token_bucket_pacing_sql(
+    reqs_cte: str, capacity: int, refill: int
+) -> str:
+    """Oracle twin: the same clamp recurrence as a recursive CTE stepping
+    rnd -> rnd + 1 per host (rounds must be dense per host)."""
+    return f"""
+with recursive reqs as ({reqs_cte}),
+w(host, rnd, requested, admitted, tokens_after) as (
+  select host, rnd, requested,
+         least(requested, {capacity}) as admitted,
+         {capacity} - least(requested, {capacity}) as tokens_after
+  from reqs where rnd = 0
+  union all
+  select r.host, r.rnd, r.requested,
+         least(r.requested, least(w.tokens_after + {refill}, {capacity}))
+           as admitted,
+         least(w.tokens_after + {refill}, {capacity})
+           - least(r.requested, least(w.tokens_after + {refill}, {capacity}))
+           as tokens_after
+  from w join reqs r on r.host = w.host and r.rnd = w.rnd + 1
+)
+select host, rnd::BIGINT as rnd, requested::BIGINT as requested,
+       admitted::BIGINT as admitted,
+       (requested - admitted)::BIGINT as denied,
+       tokens_after::BIGINT as tokens_after
+from w
+"""
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    delay_col: str = "delay_ms",
+) -> DataFrame:
+    """Fetch-time assignment for an admitted batch — (url, host, fetch_rank,
+    scheduled_ms): the i-th URL of a host fires at (i-1) * crawl_delay,
+    turning the per-host delay budget into explicit timestamps a fetcher
+    fleet can execute without coordination.
+
+    Scale shape: ONE window partitioned by host over the ADMITTED batch
+    (already budget-bounded per host by the admit tier, so no skew
+    funnel; for unbounded inputs the salted variant admit_window_salted
+    is the precedent). scheduled_ms is exact integer arithmetic.
+    """
+    w = Window.partitionBy(host_col).orderBy(F.col(url_col).asc())
+    rank = F.row_number().over(w)
+    return frontier.select(
+        url_col,
+        host_col,
+        rank.cast("long").alias("fetch_rank"),
+        ((rank - 1).cast("long") * F.col(delay_col).cast("long")).alias(
+            "scheduled_ms"
+        ),
+    )
+
+
+def politeness_schedule_sql(frontier_cte: str) -> str:
+    """Oracle twin: identical rank * delay arithmetic."""
+    return f"""
+with f as ({frontier_cte}),
+r as (
+  select url, host, delay_ms,
+         row_number() over (partition by host order by url asc) as rk
+  from f
+)
+select url, host, rk::BIGINT as fetch_rank,
+       ((rk - 1) * delay_ms)::BIGINT as scheduled_ms
+from r
+"""

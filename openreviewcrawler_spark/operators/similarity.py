@@ -491,3 +491,83 @@ def semantic_dedup(
         .join(dup.withColumn("__d", F.lit(1)), "vec_id", "left")
         .select("vec_id", "cell", F.col("__d").isNull().alias("kept"))
     )
+
+
+def quantize_qa(vectors: DataFrame) -> DataFrame:
+    """Int8 (0..255) per-vector affine quantization QA — (vec_id, mn, mx,
+    scale, max_abs_err, n_coarse). The storage tier every large ANN/
+    embedding corpus runs: 4x smaller vectors against a bounded
+    reconstruction error; this op reports that bound per vector so the
+    pipeline can gate which shards may be quantized.
+
+    q_i = clamp(floor((x_i - mn) / scale + 0.5), 0, 255) with
+    scale = (mx - mn) / 255; errors are |x_i - (mn + q_i * scale)|.
+    max_abs_err is an order-free max over per-element doubles (each
+    bit-identical across engines: +,-,*,/ and floor are correctly
+    rounded); n_coarse counts elements whose error exceeds 0.375 * scale
+    (the worst quartile of the quantization band) — an integer, exact.
+    Degenerate constant vectors (mx == mn) quantize losslessly via a
+    dummy unit scale.
+
+    Scale shape: pure map-side array expressions, zero shuffle, zero
+    Python. mn/mx/scale are materialized as COLUMNS before the lambda
+    uses them — a lambda capturing the array_min EXPRESSION would
+    re-evaluate it per element (the r4 lambda-capture lesson).
+    """
+    v = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    s = v.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("mn"),
+        F.array_max("e").alias("mx"),
+    ).withColumn(
+        "qscale",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            (F.col("mx") - F.col("mn")) / F.lit(255.0),
+        ).otherwise(F.lit(1.0)),
+    )
+    mn, qs = F.col("mn"), F.col("qscale")
+    dq = lambda x: mn + F.least(  # noqa: E731
+        F.lit(255.0), F.greatest(F.lit(0.0), F.floor((x - mn) / qs + F.lit(0.5)))
+    ) * qs
+    errs = F.transform(F.col("e"), lambda x: F.abs(x - dq(x)))
+    w = s.withColumn("errs", errs)
+    return w.select(
+        "vec_id",
+        F.round("mn", 6).alias("mn"),
+        F.round("mx", 6).alias("mx"),
+        F.round((F.col("mx") - F.col("mn")) / F.lit(255.0), 8).alias("scale"),
+        F.round(F.array_max("errs"), 8).alias("max_abs_err"),
+        F.size(
+            F.filter("errs", lambda er: er > qs * F.lit(0.375))
+        ).cast("long").alias("n_coarse"),
+    )
+
+
+def quantize_qa_sql(vectors_cte: str) -> str:
+    """Oracle twin: identical clamp/floor affine arithmetic; mn/mx/scale
+    staged as columns in a prior CTE (same lambda-capture discipline)."""
+    return f"""
+with vraw as ({vectors_cte}),
+v as (select vec_id, embedding::DOUBLE[] as e from vraw),
+s as (
+  select vec_id, e, list_min(e) as mn, list_max(e) as mx,
+         case when list_max(e) > list_min(e)
+              then (list_max(e) - list_min(e)) / 255.0 else 1.0 end as qscale
+  from v
+),
+w as (
+  select vec_id, mn, mx, qscale,
+         list_transform(e, x -> abs(x - (mn + least(255.0, greatest(0.0,
+           floor((x - mn) / qscale + 0.5))) * qscale))) as errs
+  from s
+)
+select vec_id, round(mn, 6) as mn, round(mx, 6) as mx,
+       round((mx - mn) / 255.0, 8) as scale,
+       round(list_max(errs), 8) as max_abs_err,
+       len(list_filter(errs, er -> er > qscale * 0.375))::BIGINT as n_coarse
+from w
+"""

@@ -338,3 +338,35 @@ def test_consistent_hash_broadcast_side_is_ring_only(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_token_bucket_clamp_recurrence(spark):
+    from openreviewcrawler_spark.operators.scheduler import token_bucket_pacing
+
+    rows = [("a", 0, 3), ("a", 1, 4), ("a", 2, 1), ("a", 3, 6), ("b", 0, 9)]
+    reqs = spark.createDataFrame(rows, "host string, rnd long, requested long")
+    out = {
+        (r["host"], r["rnd"]): (r["admitted"], r["denied"], r["tokens_after"])
+        for r in token_bucket_pacing(reqs, capacity=5, refill=2).collect()
+    }
+    # host a: start full(5): adm 3 -> 2 left; refill->4: adm 4 -> 0;
+    # refill->2: adm 1 -> 1; refill->3: adm 3 of 6, denied 3
+    assert out[("a", 0)] == (3, 0, 2)
+    assert out[("a", 1)] == (4, 0, 0)
+    assert out[("a", 2)] == (1, 0, 1)
+    assert out[("a", 3)] == (3, 3, 0)
+    # host b: one round, capacity-capped
+    assert out[("b", 0)] == (5, 4, 0)
+
+
+def test_politeness_schedule_spaces_fetches_by_delay(spark):
+    from openreviewcrawler_spark.operators.scheduler import politeness_schedule
+
+    rows = [("u1", "a", 100), ("u2", "a", 100), ("u3", "a", 100), ("u1", "b", 250)]
+    f = spark.createDataFrame(rows, "url string, host string, delay_ms long")
+    out = {(r["host"], r["url"]): (r["fetch_rank"], r["scheduled_ms"])
+           for r in politeness_schedule(f).collect()}
+    assert out[("a", "u1")] == (1, 0)
+    assert out[("a", "u2")] == (2, 100)
+    assert out[("a", "u3")] == (3, 200)
+    assert out[("b", "u1")] == (1, 0)

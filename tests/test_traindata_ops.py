@@ -452,3 +452,37 @@ def test_semantic_dedup_keeps_lowest_id_of_near_group(spark):
     assert by[2] is False
     assert by[3] is True
     assert by[4] is False
+
+
+def test_quantize_qa_error_bound_and_degenerate_vector(spark):
+    from openreviewcrawler_spark.operators.similarity import quantize_qa
+
+    rows = [
+        (1, [0.0, 0.5, 1.0]),
+        (2, [7.25, 7.25, 7.25]),          # constant: lossless via dummy scale
+        (3, [-2.0 + i / 16.0 for i in range(64)]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_qa(vecs).collect()}
+    # affine int8 bound: |err| <= scale/2 always
+    for vid in (1, 3):
+        assert out[vid]["max_abs_err"] <= out[vid]["scale"] / 2 + 1e-12
+        assert out[vid]["max_abs_err"] >= 0.0
+    assert out[2]["scale"] == 0.0
+    assert out[2]["max_abs_err"] == 0.0
+    assert out[2]["n_coarse"] == 0
+    # endpoints quantize exactly, so vec 1's worst error is the midpoint's
+    assert out[1]["max_abs_err"] > 0.0
+
+
+def test_quantize_qa_plan_is_shuffle_free(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_embedding_quantize_qa
+
+    plan = (
+        q_embedding_quantize_qa(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
