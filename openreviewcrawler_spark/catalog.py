@@ -4798,6 +4798,137 @@ def _sql_embedding_quantize_qa() -> str:
     return quantize_qa_sql("select vec_id, embedding from embeddings")
 
 
+
+#: wildcard-robots rules dim, shared as content (engine-native literal
+#: tables): longest-match precedence cases, a tie broken by allow, a
+#: '$'-anchored rule, and two rule-less hosts exercising the default
+_WILDROBOTS_RULES = [
+    ("h0.example", "/d/*", False),
+    ("h0.example", "/d/*0", True),
+    ("h0.example", "/d/1*", False),
+    ("h1.example", "/d/*3$", False),
+    ("h2.example", "/d/1*", False),
+    ("h3.example", "/d/*", True),
+    ("h4.example", "/*", False),
+    ("h4.example", "/d/*2$", True),
+]
+_WILDROBOTS_RULES_CTE = (
+    "select * from (values "
+    + ", ".join(
+        f"('{h}', '{r}', {str(a).lower()})" for h, r, a in _WILDROBOTS_RULES
+    )
+    + ") as t(host, rule, allow)"
+)
+_WILDROBOTS_FRONTIER_CTE = (
+    "select 'https://h' || cast(doc_id % 7 as varchar(10))"
+    " || '.example/d/' || cast(doc_id as varchar(30)) as url from documents"
+)
+
+
+def q_robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-grammar robots evaluation (operators/robots.
+    apply_robots_wildcard): '*' runs and '$' end-anchors with
+    longest-rule-wins / allow-beats-disallow precedence — the full
+    (Google) grammar the prefix tier (robots_parse/crawl_robots_filter)
+    deliberately subsets. Rules are translated ONCE to LIKE patterns
+    (escape '!', shared verbatim via WILDCARD_LIKE_EXPR) and broadcast;
+    the frontier fans out only to its host's handful of rules."""
+    from .operators.robots import apply_robots_wildcard
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        _WILDROBOTS_RULES, "host string, rule string, allow boolean"
+    )
+    return apply_robots_wildcard(frontier, rules)
+
+
+def _sql_robots_wildcard_filter() -> str:
+    from .operators.robots import apply_robots_wildcard_sql
+
+    return apply_robots_wildcard_sql(
+        _WILDROBOTS_FRONTIER_CTE,
+        _WILDROBOTS_RULES_CTE,
+        host_expr="regexp_extract(url, '^https://([^/]*)', 1)",
+        path_expr="regexp_replace(url, '^https://[^/]*', '')",
+    )
+
+
+def q_crawl_subnet_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-/24-subnet politeness budget (operators/scheduler.
+    subnet_budget): shared-hosting safety — hosts behind one subnet split
+    a 100-fetch cap proportionally to pending load. Hosts reuse the
+    skewed binpack synthesis so subnets aggregate uneven loads."""
+    from .operators.scheduler import subnet_budget
+
+    frontier = _t(spark, sf_dir, "documents").select(
+        F.expr(_BINPACK_HOST_EXPR).alias("host")
+    )
+    return subnet_budget(frontier, subnet_cap=100)
+
+
+def _sql_crawl_subnet_budget() -> str:
+    from .operators.scheduler import subnet_budget_sql
+
+    return subnet_budget_sql(
+        f"select {_BINPACK_HOST_EXPR} as host from documents", subnet_cap=100
+    )
+
+
+def q_quality_vs_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-auditing composition: does the quality scorer agree with the
+    dedup tier? Per discrete quality-score value (the composite is a sum
+    of 0.4/0.3/0.2/0.1 gates, so scores are exact tenths after the shared
+    round): document count, exact-duplicate COPY count (non-keeper rows
+    of md5 groups over the planted-dup corpus), and the dup rate. A bin
+    whose dup rate spikes tells the pipeline its quality gate is letting
+    boilerplate through. Scale shape: one digest groupBy + one equi join
+    back + one tiny groupBy on the score key; the division is one
+    per-row double op, rounded once."""
+    corpus = _corpus(spark, sf_dir)
+    score = quality_score_cols(F.col("text"))["quality_score"]
+    scored = corpus.select(
+        "doc_id", F.md5("text").alias("digest"), score.alias("q")
+    )
+    g = scored.groupBy("digest").agg(F.min("doc_id").alias("keeper_id"))
+    tagged = scored.join(g, "digest").select(
+        "q", (F.col("doc_id") > F.col("keeper_id")).cast("int").alias("is_copy")
+    )
+    return tagged.groupBy(F.col("q").alias("quality_score")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_copy").cast("long").alias("n_dup_copies"),
+        F.round(
+            F.sum("is_copy").cast("double") / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
+SQL_QUALITY_VS_DUP_AUDIT = f"""
+with corpus as ({CORPUS_SQL}),
+{_SQL_QUALITY_M.replace("from documents", "from corpus")},
+scored as (
+  select m.doc_id, md5(c.text) as digest,
+         round({_SQL_QUALITY_SCORE}::DOUBLE, 2) as q
+  from m join corpus c using (doc_id)
+),
+g as (select digest, min(doc_id) as keeper_id from scored group by digest)
+select s.q as quality_score, count(*)::BIGINT as n_docs,
+       sum(case when s.doc_id > g.keeper_id then 1 else 0 end)::BIGINT
+         as n_dup_copies,
+       round(sum(case when s.doc_id > g.keeper_id then 1 else 0 end)::DOUBLE
+             / count(*)::DOUBLE, 6) as dup_rate
+from scored s join g using (digest)
+group by s.q
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -4972,6 +5103,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "embedding_quantize_qa": QueryDef(
         q_embedding_quantize_qa, _sql_embedding_quantize_qa()
+    ),
+    "robots_wildcard_filter": QueryDef(
+        q_robots_wildcard_filter, _sql_robots_wildcard_filter()
+    ),
+    "crawl_subnet_budget": QueryDef(
+        q_crawl_subnet_budget, _sql_crawl_subnet_budget()
+    ),
+    "quality_vs_dup_audit": QueryDef(
+        q_quality_vs_dup_audit, SQL_QUALITY_VS_DUP_AUDIT
     ),
 }
 

@@ -223,3 +223,110 @@ def sitemap_directives(
         .select("host", F.col("val").alias("sitemap_url"))
         .distinct()
     )
+
+
+#: LIKE-translation of the Google-robots wildcard grammar, shared VERBATIM
+#: by both engines ('{r}' = the rule column). Escape LIKE metacharacters
+#: with '!', turn '*' into '%', and honor a trailing '$' end-anchor by NOT
+#: appending the implicit prefix-match '%'. Documented subset: '$' is only
+#: meaningful at the end of a rule (elsewhere it matches literally, as in
+#: the robots spec); no backslashes anywhere (the cross-engine escaping
+#: trap).
+WILDCARD_LIKE_EXPR = """case
+  when right({r}, 1) = '$' then
+    replace(replace(replace(replace(
+      left({r}, length({r}) - 1),
+      '!', '!!'), '%', '!%'), '_', '!_'), '*', '%')
+  else
+    replace(replace(replace(replace(
+      {r},
+      '!', '!!'), '%', '!%'), '_', '!_'), '*', '%') || '%'
+end"""
+
+
+def apply_robots_wildcard(
+    frontier: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Wildcard-grammar robots evaluation — (url, allowed, winning_rule).
+
+    The full (Google) robots match the prefix tier can't express: rules
+    may contain ``*`` (any run) and a trailing ``$`` (end anchor);
+    precedence is longest-rule-wins, allow beating disallow on ties —
+    evaluated by translating each rule ONCE to a SQL LIKE pattern
+    (``WILDCARD_LIKE_EXPR``, escape '!') and matching JVM-side — no
+    Python anywhere. Spark's column-pattern LIKE compiles its matcher per
+    evaluation, but the fan-out is bounded by the host's handful of rules
+    (a hot literal rule can always be pivoted to a foldable predicate).
+
+    ``rules``: (host, rule, allow boolean) — a small dimension, broadcast
+    (the host->rule map of the north rule). Scale shape: broadcast equi
+    join on host fans each URL out to only ITS host's handful of rules;
+    the winner window partitions by url over that bounded fan-out (never
+    the frontier alone). URLs of hosts with no matching rule default to
+    allowed with an empty winning_rule.
+    """
+    from ..functions.urls import host_col as _host, path_col as _path
+
+    f = frontier.select(
+        url_col, _host(F.col(url_col)).alias("__h"), _path(F.col(url_col)).alias("__p")
+    )
+    r = rules.select(
+        F.col("host").alias("__h"),
+        "rule",
+        "allow",
+        F.expr(WILDCARD_LIKE_EXPR.format(r="rule")).alias("__pat"),
+        F.length("rule").alias("__rlen"),
+    )
+    joined = f.join(F.broadcast(r), "__h", "left").withColumn(
+        "__match",
+        F.expr("__p like __pat escape '!'"),
+    )
+    w = Window.partitionBy(url_col).orderBy(
+        F.desc("__rlen"), F.desc("allow"), F.asc("rule")
+    )
+    matched = (
+        joined.filter(F.col("__match").eqNullSafe(F.lit(True)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(url_col, F.col("allow").alias("allowed"), F.col("rule").alias("winning_rule"))
+    )
+    return (
+        f.select(url_col)
+        .join(matched, url_col, "left")
+        .select(
+            url_col,
+            F.coalesce("allowed", F.lit(True)).alias("allowed"),
+            F.coalesce("winning_rule", F.lit("")).alias("winning_rule"),
+        )
+    )
+
+
+def apply_robots_wildcard_sql(
+    frontier_cte: str, rules_cte: str, host_expr: str, path_expr: str
+) -> str:
+    """Oracle twin: identical translation, LIKE match, and precedence.
+    ``host_expr``/``path_expr`` extract host and path from f.url."""
+    pat = WILDCARD_LIKE_EXPR.format(r="rule")
+    return f"""
+with f as ({frontier_cte}),
+fx as (select url, {host_expr} as h, {path_expr} as p from f),
+r as (
+  select host as h, rule, allow, {pat} as pat, length(rule) as rlen
+  from ({rules_cte})
+),
+m as (
+  select fx.url, r.allow, r.rule,
+         row_number() over (
+           partition by fx.url
+           order by r.rlen desc, r.allow desc, r.rule asc
+         ) as rn
+  from fx join r on fx.h = r.h
+  where fx.p like r.pat escape '!'
+)
+select fx.url,
+       coalesce(m.allow, true) as allowed,
+       coalesce(m.rule, '') as winning_rule
+from fx left join m on fx.url = m.url and m.rn = 1
+"""

@@ -800,3 +800,63 @@ select url, host, rk::BIGINT as fetch_rank,
        ((rk - 1) * delay_ms)::BIGINT as scheduled_ms
 from r
 """
+
+
+def subnet_budget(
+    frontier: DataFrame, subnet_cap: int, host_col: str = "host"
+) -> DataFrame:
+    """Per-/24-subnet politeness rollup — (host, subnet, pending,
+    subnet_hosts, subnet_pending, host_cap). Host-level delays are not
+    enough on shared hosting: a thousand vhosts behind one /24 will melt
+    the box even if each host is individually polite, so real crawlers
+    budget per SUBNET and apportion that budget across the subnet's
+    hosts proportionally to pending load (floor, min 1 so no host
+    starves).
+
+    Resolution is a deterministic md5 stand-in for DNS (24-bit subnet id
+    from the host digest — the sandbox has no resolver; the hash IS the
+    documented fake). Scale shape: one map-side-combined groupBy to the
+    host rollup, one to the subnet rollup (O(subnets) rows), one equi
+    join back — integer arithmetic end-to-end.
+    """
+    loads = frontier.groupBy(host_col).agg(F.count("*").alias("pending"))
+    withnet = loads.withColumn(
+        "subnet",
+        F.conv(F.substring(F.md5(F.col(host_col)), 1, 6), 16, 10).cast("long"),
+    )
+    nets = withnet.groupBy("subnet").agg(
+        F.count("*").alias("subnet_hosts"),
+        F.sum("pending").alias("subnet_pending"),
+    )
+    return withnet.join(nets, "subnet").select(
+        host_col,
+        "subnet",
+        F.col("pending").cast("long").alias("pending"),
+        F.col("subnet_hosts").cast("long").alias("subnet_hosts"),
+        F.col("subnet_pending").cast("long").alias("subnet_pending"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"({subnet_cap} * pending) div subnet_pending"),
+        ).alias("host_cap"),
+    )
+
+
+def subnet_budget_sql(frontier_cte: str, subnet_cap: int) -> str:
+    """Oracle twin: identical hash kit, rollups, and floor apportionment."""
+    return f"""
+with f as ({frontier_cte}),
+loads as (
+  select host, count(*)::BIGINT as pending,
+         ('0x' || substr(md5(host), 1, 6))::BIGINT as subnet
+  from f group by host
+),
+nets as (
+  select subnet, count(*)::BIGINT as subnet_hosts,
+         sum(pending)::BIGINT as subnet_pending
+  from loads group by subnet
+)
+select l.host, l.subnet, l.pending, n.subnet_hosts, n.subnet_pending,
+       greatest(1, ({subnet_cap} * l.pending) // n.subnet_pending)::BIGINT
+         as host_cap
+from loads l join nets n using (subnet)
+"""

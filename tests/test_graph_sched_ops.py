@@ -370,3 +370,27 @@ def test_politeness_schedule_spaces_fetches_by_delay(spark):
     assert out[("a", "u2")] == (2, 100)
     assert out[("a", "u3")] == (3, 200)
     assert out[("b", "u1")] == (1, 0)
+
+
+def test_subnet_budget_apportions_and_floors(spark):
+    from openreviewcrawler_spark.operators.scheduler import subnet_budget
+
+    # force two hosts into one subnet by checking the real md5 buckets:
+    # just assert invariants that hold for ANY hash placement
+    rows = [(f"host{i}.example",) for i in range(30) for _ in range(i + 1)]
+    out = subnet_budget(
+        spark.createDataFrame(rows, "host string"), subnet_cap=10
+    ).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["host_cap"] >= 1
+        assert r["subnet_pending"] >= r["pending"]
+        assert r["subnet_hosts"] >= 1
+        # floor apportionment never exceeds the proportional share + floor-1
+        assert r["host_cap"] <= max(1, (10 * r["pending"]) // r["subnet_pending"])
+    # per subnet: sum of caps <= cap + n_hosts (floors + min-1 floor)
+    by_net = {}
+    for r in out:
+        by_net.setdefault(r["subnet"], []).append(r)
+    for net, hs in by_net.items():
+        assert sum(h["host_cap"] for h in hs) <= 10 + len(hs)

@@ -92,3 +92,57 @@ def test_parse_robots_crlf_body(spark):
     rows = {r["host"]: r for r in parse_robots(bodies).collect()}
     assert rows["crlf.example"]["disallow_prefix"] == rows["lf.example"]["disallow_prefix"] == ["/tmp"]
     assert rows["crlf.example"]["crawl_delay_s"] == rows["lf.example"]["crawl_delay_s"] == 7.0
+
+
+def test_wildcard_rules_star_anchor_tie_and_default(spark):
+    from openreviewcrawler_spark.operators.robots import apply_robots_wildcard
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.example/d/10",),   # '/d/*' deny vs '/d/*0' allow vs '/d/1*' deny
+            ("https://a.example/d/15",),   # '/d/*' deny + '/d/1*' deny
+            ("https://a.example/d/25",),   # only '/d/*' deny
+            ("https://b.example/d/13",),   # '$' anchor: ends in 3 -> deny
+            ("https://b.example/d/131",),  # does NOT end in 3 -> no match -> allow
+            ("https://c.example/x",),      # rule-less host -> default allow
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "/d/*", False),
+            ("a.example", "/d/*0", True),   # len 5, allow
+            ("a.example", "/d/1*", False),  # len 5, deny — ties with above on /d/10
+            ("b.example", "/d/*3$", False),
+        ],
+        "host string, rule string, allow boolean",
+    )
+    out = {r["url"]: (r["allowed"], r["winning_rule"])
+           for r in apply_robots_wildcard(frontier, rules).collect()}
+    assert out["https://a.example/d/10"] == (True, "/d/*0")    # allow wins the tie
+    assert out["https://a.example/d/15"] == (False, "/d/1*")   # longest deny
+    assert out["https://a.example/d/25"] == (False, "/d/*")
+    assert out["https://b.example/d/13"] == (False, "/d/*3$")
+    assert out["https://b.example/d/131"] == (True, "")
+    assert out["https://c.example/x"] == (True, "")
+
+
+def test_wildcard_like_escape_handles_metacharacters(spark):
+    from openreviewcrawler_spark.operators.robots import apply_robots_wildcard
+
+    # literal '%' and '_' in a rule must match only themselves
+    frontier = spark.createDataFrame(
+        [("https://e.example/p%20x/1",), ("https://e.example/pA20x/1",),
+         ("https://e.example/a_b",), ("https://e.example/aXb",)],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("e.example", "/p%20x/*", False), ("e.example", "/a_b", False)],
+        "host string, rule string, allow boolean",
+    )
+    out = {r["url"]: r["allowed"]
+           for r in apply_robots_wildcard(frontier, rules).collect()}
+    assert out["https://e.example/p%20x/1"] is False
+    assert out["https://e.example/pA20x/1"] is True   # '%' was NOT a wildcard
+    assert out["https://e.example/a_b"] is False
+    assert out["https://e.example/aXb"] is True       # '_' was NOT a wildcard
