@@ -4929,6 +4929,147 @@ group by s.q
 """
 
 
+
+def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (operators/textstats.sentence_cols) —
+    the quality-signal family's sentence tier (C4 drops lines without
+    terminal punctuation; Gopher gates on sentence counts). Boundary
+    CHARS are counted by strip-and-diff, never split (trailing-empty
+    split semantics differ across engines). Pure codegen projection."""
+    from .operators.textstats import sentence_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = sentence_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+SQL_TEXT_SENTENCE_STATS = """
+with b as (
+  select doc_id, length(text)::BIGINT as n_chars,
+         (length(text) - length(regexp_replace(text, '[.!?]', '', 'g')))::BIGINT
+           as n_bounds
+  from documents
+)
+select doc_id, greatest(1, n_bounds)::BIGINT as n_sentences,
+       round((n_chars - n_bounds)::DOUBLE / greatest(1, n_bounds)::DOUBLE, 4)
+         as mean_sentence_len
+from b
+"""
+
+
+#: power-of-two token-length ladder shared verbatim ('{n}' = token count):
+#: the packing planner's histogram domain
+_LEN_BUCKET_EXPR = """case when {n} < 8 then 0 when {n} < 16 then 8
+  when {n} < 32 then 16 when {n} < 64 then 32 when {n} < 128 then 64
+  when {n} < 256 then 128 else 256 end"""
+
+
+def q_traindata_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram for the packing planner — per power-of-two
+    bucket: doc count, token mass, and each bucket's share of total
+    tokens. traindata_pack_sequences consumes exactly this profile to
+    size its bins; at 100 TB the histogram is what the driver can afford
+    to look at (7 rows), never the lengths themselves. One map-side
+    groupBy; the share divides by a window total over the 7-row bucket
+    table (integer token sums are exact, one rounded division per row)."""
+    from .operators.textstats import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(tokens_col(F.col("text"))).cast("long")
+    b = docs.select(
+        F.expr(
+            _LEN_BUCKET_EXPR.format(n="size(split(text, ' '))")
+        ).cast("long").alias("bucket_lo"),
+        n.alias("n_tokens"),
+    )
+    agg = b.groupBy("bucket_lo").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(w).cast("double"),
+            6,
+        ).alias("token_share"),
+    )
+
+
+SQL_TRAINDATA_LENGTH_BUCKETS = f"""
+with b as (
+  select {_LEN_BUCKET_EXPR.format(n="len(string_split(text, ' '))")}::BIGINT
+           as bucket_lo,
+         len(string_split(text, ' '))::BIGINT as n_tokens
+  from documents
+), agg as (
+  select bucket_lo, count(*)::BIGINT as n_docs,
+         sum(n_tokens)::BIGINT as total_tokens
+  from b group by bucket_lo
+)
+select bucket_lo, n_docs, total_tokens,
+       round(total_tokens::DOUBLE / (sum(total_tokens) over ())::DOUBLE, 6)
+         as token_share
+from agg
+"""
+
+
+def q_traindata_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card — the corpus summary a training run is
+    provisioned from: document/dup/language counts, token mass, and mean
+    quality, composed from the same operators the pipeline gates with
+    (digest groupBy for dups, the shared quality scorer, whitespace
+    tokens). Scale shape: ONE pass builds per-doc columns, one global
+    aggregate (map-side partial) reduces them; the dup count is
+    n_rows - n_distinct_digests (no self-join). Mean quality follows the
+    decimal-sum recipe (exact, order-free), one rounded division."""
+    corpus = _corpus(spark, sf_dir)
+    from .operators.textstats import tokens_col
+
+    score = quality_score_cols(F.col("text"))["quality_score"]
+    base = corpus.select(
+        F.md5("text").alias("digest"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        "lang",
+        score.alias("q"),
+    )
+    return base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.count("*") - F.count_distinct("digest"))
+        .cast("long")
+        .alias("n_exact_dup_copies"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(18,4)")).cast("double") / F.count("*"),
+            4,
+        ).alias("mean_quality"),
+    )
+
+
+SQL_TRAINDATA_DATASET_CARD = f"""
+with corpus as ({CORPUS_SQL}),
+{_SQL_QUALITY_M.replace("from documents", "from corpus")},
+card_base as (
+  select md5(c.text) as digest,
+         len(string_split(c.text, ' '))::BIGINT as n_tokens,
+         c.lang,
+         round({_SQL_QUALITY_SCORE}::DOUBLE, 2) as q
+  from corpus c join m using (doc_id)
+)
+select count(*)::BIGINT as n_docs,
+       (count(*) - count(distinct digest))::BIGINT as n_exact_dup_copies,
+       count(distinct lang)::BIGINT as n_langs,
+       sum(n_tokens)::BIGINT as total_tokens,
+       round((sum(cast(q as decimal(18,4)))::DOUBLE / count(*)), 4)
+         as mean_quality
+from card_base
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -5112,6 +5253,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "quality_vs_dup_audit": QueryDef(
         q_quality_vs_dup_audit, SQL_QUALITY_VS_DUP_AUDIT
+    ),
+    "text_sentence_stats": QueryDef(
+        q_text_sentence_stats, SQL_TEXT_SENTENCE_STATS
+    ),
+    "traindata_length_buckets": QueryDef(
+        q_traindata_length_buckets, SQL_TRAINDATA_LENGTH_BUCKETS
+    ),
+    "traindata_dataset_card": QueryDef(
+        q_traindata_dataset_card, SQL_TRAINDATA_DATASET_CARD
     ),
 }
 

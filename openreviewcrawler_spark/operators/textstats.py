@@ -209,3 +209,23 @@ def word_diversity(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.round(F.col("sum_sq") / (F.col("n_tokens") * F.col("n_tokens")), 6).alias("simpson"),
         F.round((F.col("n_tokens") * F.col("n_tokens")) / F.col("sum_sq"), 6).alias("inv_simpson"),
     )
+
+
+def sentence_cols(text: Column) -> dict[str, Column]:
+    """Sentence segmentation stats — boundary-char counting, not splitting
+    (engines disagree on trailing-empty split semantics, so we never
+    split): n_bounds = chars removed by stripping '[.!?]'; a text with no
+    terminal punctuation is one sentence. mean_sentence_len divides the
+    NON-boundary chars by the sentence count — one per-row double
+    division, rounded once (cross-engine bit-identical)."""
+    n_chars = F.length(text).cast("long")
+    n_bounds = (n_chars - F.length(F.regexp_replace(text, "[.!?]", ""))).cast(
+        "long"
+    )
+    n_sentences = F.greatest(F.lit(1).cast("long"), n_bounds)
+    return {
+        "n_sentences": n_sentences,
+        "mean_sentence_len": F.round(
+            (n_chars - n_bounds).cast("double") / n_sentences.cast("double"), 4
+        ),
+    }

@@ -486,3 +486,40 @@ def test_quantize_qa_plan_is_shuffle_free(spark, sf_dir):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_sentence_cols_boundary_counting(spark):
+    from openreviewcrawler_spark.operators.textstats import sentence_cols
+
+    rows = [(1, "One. Two! Three?"), (2, "no terminal punctuation"), (3, "..")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = sentence_cols(F.col("text"))
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()}
+    assert out[1]["n_sentences"] == 3
+    assert out[2]["n_sentences"] == 1       # punctuation-free => one sentence
+    assert out[3]["n_sentences"] == 2       # pure boundaries, zero content
+    assert out[3]["mean_sentence_len"] == 0.0
+    # 16 chars total, 3 boundary chars -> 13/3
+    assert out[1]["mean_sentence_len"] == round(13 / 3, 4)
+
+
+def test_length_buckets_shares_sum_to_one(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_traindata_length_buckets
+
+    rows = q_traindata_length_buckets(spark, sf_dir).collect()
+    assert rows and all(r["n_docs"] > 0 for r in rows)
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    los = [r["bucket_lo"] for r in rows]
+    assert all(lo in (0, 8, 16, 32, 64, 128, 256) for lo in los)
+
+
+def test_dataset_card_counts_planted_dups(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_traindata_dataset_card
+
+    card = q_traindata_dataset_card(spark, sf_dir).collect()[0]
+    # the derived corpus plants one exact copy per doc_id % 5 == 0
+    assert card["n_exact_dup_copies"] >= 1
+    assert card["n_docs"] > card["n_exact_dup_copies"]
+    assert card["total_tokens"] > card["n_docs"]  # multi-token docs
+    assert 0.0 <= card["mean_quality"] <= 1.0
