@@ -5070,6 +5070,108 @@ from card_base
 """
 
 
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/rank.label_propagation): 2 rounds of
+    synchronous LPA over the planted-cell + noise graph of
+    graph_triangle_count — cells converge toward per-cell labels, the
+    noise edges blur cluster borders; the community-level link-farm
+    signal. Deterministic ties, unrolled-SQL oracle."""
+    from .operators.rank import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    cell5 = (F.col("doc_id") % 20) * 5
+    m = F.col("doc_id") % 3
+    edges = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (cell5 + m).alias("src"), (cell5 + (m + 1) % 5).alias("dst")
+                ),
+                F.struct(
+                    (cell5 + m).alias("src"), (cell5 + (m + 2) % 5).alias("dst")
+                ),
+                F.struct(
+                    (F.col("doc_id") % 100).alias("src"),
+                    ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    nodes = docs.select((F.col("doc_id") % 100).alias("node")).distinct()
+    return label_propagation(edges, nodes, n_iter=2)
+
+
+def _sql_graph_label_propagation() -> str:
+    from .operators.rank import label_propagation_sql
+
+    return label_propagation_sql(_TRI_EDGES_CTE, _RANK_NODES_CTE, n_iter=2)
+
+
+#: mirror-corpus synthesis shared verbatim: h8 fully mirrors h0 (the +2
+#: shift maps its residues onto h0's), half of h9's docs mirror h1's, the
+#: other seven hosts have pairwise-disjoint content
+_MIRROR_CONTENT_EXPR = """case when doc_id % 10 = 8 then (doc_id + 2) % 40
+  when doc_id % 20 = 9 then (doc_id + 2) % 40
+  else doc_id % 40 end"""
+_MIRROR_PAGES_CTE = f"""select 'h' || cast(doc_id % 10 as varchar(10)) as host,
+  md5('c' || cast({_MIRROR_CONTENT_EXPR} as varchar(10))) as digest
+from documents"""
+
+
+def q_crawl_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level mirror detection (operators/dedup.mirror_detect): digest
+    equi self-join over the hot-digest-capped (host, digest) set table ->
+    ordered host pairs with shared count + Jaccard. Expected on the
+    synthesis: (h0, h8) at jaccard 1.0 (full mirror) and (h1, h9) at
+    0.333 (half of h9's content is h1's)."""
+    from .operators.dedup import mirror_detect
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")).alias("host"),
+        F.md5(
+            F.concat(F.lit("c"), F.expr(_MIRROR_CONTENT_EXPR).cast("string"))
+        ).alias("digest"),
+    )
+    return mirror_detect(pages, min_shared=2)
+
+
+def _sql_crawl_mirror_detect() -> str:
+    from .operators.dedup import mirror_detect_sql
+
+    return mirror_detect_sql(_MIRROR_PAGES_CTE, min_shared=2)
+
+
+def q_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk planning (operators/multimodal.plan_audio_chunks):
+    Whisper-style overlapped windows (2 s win / 1.5 s hop) planned from
+    asset metadata only — pure JVM sequence-explode; the byte-level
+    decode stays behind the documented multimodal stub."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.plan_audio_chunks(assets)
+
+
+SQL_MM_AUDIO_CHUNKS = """
+with a as (
+  select doc_id as asset_id, length(text)::BIGINT * 10 as dur
+  from documents where doc_id % 3 = 1
+), n as (
+  select asset_id, dur,
+         case when dur <= 2000 then 1
+              else 1 + (dur - 2000 + 1499) // 1500 end as n_chunks
+  from a
+), c as (
+  select asset_id, dur, unnest(range(n_chunks)) as chunk_idx from n
+)
+select asset_id, chunk_idx::BIGINT as chunk_idx,
+       (chunk_idx * 1500)::BIGINT as start_ms,
+       least(chunk_idx * 1500 + 2000, dur)::BIGINT as end_ms
+from c
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -5263,6 +5365,13 @@ CATALOG: dict[str, QueryDef] = {
     "traindata_dataset_card": QueryDef(
         q_traindata_dataset_card, SQL_TRAINDATA_DATASET_CARD
     ),
+    "graph_label_propagation": QueryDef(
+        q_graph_label_propagation, _sql_graph_label_propagation()
+    ),
+    "crawl_mirror_detect": QueryDef(
+        q_crawl_mirror_detect, _sql_crawl_mirror_detect()
+    ),
+    "mm_audio_chunks": QueryDef(q_mm_audio_chunks, SQL_MM_AUDIO_CHUNKS),
 }
 
 

@@ -819,3 +819,98 @@ def minhash_error_profile(corpus: DataFrame, n_buckets: int = 20) -> DataFrame:
         .groupBy("err_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+MAX_MIRROR_DIGEST_HOSTS = 10  # hot-digest cap for the host-pair self-join
+
+
+def mirror_detect(
+    pages: DataFrame,
+    min_shared: int = 2,
+    host_col: str = "host",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Host-level mirror detection — (host_a, host_b, shared, jaccard):
+    host pairs whose content-digest SETS overlap, ordered pairs
+    host_a < host_b. The crawl-scheduler read of the dedup family
+    (IRLbot-style): a detected mirror pair lets the frontier drop one
+    whole host instead of deduping its pages one by one after fetching
+    them — budget saved at FETCH time, not post-hoc.
+
+    Scale shape: the (host, digest) table is deduped once and persisted
+    (three consumers: sizes, both self-join sides — the r3 lesson);
+    digests served by more than MAX_MIRROR_DIGEST_HOSTS hosts are
+    dropped before the pair join (boilerplate pages — robots page,
+    empty-page digest — would otherwise make the self-join quadratic in
+    hosts, the LSH hot-bucket lesson at host granularity; mirrored in
+    the SQL oracle). The pair join is a digest equi-join; jaccard =
+    shared / (|a| + |b| - shared), one per-row double division, rounded
+    once.
+    """
+    from ..caching import track_persist
+
+    hd = track_persist(pages.select(host_col, digest_col).distinct())
+    per_digest = hd.groupBy(digest_col).agg(F.count("*").alias("__dn"))
+    cold = hd.join(
+        per_digest.filter(F.col("__dn") <= MAX_MIRROR_DIGEST_HOSTS),
+        digest_col,
+    ).select(host_col, digest_col)
+    cold = track_persist(cold)
+    sizes = hd.groupBy(host_col).agg(F.count("*").alias("__sz"))
+    a = cold.select(
+        F.col(host_col).alias("host_a"), F.col(digest_col).alias("__d")
+    )
+    b = cold.select(
+        F.col(host_col).alias("host_b"), F.col(digest_col).alias("__d")
+    )
+    pairs = (
+        a.join(b, "__d")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed(host_col, "host_a"), "host_a")
+        .withColumnRenamed("__sz", "__sa")
+        .join(sizes.withColumnRenamed(host_col, "host_b"), "host_b")
+        .withColumnRenamed("__sz", "__sb")
+        .select(
+            "host_a",
+            "host_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("__sa") + F.col("__sb") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def mirror_detect_sql(pages_cte: str, min_shared: int = 2) -> str:
+    """Oracle twin: identical dedup, hot-digest cap, pair join, jaccard."""
+    return f"""
+with p as ({pages_cte}),
+hd as (select distinct host, digest from p),
+cold as (
+  select hd.host, hd.digest
+  from hd join (
+    select digest from hd group by digest
+    having count(*) <= {MAX_MIRROR_DIGEST_HOSTS}
+  ) k using (digest)
+),
+sizes as (select host, count(*)::BIGINT as sz from hd group by host),
+pairs as (
+  select a.host as host_a, b.host as host_b, count(*)::BIGINT as shared
+  from cold a join cold b on a.digest = b.digest and a.host < b.host
+  group by 1, 2
+  having count(*) >= {min_shared}
+)
+select p.host_a, p.host_b, p.shared,
+       round(p.shared::DOUBLE / (sa.sz + sb.sz - p.shared)::DOUBLE, 6)
+         as jaccard
+from pairs p
+join sizes sa on sa.host = p.host_a
+join sizes sb on sb.host = p.host_b
+"""

@@ -152,3 +152,46 @@ def sample_frames(assets: DataFrame, n_frames: int = 3) -> DataFrame:
     return assets.filter(F.col("kind") == "video").select(
         "asset_id", "payload"
     ).mapInPandas(_frames, FRAME_SCHEMA)
+
+
+CHUNK_WIN_MS = 2000
+CHUNK_HOP_MS = 1500
+
+
+def plan_audio_chunks(
+    assets: DataFrame, win_ms: int = CHUNK_WIN_MS, hop_ms: int = CHUNK_HOP_MS
+) -> DataFrame:
+    """Audio chunking plan — (asset_id, chunk_idx, start_ms, end_ms) for
+    every audio asset: fixed windows with overlap (win 2 s, hop 1.5 s —
+    the Whisper-style segmentation shape). The DECODE stays behind the
+    documented stub; this is the metadata-only planner, so it is pure
+    JVM expressions (duration from src_len via the deterministic
+    10 ms/byte stand-in), one sequence-explode, zero Python, zero
+    shuffle — the plan rows feed the Arrow decode stage downstream.
+
+    n_chunks = 1 if dur <= win else 1 + ceil((dur - win) / hop); the last
+    chunk is truncated at the asset's end.
+    """
+    dur = (F.col("src_len") * 10).cast("long")
+    n_chunks = (
+        F.when(dur <= win_ms, F.lit(1).cast("long"))
+        .otherwise(F.lit(1) + F.floor((dur - win_ms + hop_ms - 1) / hop_ms))
+        .cast("long")
+    )
+    audio = assets.filter(F.col("kind") == "audio").select(
+        "asset_id", dur.alias("__dur"), n_chunks.alias("__n")
+    )
+    c = audio.select(
+        "asset_id",
+        "__dur",
+        F.explode(F.sequence(F.lit(0), (F.col("__n") - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx").cast("long") * hop_ms
+    return c.select(
+        "asset_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_ms"),
+        F.least(start + win_ms, F.col("__dur")).alias("end_ms"),
+    )

@@ -26,7 +26,7 @@ the fixed-iteration use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DAMPING = 0.85
@@ -417,3 +417,96 @@ select node::BIGINT as node, count(*)::BIGINT as n_tri
 from (select unnest([u, v1, v2]) as node from tris)
 group by node
 """
+
+
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, n_iter: int = 2
+) -> DataFrame:
+    """Synchronous label propagation — (node, label) after ``n_iter``
+    rounds of each node adopting its neighbors' most common label (ties
+    -> smallest label; isolated nodes keep their own). Community
+    detection for link neighborhoods: a crawl cluster that converges to
+    one label fast is a mutually-linked farm (the community-level read
+    of ``reciprocity``/``triangle_counts``).
+
+    Deterministic by construction — integer vote counts, explicit
+    (count desc, label asc) tie-break — so the unrolled-SQL oracle
+    matches exactly; the usual LPA order-dependence is avoided by being
+    synchronous with a fixed iteration count (the same
+    fixed-iterations-not-convergence contract as link_rank/hits_rank).
+
+    Scale shape per round: the symmetric vote table comes from ONE
+    explode per edge (never a union of two selects — the r3 lesson), one
+    map-side-combined groupBy counts (node, label) votes, and the argmax
+    window partitions by node over at most degree-many label rows. Labels
+    are persisted each round through the tracked-cache registry (two
+    consumers: votes and the isolated-node fallback).
+    """
+    from ..caching import track_persist
+
+    sym = edges.filter(F.col("src") != F.col("dst")).select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("node"), F.col("dst").alias("nbr")),
+                F.struct(F.col("dst").alias("node"), F.col("src").alias("nbr")),
+            )
+        ).alias("e")
+    ).select("e.*").distinct()
+    sym = track_persist(sym)
+    labels = track_persist(nodes.select("node", F.col("node").alias("label")))
+    for _ in range(n_iter):
+        votes = sym.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).groupBy("node", "label").agg(F.count("*").alias("__n"))
+        w = Window.partitionBy("node").orderBy(F.desc("__n"), F.asc("label"))
+        adopted = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = track_persist(
+            labels.join(adopted, "node", "left").select(
+                "node", F.coalesce("__new", "label").alias("label")
+            )
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def label_propagation_sql(
+    edges_cte: str, nodes_cte: str, n_iter: int = 2
+) -> str:
+    """Oracle twin: the same synchronous rounds unrolled as CTE layers."""
+    parts = [
+        f"raw as ({edges_cte})",
+        "sym as (select distinct node, nbr from ("
+        "  select src as node, dst as nbr from raw where src <> dst"
+        "  union all"
+        "  select dst as node, src as nbr from raw where src <> dst))",
+        f"l0 as (select node, node as label from ({nodes_cte}))",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""v{i} as (
+  select s.node, l.label, count(*) as n
+  from sym s join l{i - 1} l on l.node = s.nbr
+  group by s.node, l.label
+), a{i} as (
+  select node, label from (
+    select node, label,
+           row_number() over (
+             partition by node order by n desc, label asc
+           ) as rn
+    from v{i}
+  ) where rn = 1
+), l{i} as (
+  select p.node, coalesce(a.label, p.label) as label
+  from l{i - 1} p left join a{i} a using (node)
+)"""
+        )
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect node::BIGINT as node, label::BIGINT as label from l{n_iter}"
+    )

@@ -394,3 +394,74 @@ def test_subnet_budget_apportions_and_floors(spark):
         by_net.setdefault(r["subnet"], []).append(r)
     for net, hs in by_net.items():
         assert sum(h["host_cap"] for h in hs) <= 10 + len(hs)
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    from openreviewcrawler_spark.operators.rank import label_propagation
+
+    # two triangles bridged by nothing: each converges to its min label
+    edges = _edges(
+        spark, [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    )
+    nodes = _nodes(spark, [0, 1, 2, 10, 11, 12, 99])  # 99 isolated
+    out = {r["node"]: r["label"]
+           for r in label_propagation(edges, nodes, n_iter=2).collect()}
+    assert out[99] == 99                      # isolated keeps own label
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11] == out[12]
+    assert out[0] != out[10]
+
+
+def test_mirror_detect_full_and_partial_mirror(spark):
+    from openreviewcrawler_spark.operators.dedup import mirror_detect
+
+    rows = (
+        [("a", f"d{i}") for i in range(4)]
+        + [("b", f"d{i}") for i in range(4)]          # full mirror of a
+        + [("c", f"d{i}") for i in range(2)]          # half overlap with a
+        + [("c", f"x{i}") for i in range(2)]
+        + [("solo", "y0"), ("solo", "y1")]
+    )
+    pages = spark.createDataFrame(rows, "host string, digest string")
+    out = {(r["host_a"], r["host_b"]): (r["shared"], r["jaccard"])
+           for r in mirror_detect(pages, min_shared=2).collect()}
+    assert out[("a", "b")] == (4, 1.0)
+    assert out[("a", "c")] == (2, round(2 / 6, 6))
+    assert out[("b", "c")] == (2, round(2 / 6, 6))
+    assert len(out) == 3                      # solo never pairs
+
+
+def test_mirror_detect_hot_digest_cap_drops_boilerplate(spark):
+    from openreviewcrawler_spark.operators.dedup import (
+        MAX_MIRROR_DIGEST_HOSTS,
+        mirror_detect,
+    )
+
+    # one digest on MANY hosts (a boilerplate page) must produce no pairs
+    n = MAX_MIRROR_DIGEST_HOSTS + 5
+    rows = [(f"h{i}", "boilerplate") for i in range(n)]
+    pages = spark.createDataFrame(rows, "host string, digest string")
+    assert mirror_detect(pages, min_shared=1).count() == 0
+
+
+def test_audio_chunk_plan_windows_and_truncation(spark):
+    from openreviewcrawler_spark.operators.multimodal import plan_audio_chunks
+
+    rows = [
+        (1, "audio", b"", 150),   # dur 1500 <= win -> one chunk [0, 1500)
+        (2, "audio", b"", 500),   # dur 5000 -> chunks at 0,1500,3000 -> 3 of them
+        (3, "video", b"", 999),   # not audio -> no rows
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, kind string, payload binary, src_len long"
+    )
+    out = sorted(
+        (r["asset_id"], r["chunk_idx"], r["start_ms"], r["end_ms"])
+        for r in plan_audio_chunks(assets).collect()
+    )
+    assert out == [
+        (1, 0, 0, 1500),
+        (2, 0, 0, 2000),
+        (2, 1, 1500, 3500),
+        (2, 2, 3000, 5000),
+    ]
