@@ -5172,6 +5172,35 @@ from c
 """
 
 
+
+def q_frontier_seed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the crawl seed set (operators/rank.
+    link_rank_personalized) — teleport mass lands only on seeds, so rank
+    is weighted link proximity to them: the focused-crawl companion of
+    graph_bfs_depth (same seeds node % 17 == 0, same irregular graph);
+    pages reachable through MANY short paths outrank single-path pages
+    at the same hop count. Decimal-exact sums keep every iteration
+    bit-identical to the unrolled-CTE oracle."""
+    from .operators.rank import link_rank_personalized
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    nodes = docs.select((F.col("doc_id") % 100).alias("node")).distinct()
+    seeds = nodes.filter(F.col("node") % 17 == 0)
+    return link_rank_personalized(edges, nodes, seeds, n_iter=3)
+
+
+def _sql_frontier_seed_rank() -> str:
+    from .operators.rank import link_rank_personalized_sql
+
+    return link_rank_personalized_sql(
+        _BFS_EDGES_CTE, _RANK_NODES_CTE, _BFS_SEEDS_CTE, n_iter=3
+    )
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -5372,6 +5401,9 @@ CATALOG: dict[str, QueryDef] = {
         q_crawl_mirror_detect, _sql_crawl_mirror_detect()
     ),
     "mm_audio_chunks": QueryDef(q_mm_audio_chunks, SQL_MM_AUDIO_CHUNKS),
+    "frontier_seed_rank": QueryDef(
+        q_frontier_seed_rank, _sql_frontier_seed_rank()
+    ),
 }
 
 

@@ -510,3 +510,97 @@ def label_propagation_sql(
         "with " + ",\n".join(parts)
         + f"\nselect node::BIGINT as node, label::BIGINT as label from l{n_iter}"
     )
+
+
+def link_rank_personalized(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Personalized PageRank — the teleport mass lands ONLY on the seed
+    set, so rank measures weighted link proximity to the seeds: the
+    focused-crawl complement of bfs_depth's unweighted hop count (a page
+    two hops away through many paths outranks one two hops away through
+    one path). Same fixed-iteration, decimal-exact contract as
+    link_rank; r0 = 1.0 on seeds, 0.0 elsewhere, update =
+    (1-d)*seed_ind + d*sum(contribs).
+
+    Scale shape per iteration: identical to link_rank (one src join, one
+    map-side-combined dst groupBy) plus a broadcast-size seed indicator
+    joined once up front and carried as a column.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("__d"))
+    seeded = nodes.join(
+        seeds.select("node").distinct().withColumn("__s", F.lit(1.0)),
+        "node",
+        "left",
+    ).select("node", F.coalesce("__s", F.lit(0.0)).alias("seed_ind"))
+    ranks = seeded.select("node", "seed_ind", F.col("seed_ind").alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "r"), "src"
+            )
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("__d")).alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(
+            F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("s")
+        )
+        ranks = (
+            seeded.join(sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                "seed_ind",
+                (
+                    F.lit(1.0 - damping) * F.col("seed_ind")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    # floor-truncate, never round: the decimal-exact recurrence parks
+    # values ON rounding-tie digits (e.g. 0.0319345), where Spark's
+    # shortest-repr HALF_UP and DuckDB's libm disagree by one output ulp;
+    # floor of the (bit-identical) double product is tie-free.
+    return ranks.select(
+        F.col("node").cast("long").alias("node"),
+        (F.floor(F.col("r") * F.lit(1000000.0)) / F.lit(1000000.0)).alias("rank"),
+    )
+
+
+def link_rank_personalized_sql(
+    edges_cte: str, nodes_cte: str, seeds_cte: str,
+    n_iter: int = 3, damping: float = DAMPING,
+) -> str:
+    """Oracle twin of the personalized recurrence, unrolled."""
+    base = 1.0 - damping
+    parts = [
+        f"edges as ({edges_cte})",
+        f"nodes as ({nodes_cte})",
+        f"seedset as (select distinct node from ({seeds_cte}))",
+        "deg as (select src, count(*) as d from edges group by src)",
+        "seeded as (select n.node,"
+        " case when s.node is null then cast(0.0 as double)"
+        " else cast(1.0 as double) end as seed_ind"
+        " from nodes n left join seedset s using (node))",
+        "r0 as (select node, seed_ind, seed_ind as r from seeded)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"c{i + 1} as (select e.dst as node,"
+            f" cast(sum(cast(r.r / deg.d as decimal(28,12))) as double) as s"
+            f" from edges e join r{i} r on e.src = r.node"
+            f" join deg on deg.src = e.src group by e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} as (select n.node, n.seed_ind,"
+            f" cast({base} as double) * n.seed_ind + cast({damping} as double)"
+            f" * coalesce(c{i + 1}.s, cast(0.0 as double)) as r"
+            f" from seeded n left join c{i + 1} using (node))"
+        )
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect node, floor(r * 1000000.0) / 1000000.0 as rank from r{n_iter}"
+    )

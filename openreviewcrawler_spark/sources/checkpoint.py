@@ -166,6 +166,60 @@ class SnapshotStore:
         return True
 
 
+    def expire_snapshots(self, keep_last: int = 2) -> tuple[int, int]:
+        """Drop historical snapshot manifests beyond the newest
+        ``keep_last`` and delete data directories no surviving snapshot
+        references (Iceberg expire-snapshots + orphan-file GC analog).
+        Returns (n_manifests_removed, n_dirs_removed).
+
+        Why this must exist at scale: every round appends segment dirs and
+        a time-travel manifest; without expiry the store grows without
+        bound even after compaction (the compacted segment supersedes the
+        per-round dirs, but the OLD manifests still pin them). Crash-safe
+        ordering: expired manifest FILES are unlinked first (each unlink
+        atomic), data dirs are removed only if unreferenced by every
+        remaining manifest — a crash in between leaves orphan data dirs
+        (unreferenced garbage, same as an uncommitted write), never a
+        manifest pointing at deleted data.
+        """
+        import shutil
+
+        if self._pending:
+            raise RuntimeError(
+                "expire_snapshots() must run between commits; staged tables "
+                f"pending: {sorted(self._pending)}"
+            )
+        hist = sorted(
+            f for f in os.listdir(self.root)
+            if f.startswith("_manifest_r") and f.endswith(".json")
+        )
+        expired = hist[: max(0, len(hist) - keep_last)]
+        for name in expired:
+            os.unlink(os.path.join(self.root, name))
+        # survivors: the live manifest + remaining history pin their dirs
+        referenced: set[str] = set()
+        manifests = [self.manifest()] + [
+            json.load(open(os.path.join(self.root, f)))
+            for f in os.listdir(self.root)
+            if f.startswith("_manifest_r") and f.endswith(".json")
+        ]
+        for m in manifests:
+            if m:
+                for paths in m["tables"].values():
+                    referenced.update(paths)
+        n_dirs = 0
+        for table in (*APPEND_TABLES, *REPLACE_TABLES):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for seg in os.listdir(tdir):
+                rel = os.path.join(table, seg)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(self.root, rel))
+                    n_dirs += 1
+        return len(expired), n_dirs
+
+
 def snapshot_diff(
     old: "DataFrame",
     new: "DataFrame",

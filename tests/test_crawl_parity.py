@@ -157,3 +157,38 @@ def test_compaction_preserves_state_and_resume(spark, fixture, oracle_result, tm
         for r in state.store.read(spark, "metrics").collect()
     }
     _assert_matches_oracle(fetched, seen, metrics, oracle_result, fixture)
+
+
+def test_expire_snapshots_gc_keeps_readers_correct(spark, tmp_path):
+    """Expiry must drop old time-travel manifests and ONLY the data dirs no
+    surviving snapshot references; the live read, append-after-expire, and
+    kept time-travel reads all stay intact."""
+    import os
+
+    store = SnapshotStore(str(tmp_path / "gc"))
+    for rnd in range(5):
+        df = spark.createDataFrame([(f"u{rnd}", rnd)], "url string, round long")
+        store.stage_append(df, "seen", rnd)
+        store.stage_replace(df, "frontier", rnd)
+        store.commit(rnd)
+    before = sorted(r["url"] for r in store.read(spark, "seen").collect())
+    assert len(before) == 5
+
+    n_manifests, n_dirs = store.expire_snapshots(keep_last=2)
+    assert n_manifests == 3
+    # frontier is copy-on-write: rounds 0-2 replaced dirs are unreferenced
+    # by the surviving manifests (r3, r4 + live); seen appends stay pinned
+    assert n_dirs == 3
+    assert sorted(r["url"] for r in store.read(spark, "seen").collect()) == before
+    assert store.manifest(4) is not None and store.manifest(1) is None
+    # time-travel to a KEPT snapshot still reads its frontier
+    assert store.read(spark, "frontier", round_no=3).collect()[0]["url"] == "u3"
+    # append + commit after expiry keeps working
+    df = spark.createDataFrame([("u5", 5)], "url string, round long")
+    store.stage_append(df, "seen", 5)
+    store.commit(5)
+    assert len(store.read(spark, "seen").collect()) == 6
+    # idempotent second run removes nothing new except the now-expired r2
+    n_manifests2, n_dirs2 = store.expire_snapshots(keep_last=2)
+    assert (n_manifests2, n_dirs2) == (1, 1)
+    assert os.path.isdir(str(tmp_path / "gc" / "seen"))

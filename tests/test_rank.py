@@ -44,3 +44,25 @@ def test_iterations_are_deterministic_across_reruns(spark):
     a = _ranks(spark, edges, range(7))
     b = _ranks(spark, edges, range(7))
     assert a == b  # bit-identical, not approx: decimal-sum recipe
+
+
+def test_personalized_rank_concentrates_mass_near_seed(spark):
+    from openreviewcrawler_spark.operators.rank import link_rank_personalized
+
+    # chain 0 -> 1 -> 2 -> 3, seed {0}: rank decays along the chain and
+    # unreachable-from-seed node 9 gets zero
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (9, 0)], "src int, dst int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 9)], "node int")
+    seeds = spark.createDataFrame([(0,)], "node int")
+    out = {r["node"]: r["rank"]
+           for r in link_rank_personalized(edges, nodes, seeds, n_iter=3).collect()}
+    # fixed-iteration PPR is a travelling wave, not the converged decay:
+    # hand recurrence r(0)=0.15, r(1)=0.85*0.15, r(2)=0.85^2*0.15,
+    # r(3)=0.85^3 (the initial unit mass arrives at hop 3 on iteration 3)
+    assert out[0] == pytest.approx(0.15, abs=2e-6)
+    assert out[1] == pytest.approx(0.85 * 0.15, abs=2e-6)
+    assert out[2] == pytest.approx(0.85**2 * 0.15, abs=2e-6)
+    assert out[3] == pytest.approx(0.85**3, abs=2e-6)
+    assert out[9] == 0.0  # no teleport, no inlinks from seed side
