@@ -64,6 +64,10 @@ HEADLINE = [
     "traindata_decontaminate",
     "crawl_dust_rules",
     "crawl_quota_allocate",
+    "crawl_mirror_detect",
+    "crawl_token_bucket",
+    "crawl_priority_admit_global",
+    "robots_wildcard_filter",
     "warc_revisit_dedup",
     "url_blocklist_filter",
     "text_word_diversity",
