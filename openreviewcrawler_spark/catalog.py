@@ -5201,6 +5201,73 @@ def _sql_frontier_seed_rank() -> str:
     )
 
 
+def _tri_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-cell + noise graph (shared with graph_triangle_count /
+    graph_label_propagation) — all three edge families in ONE explode."""
+    docs = _t(spark, sf_dir, "documents")
+    cell5 = (F.col("doc_id") % 20) * 5
+    m = F.col("doc_id") % 3
+    return docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (cell5 + m).alias("src"),
+                    (cell5 + (m + 1) % 5).alias("dst"),
+                ),
+                F.struct(
+                    (cell5 + m).alias("src"),
+                    (cell5 + (m + 2) % 5).alias("dst"),
+                ),
+                F.struct(
+                    (F.col("doc_id") % 100).alias("src"),
+                    ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (operators/rank.kcore, k=4, 4 rounds) over
+    the planted-cell + noise graph: the 5-node cells are near-cliques
+    (undirected in-cell degree 4) that survive a 4-core; noise-only
+    nodes and frayed cell borders peel off round by round. Fixed round
+    count keeps the recurrence unrollable for the oracle; the Spark loop
+    early-exits at the fixpoint, which the identity tail rounds of the
+    unrolled SQL match exactly."""
+    from .operators.rank import kcore
+
+    return kcore(_tri_edges_df(spark, sf_dir), k=4, n_rounds=4)
+
+
+def _sql_graph_kcore() -> str:
+    from .operators.rank import kcore_sql
+
+    return kcore_sql(_TRI_EDGES_CTE, k=4, n_rounds=4)
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/rank.assortativity) of the
+    irregular BFS graph — one row, Pearson r over (deg(a), deg(b)) of
+    every undirected edge orientation. Exact DECIMAL(38,0) integer
+    moments -> double formula + sqrt (IEEE-correctly-rounded, unlike
+    ln) -> floor-truncation: bit-identical across engines."""
+    from .operators.rank import assortativity
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return assortativity(edges)
+
+
+def _sql_graph_assortativity() -> str:
+    from .operators.rank import assortativity_sql
+
+    return assortativity_sql(_BFS_EDGES_CTE)
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -5403,6 +5470,10 @@ CATALOG: dict[str, QueryDef] = {
     "mm_audio_chunks": QueryDef(q_mm_audio_chunks, SQL_MM_AUDIO_CHUNKS),
     "frontier_seed_rank": QueryDef(
         q_frontier_seed_rank, _sql_frontier_seed_rank()
+    ),
+    "graph_kcore": QueryDef(q_graph_kcore, _sql_graph_kcore()),
+    "graph_assortativity": QueryDef(
+        q_graph_assortativity, _sql_graph_assortativity()
     ),
 }
 

@@ -604,3 +604,183 @@ def link_rank_personalized_sql(
         "with " + ",\n".join(parts)
         + f"\nselect node, floor(r * 1000000.0) / 1000000.0 as rank from r{n_iter}"
     )
+
+
+def kcore(edges: DataFrame, k: int = 3, n_rounds: int = 4) -> DataFrame:
+    """Bounded k-core peeling — (node, core_deg) for nodes surviving
+    ``n_rounds`` of "drop every node with undirected degree < k".
+
+    Crawl-graph use: the k-core is the densely-interlinked backbone
+    (link farms and genuine hub clusters both live there); frontier
+    schedulers treat core membership as a strong prior when apportioning
+    discovery budget, the graph-level sibling of ``triangle_counts``.
+    Fixed round count (not to-fixpoint) keeps the computation exactly
+    unrollable for the SQL oracle — the same design choice as
+    ``link_rank``; bounded-degeneracy web graphs settle in a few rounds.
+
+    Scale shape per round: the symmetric edge table (persisted ONCE via
+    the tracked-cache registry, single-explode emission — the r3 "union
+    embeds the upstream plan" lesson) is filtered by TWO equi semi-joins
+    against the alive set (O(survivors) rows, shuffle joins on the edge
+    keys — no broadcast hint; the alive table is corpus-sized at web
+    scale), then ONE map-side-combined groupBy(src). An early-exit count
+    barrier per round stops as soon as peeling reaches a fixpoint.
+    Degrees are integers; no float anywhere.
+    """
+    from ..caching import track_persist
+
+    sym = track_persist(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                    F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
+    alive = track_persist(sym.select(F.col("a").alias("node")).distinct())
+    n_alive = alive.count()
+    deg = None
+    for _ in range(n_rounds):
+        deg = track_persist(
+            sym.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count("*").alias("core_deg"))
+        )
+        alive = track_persist(deg.filter(F.col("core_deg") >= k).select("node"))
+        n_next = alive.count()
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    return deg.filter(F.col("core_deg") >= k).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_deg").cast("long").alias("core_deg"),
+    )
+
+
+def kcore_sql(edges_cte: str, k: int = 3, n_rounds: int = 4) -> str:
+    """Oracle twin: the peeling recurrence unrolled ``n_rounds`` times.
+    No early exit — extra rounds past the fixpoint are identity, so the
+    unrolled form matches the early-exiting Spark loop exactly."""
+    parts = [
+        f"raw as ({edges_cte})",
+        "sym as (select distinct a, b from ("
+        "select src as a, dst as b from raw where src <> dst"
+        " union all select dst as a, src as b from raw where src <> dst))",
+        "a0 as (select distinct a as node from sym)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"d{i + 1} as (select s.a as node, count(*) as core_deg from sym s"
+            f" join a{i} x on s.a = x.node join a{i} y on s.b = y.node"
+            f" group by s.a)"
+        )
+        parts.append(
+            f"a{i + 1} as (select node from d{i + 1} where core_deg >= {k})"
+        )
+    return (
+        "with " + ",\n".join(parts)
+        + f"\nselect node::BIGINT as node, core_deg::BIGINT as core_deg"
+        f" from d{n_rounds} where core_deg >= {k}"
+    )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity — ONE row (n_endpoints, r_assort): the Pearson
+    correlation of (deg(a), deg(b)) over both orientations of every
+    undirected edge. Positive r = hubs link hubs (citation cores);
+    negative r = hub-and-spoke (typical web/crawl graphs) — a one-number
+    health read schedulers use to pick between depth- and breadth-biased
+    budgets.
+
+    Scale shape: symmetric distinct edge table persisted once
+    (single-explode), ONE groupBy for degrees, degrees attached to both
+    endpoints by two shuffle equi-joins on the existing keys (no
+    broadcast — the degree table is O(nodes)), then a single global
+    aggregate with map-side partials.
+
+    Float parity recipe: every moment (S1=sum x, Sxy, Sxx, ...) is an
+    INTEGER sum accumulated in DECIMAL(38,0) — exact and associative, so
+    shuffle order cannot perturb it; the six exact sums convert to
+    DOUBLE (exact below 2^53) and the Pearson formula is then pure
+    per-value IEEE double arithmetic + one sqrt (correctly rounded by
+    IEEE-754, cross-engine safe — unlike ln, see CLAUDE.md), and the
+    result is floor-truncated (tie-digit round() trap)."""
+    from ..caching import track_persist
+
+    sym = track_persist(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                    F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    joined = (
+        sym.join(deg.select(F.col("node").alias("a"), F.col("d").alias("dx")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("dy")), "b")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = joined.agg(
+        F.count("*").alias("m"),
+        F.sum(dec(F.col("dx"))).alias("sx"),
+        F.sum(dec(F.col("dy"))).alias("sy"),
+        F.sum(dec(F.col("dx") * F.col("dy"))).alias("sxy"),
+        F.sum(dec(F.col("dx") * F.col("dx"))).alias("sxx"),
+        F.sum(dec(F.col("dy") * F.col("dy"))).alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = m * sxy - sx * sy
+    den = F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy)
+    r = F.when(den > F.lit(0.0), num / den)
+    return agg.select(
+        F.col("m").cast("long").alias("n_endpoints"),
+        (F.floor(r * F.lit(1000000.0)) / F.lit(1000000.0)).alias("r_assort"),
+    )
+
+
+def assortativity_sql(edges_cte: str) -> str:
+    """Oracle twin: same exact integer moments, same double formula."""
+    return f"""
+with raw as ({edges_cte}),
+sym as (select distinct a, b from (
+  select src as a, dst as b from raw where src <> dst
+  union all select dst as a, src as b from raw where src <> dst)),
+deg as (select a as node, count(*) as d from sym group by a),
+j as (
+  select x.d as dx, y.d as dy
+  from sym join deg x on sym.a = x.node join deg y on sym.b = y.node
+),
+agg as (
+  select count(*)::BIGINT as m,
+         sum(dx::DECIMAL(38,0)) as sx, sum(dy::DECIMAL(38,0)) as sy,
+         sum((dx * dy)::DECIMAL(38,0)) as sxy,
+         sum((dx * dx)::DECIMAL(38,0)) as sxx,
+         sum((dy * dy)::DECIMAL(38,0)) as syy
+  from j
+)
+select m as n_endpoints,
+       floor(case when sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       * sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0.0
+             then (m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     * sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+             end * 1000000.0) / 1000000.0 as r_assort
+from agg
+"""

@@ -66,3 +66,61 @@ def test_personalized_rank_concentrates_mass_near_seed(spark):
     assert out[2] == pytest.approx(0.85**2 * 0.15, abs=2e-6)
     assert out[3] == pytest.approx(0.85**3, abs=2e-6)
     assert out[9] == 0.0  # no teleport, no inlinks from seed side
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    from openreviewcrawler_spark.operators.rank import kcore
+
+    # 4-clique {0,1,2,3} plus a tail 3-4-5: the tail peels off in two
+    # rounds (5 first, then 4), the clique survives a 3-core with
+    # in-core degree 3 each.
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["core_deg"] for r in kcore(e, k=3, n_rounds=4).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_spark_matches_unrolled_sql(spark):
+    import duckdb
+
+    from openreviewcrawler_spark.operators.rank import kcore, kcore_sql
+
+    edges = [(i % 11, (i * 5 + 2) % 11) for i in range(40)]
+    edges = [e for e in edges if e[0] != e[1]]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["node"], r["core_deg"]) for r in kcore(e, k=2, n_rounds=3).collect()
+    )
+    cte = " union all ".join(
+        f"select {a} as src, {b} as dst" for a, b in edges
+    )
+    want = sorted(duckdb.sql(kcore_sql(cte, k=2, n_rounds=3)).fetchall())
+    assert got == want
+
+
+def test_assortativity_star_is_negative_and_exact(spark):
+    import duckdb
+
+    from openreviewcrawler_spark.operators.rank import (
+        assortativity,
+        assortativity_sql,
+    )
+
+    # star: hub degree 5, leaves degree 1 -> perfectly disassortative
+    edges = [(0, i) for i in range(1, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    row = assortativity(e).collect()[0]
+    assert row["n_endpoints"] == 10
+    assert row["r_assort"] == -1.0
+    cte = " union all ".join(f"select {a} as src, {b} as dst" for a, b in edges)
+    want = duckdb.sql(assortativity_sql(cte)).fetchall()[0]
+    assert (row["n_endpoints"], row["r_assort"]) == want
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from openreviewcrawler_spark.operators.rank import assortativity
+
+    # 3-cycle: every degree equal -> zero variance -> NULL (guarded div)
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    row = assortativity(e).collect()[0]
+    assert row["r_assort"] is None
