@@ -5268,6 +5268,164 @@ def _sql_graph_assortativity() -> str:
     return assortativity_sql(_BFS_EDGES_CTE)
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document
+    (operators/textstats.readability_cols): integer word / sentence /
+    vowel-group-syllable counts -> the classic reading-ease formula as
+    per-row double arithmetic, floor-truncated, plus a banded
+    classification. Pure codegen projection — one scan, no shuffle."""
+    from .operators.textstats import readability_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = readability_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+SQL_TEXT_READABILITY = """
+with b as (
+  select doc_id,
+         len(string_split(text, ' '))::BIGINT as n_words,
+         (length(text) - length(regexp_replace(text, '[.!?]', '', 'g')))::BIGINT
+           as n_bounds,
+         regexp_replace(lower(text), '[aeiouy]+', 'V', 'g') as marked
+  from documents
+), c as (
+  select doc_id, n_words,
+         greatest(1, n_bounds)::BIGINT as n_sentences,
+         (length(marked) - length(translate(marked, 'V', '')))::BIGINT
+           as n_syllables
+  from b
+), f as (
+  select doc_id, n_words, n_sentences, n_syllables,
+         floor((206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE))
+               * 1000000.0) / 1000000.0 as flesch
+  from c
+)
+select doc_id, n_words, n_sentences, n_syllables, flesch,
+       case when flesch >= 90.0 then 'very_easy'
+            when flesch >= 60.0 then 'plain'
+            when flesch >= 30.0 then 'difficult'
+            else 'very_difficult' end as band
+from f
+"""
+
+
+#: OOV-rate vocabulary size — deliberately small so the fixture corpora
+#: produce a non-trivial OOV tail (tokenizer-vocab induction proper is
+#: vocab_induct_topk; this is its coverage-audit consumer).
+OOV_VOCAB_K = 512
+
+
+def q_traindata_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: induce a top-K token vocabulary
+    (cnt desc, token asc — the vocab_induct_topk ordering), then roll up
+    the per-document out-of-vocabulary rate by the packing planner's
+    power-of-two length ladder. The answer to "is the tokenizer's vocab
+    big enough for this corpus, and where does it fail" — long documents
+    usually carry the OOV mass.
+
+    Scale shape: the top-K is TakeOrderedAndProject (per-partition
+    partial top-K, no global sort); the vocab join IS a justified
+    broadcast — bounded by the K=512 constant, not corpus-derived-sized
+    (contrast the r3 ngram_jaccard finding, where the broadcast side
+    grew with the corpus). Two passes over the token stream (induce +
+    audit) — at 100 TB the vocab would be induced once offline, so the
+    audit pass is the steady-state cost. Integer sums only; ONE double
+    division per output row, floor-truncated."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    agg = per_doc.groupBy(
+        F.expr(_LEN_BUCKET_EXPR.format(n="n_tokens"))
+        .cast("long")
+        .alias("bucket_lo")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_oov").cast("long").alias("oov_tokens"),
+    )
+    return agg.select(
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        "oov_tokens",
+        (
+            F.floor(
+                (
+                    F.col("oov_tokens").cast("double")
+                    / F.col("total_tokens").cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("oov_rate"),
+    )
+
+
+SQL_TRAINDATA_OOV_RATE = f"""
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) as token from documents
+),
+vocab as (
+  select token from (select token, count(*) as cnt from tok group by token)
+  order by cnt desc, token limit {OOV_VOCAB_K}
+),
+pd as (
+  select t.doc_id, count(*)::BIGINT as n_tokens,
+         sum(case when v.token is null then 1 else 0 end)::BIGINT as n_oov
+  from tok t left join vocab v on t.token = v.token
+  group by t.doc_id
+),
+agg as (
+  select {_LEN_BUCKET_EXPR.format(n="n_tokens")}::BIGINT as bucket_lo,
+         count(*)::BIGINT as n_docs,
+         sum(n_tokens)::BIGINT as total_tokens,
+         sum(n_oov)::BIGINT as oov_tokens
+  from pd group by 1
+)
+select bucket_lo, n_docs, total_tokens, oov_tokens,
+       floor((oov_tokens::DOUBLE / total_tokens::DOUBLE) * 1000000.0)
+         / 1000000.0 as oov_rate
+from agg
+"""
+
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + distance to the global centroid
+    (operators/similarity.centroid_drift) — the per-ingest-batch
+    domain-shift monitor. Decimal-exact per-dim sums, global centroid
+    derived from the per-label sums (no second corpus scan), index-ordered
+    double folds + sqrt, floor truncation."""
+    from .operators.similarity import centroid_drift
+
+    return centroid_drift(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_centroid_drift() -> str:
+    from .operators.similarity import SQL_CENTROID_DRIFT
+
+    return SQL_CENTROID_DRIFT
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -5474,6 +5632,13 @@ CATALOG: dict[str, QueryDef] = {
     "graph_kcore": QueryDef(q_graph_kcore, _sql_graph_kcore()),
     "graph_assortativity": QueryDef(
         q_graph_assortativity, _sql_graph_assortativity()
+    ),
+    "text_readability": QueryDef(q_text_readability, SQL_TEXT_READABILITY),
+    "traindata_oov_rate": QueryDef(
+        q_traindata_oov_rate, SQL_TRAINDATA_OOV_RATE
+    ),
+    "embedding_centroid_drift": QueryDef(
+        q_embedding_centroid_drift, _sql_embedding_centroid_drift()
     ),
 }
 

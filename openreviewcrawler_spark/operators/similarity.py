@@ -571,3 +571,102 @@ select vec_id, round(mn, 6) as mn, round(mx, 6) as mx,
        len(list_filter(errs, er -> er > qscale * 0.375))::BIGINT as n_coarse
 from w
 """
+
+
+def centroid_drift(vectors: DataFrame) -> DataFrame:
+    """Per-label centroid norm + distance to the GLOBAL centroid — the
+    domain-shift monitor a training-data pipeline runs per ingest batch:
+    a source whose centroid drifts from the corpus centroid signals a
+    distribution change (new boilerplate, language shift, scraper
+    breakage) before any downstream eval does. One row per label:
+    (label, n_vectors, centroid_norm, drift_to_global).
+
+    Scale shape: ONE posexplode pass (rows = vectors x dim, map-side
+    combinable), ONE (label, pos) groupBy; the global centroid derives
+    from the per-label DECIMAL sums (exact + associative — no second
+    scan of the corpus), and the dim-indexed join is against a table of
+    n_labels x dim rows, trivially small at any corpus size. No window
+    functions, no broadcast of corpus-sized relations.
+
+    Float parity recipe (CLAUDE.md): per-dim sums in DECIMAL(28,12)
+    (exact, shuffle-order independent — the k-means recipe,
+    `ivf_centroids` above); means = decimal::double / count (per-row,
+    exact); squared terms folded in INDEX ORDER via collect_list +
+    sort_array + F.aggregate with 0.0 init — bit-equal to DuckDB's
+    no-init list_reduce because every summand is non-negative; sqrt is
+    IEEE-correctly-rounded (unlike ln); output floor-truncated (the
+    round() tie-digit trap)."""
+    dims = vectors.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    lm = dims.groupBy("label", "pos").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    g = lm.groupBy("pos").agg(
+        (F.sum("s").cast("double") / F.sum("c")).alias("gm")
+    )
+    j = lm.join(g, "pos").select(
+        "label",
+        "pos",
+        "c",
+        (F.col("s").cast("double") / F.col("c")).alias("m"),
+        "gm",
+    )
+    d2 = (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+    agg = j.groupBy("label").agg(
+        F.max("c").cast("long").alias("n_vectors"),
+        F.sort_array(
+            F.collect_list(F.struct("pos", (F.col("m") * F.col("m")).alias("m2")))
+        ).alias("ml"),
+        F.sort_array(F.collect_list(F.struct("pos", d2.alias("d2")))).alias(
+            "dl"
+        ),
+    )
+    fold = lambda arr, fld: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(arr, lambda st: st[fld]), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    trunc = lambda c: F.floor(c * F.lit(1000000.0)) / F.lit(1000000.0)  # noqa: E731
+    return agg.select(
+        "label",
+        "n_vectors",
+        trunc(fold(F.col("ml"), "m2")).alias("centroid_norm"),
+        trunc(fold(F.col("dl"), "d2")).alias("drift_to_global"),
+    )
+
+
+SQL_CENTROID_DRIFT = """
+with raw as (
+  select label::BIGINT as label, embedding::DOUBLE[] as e from embeddings
+),
+dims as (
+  select label, unnest(range(1, len(e) + 1)) as pos, unnest(e) as val
+  from raw
+),
+lm as (
+  select label, pos, sum(val::DECIMAL(28,12)) as s, count(*) as c
+  from dims group by label, pos
+),
+g as (select pos, sum(s)::DOUBLE / sum(c) as gm from lm group by pos),
+j as (
+  select label, pos, c, s::DOUBLE / c as m, gm
+  from lm join g using (pos)
+),
+a as (
+  select label, max(c)::BIGINT as n_vectors,
+         list(m * m order by pos) as ml,
+         list((m - gm) * (m - gm) order by pos) as dl
+  from j group by label
+)
+select label, n_vectors,
+       floor(sqrt(list_reduce(ml, (x, y) -> x + y)) * 1000000.0) / 1000000.0
+         as centroid_norm,
+       floor(sqrt(list_reduce(dl, (x, y) -> x + y)) * 1000000.0) / 1000000.0
+         as drift_to_global
+from a
+"""

@@ -229,3 +229,51 @@ def sentence_cols(text: Column) -> dict[str, Column]:
             (n_chars - n_bounds).cast("double") / n_sentences.cast("double"), 4
         ),
     }
+
+
+def readability_cols(text: Column) -> dict[str, Column]:
+    """Flesch-style readability signals — the classic reading-ease formula
+    over three engine-shared integer counts (words, sentence boundaries,
+    vowel-group syllable proxy). Corpus pipelines use the score as a cheap
+    fluency gate next to the bigram LM (operators/lm.py) and the
+    quality_score ladder; the reference's parse pass has no analog — this
+    is 100 TB-pipeline surface, per the round brief.
+
+    Cross-engine parity: the three counts are integers (sentence
+    boundaries by strip-and-diff as in :func:`sentence_cols`; syllable
+    groups by marking every '[aeiouy]+' run as a single 'V' in the
+    LOWERCASED text — which cannot itself contain 'V' — then counting the
+    markers by translate-and-diff); the Flesch formula is then pure
+    per-row IEEE double arithmetic (identical in JVM and DuckDB), and the
+    score is floor-truncated, never round()ed (the tie-digit trap,
+    CLAUDE.md round-4 lessons)."""
+    toks = tokens_col(text)
+    n_words = F.size(toks).cast("long")  # split('',' ')=[''] => always >= 1
+    n_chars = F.length(text).cast("long")
+    n_bounds = (n_chars - F.length(F.regexp_replace(text, "[.!?]", ""))).cast(
+        "long"
+    )
+    n_sentences = F.greatest(F.lit(1).cast("long"), n_bounds)
+    marked = F.regexp_replace(F.lower(text), "[aeiouy]+", "V")
+    n_syll = (
+        F.length(marked) - F.length(F.translate(marked, "V", ""))
+    ).cast("long")
+    w, s = n_words.cast("double"), n_sentences.cast("double")
+    y = n_syll.cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)
+    )
+    flesch_t = F.floor(flesch * F.lit(1000000.0)) / F.lit(1000000.0)
+    band = (
+        F.when(flesch_t >= 90.0, F.lit("very_easy"))
+        .when(flesch_t >= 60.0, F.lit("plain"))
+        .when(flesch_t >= 30.0, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sentences,
+        "n_syllables": n_syll,
+        "flesch": flesch_t,
+        "band": band,
+    }

@@ -523,3 +523,82 @@ def test_dataset_card_counts_planted_dups(spark, sf_dir):
     assert card["n_docs"] > card["n_exact_dup_copies"]
     assert card["total_tokens"] > card["n_docs"]  # multi-token docs
     assert 0.0 <= card["mean_quality"] <= 1.0
+
+
+def test_readability_counts_and_band(spark):
+    from openreviewcrawler_spark.operators.textstats import readability_cols
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it sat on a mat."), (2, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    cols = readability_cols(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 8 and r1["n_sentences"] == 2
+    # "the cat sat. it sat on a mat." vowel groups: e,a,a,i,a,o,a,a = 8
+    assert r1["n_syllables"] == 8
+    # short simple sentences -> very easy band
+    assert r1["band"] == "very_easy"
+    r2 = out[2]
+    assert r2["n_sentences"] == 1 and r2["n_syllables"] == 0
+
+
+def test_oov_rate_spark_matches_twin_on_tiny_fixture(spark, tmp_path):
+    # K=512 >> 3 distinct tokens => everything in-vocab, oov_rate 0.0;
+    # the point is the full Spark-vs-DuckDB multiset parity on a fixture
+    # small enough to eyeball.
+    from openreviewcrawler_spark import catalog as C
+
+    df = spark.createDataFrame(
+        [(1, "a a a rare"), (2, "a b b"), (3, "b a")],
+        "doc_id long, text string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        map(tuple, C.q_traindata_oov_rate(spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(con.sql(C.SQL_TRAINDATA_OOV_RATE).fetchall())
+    assert got == want
+    assert got[0][0] == 0 and got[0][1] == 3  # one bucket, three docs
+    assert got[0][-1] == 0.0
+
+
+def test_centroid_drift_two_labels(spark):
+    import duckdb
+
+    from openreviewcrawler_spark.operators.similarity import (
+        SQL_CENTROID_DRIFT,
+        centroid_drift,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # label 0 centroid (1,0)
+        (3, [0.0, 1.0], 1), (4, [0.0, 1.0], 1),   # label 1 centroid (0,1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in centroid_drift(df).collect()}
+    # global centroid (0.5, 0.5); drift each = sqrt(0.25+0.25)
+    import math
+    want_drift = math.floor(math.sqrt(0.5) * 1e6) / 1e6
+    assert got[0]["n_vectors"] == 2 and got[1]["n_vectors"] == 2
+    assert got[0]["drift_to_global"] == want_drift
+    assert got[0]["centroid_norm"] == 1.0
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    oracle = {r[0]: r for r in con.sql(SQL_CENTROID_DRIFT).fetchall()}
+    for lbl in (0, 1):
+        g = got[lbl]
+        assert (g["n_vectors"], g["centroid_norm"], g["drift_to_global"]) == (
+            oracle[lbl][1], oracle[lbl][2], oracle[lbl][3],
+        )
