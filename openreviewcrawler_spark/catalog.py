@@ -5426,6 +5426,39 @@ def _sql_embedding_centroid_drift() -> str:
     return SQL_CENTROID_DRIFT
 
 
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (operators/rank.clustering_coeff) over
+    the planted-cell + noise graph: in-cell nodes read clique-like
+    coefficients, noise-only nodes read near zero. Composes the
+    degree-oriented triangle counter with one degree groupBy; integer
+    counts, one floor-truncated division."""
+    from .operators.rank import clustering_coeff
+
+    return clustering_coeff(_tri_edges_df(spark, sf_dir))
+
+
+def _sql_graph_clustering_coeff() -> str:
+    from .operators.rank import clustering_coeff_sql
+
+    return clustering_coeff_sql(_TRI_EDGES_CTE)
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA (operators/similarity.dim_stats): dead
+    dims, clipped ranges, zero-inflation, decimal-exact means. One
+    posexplode + one groupBy(pos); output is dim rows at any corpus
+    size."""
+    from .operators.similarity import dim_stats
+
+    return dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_dim_stats() -> str:
+    from .operators.similarity import SQL_DIM_STATS
+
+    return SQL_DIM_STATS
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -5639,6 +5672,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "embedding_centroid_drift": QueryDef(
         q_embedding_centroid_drift, _sql_embedding_centroid_drift()
+    ),
+    "graph_clustering_coeff": QueryDef(
+        q_graph_clustering_coeff, _sql_graph_clustering_coeff()
+    ),
+    "embedding_dim_stats": QueryDef(
+        q_embedding_dim_stats, _sql_embedding_dim_stats()
     ),
 }
 

@@ -784,3 +784,78 @@ select m as n_endpoints,
              end * 1000000.0) / 1000000.0 as r_assort
 from agg
 """
+
+
+def clustering_coeff(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient — (node, deg, n_tri, coeff) for every
+    node of undirected degree >= 2, coeff = 2*T / (d*(d-1)). The
+    per-neighborhood density read that separates organic hub pages
+    (low coeff: star-shaped) from link farms and mutual-citation rings
+    (high coeff: clique-shaped); frontier schedulers demote high-coeff
+    neighborhoods the same way trap detection demotes DUST paths.
+
+    Scale shape: composes :func:`triangle_counts` (degree-oriented wedge
+    join, O(sqrt(m)) out-degree bound) with ONE degree groupBy over the
+    canonical undirected edge table; the triangle side joins back on node
+    (left join — nodes in no triangle count 0). Integer counts
+    throughout; ONE per-row double division, floor-truncated (tie-digit
+    round() trap; 2*T and d*(d-1) are exact longs)."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    coeff = (F.lit(2) * F.col("n_tri")).cast("double") / (
+        F.col("deg") * (F.col("deg") - F.lit(1))
+    ).cast("double")
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        )
+        .select(
+            "node",
+            "deg",
+            "n_tri",
+            (F.floor(coeff * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
+                "coeff"
+            ),
+        )
+    )
+
+
+def clustering_coeff_sql(edges_cte: str) -> str:
+    """Oracle twin: triangle_counts_sql nested as a CTE (DuckDB allows a
+    nested WITH inside a CTE body; inner names shadow, outer names are
+    suffixed to avoid collision)."""
+    return f"""
+with t as ({triangle_counts_sql(edges_cte)}),
+raw2 as ({edges_cte}),
+und2 as (
+  select distinct least(src, dst) as a, greatest(src, dst) as b
+  from raw2 where src <> dst
+),
+deg2 as (
+  select node, count(*)::BIGINT as deg from (
+    select unnest([a, b]) as node from und2
+  ) group by node
+)
+select d.node::BIGINT as node, d.deg,
+       coalesce(t.n_tri, 0)::BIGINT as n_tri,
+       floor(((2 * coalesce(t.n_tri, 0))::DOUBLE
+              / (d.deg * (d.deg - 1))::DOUBLE) * 1000000.0) / 1000000.0
+         as coeff
+from deg2 d left join t on d.node = t.node
+where d.deg >= 2
+"""

@@ -670,3 +670,62 @@ select label, n_vectors,
          as drift_to_global
 from a
 """
+
+
+def dim_stats(vectors: DataFrame) -> DataFrame:
+    """Per-dimension QA profile — (pos, n, vmin, vmax, mean, n_zero,
+    is_dead) over the whole embedding table. The ingest-time detector for
+    dead dimensions (constant output — a truncated or mis-initialized
+    encoder head), clipped ranges, and zero-inflation; the per-dimension
+    sibling of :func:`embedding_qa`'s per-vector norms.
+
+    Scale shape: ONE posexplode pass, ONE groupBy(pos) with map-side
+    partials — output is dim rows regardless of corpus size. Parity:
+    min/max/counts are exact (float32-widened doubles compare exactly);
+    the mean rides the DECIMAL(28,12)-sum recipe on the RAW values only —
+    no decimal cast of any computed double (the shortest-repr cast
+    asymmetry stays out of reach); one double division, floor-truncated."""
+    dims = vectors.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        )
+    )
+    agg = dims.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.sum(F.when(F.col("val") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+    )
+    return agg.select(
+        (F.col("pos") + 1).cast("long").alias("pos"),  # 1-based, oracle-shared
+        "n",
+        "vmin",
+        "vmax",
+        (
+            F.floor(
+                (F.col("s").cast("double") / F.col("n")) * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("mean"),
+        "n_zero",
+        (F.col("vmin") == F.col("vmax")).alias("is_dead"),
+    )
+
+
+SQL_DIM_STATS = """
+with dims as (
+  select unnest(range(1, len(embedding) + 1)) as pos,
+         unnest(embedding::DOUBLE[]) as val
+  from embeddings
+)
+select pos::BIGINT as pos, count(*)::BIGINT as n,
+       min(val) as vmin, max(val) as vmax,
+       floor((sum(val::DECIMAL(28,12))::DOUBLE / count(*)) * 1000000.0)
+         / 1000000.0 as mean,
+       sum(case when val = 0.0 then 1 else 0 end)::BIGINT as n_zero,
+       min(val) = max(val) as is_dead
+from dims group by pos
+"""

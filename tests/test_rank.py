@@ -124,3 +124,26 @@ def test_assortativity_regular_graph_is_null(spark):
     e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
     row = assortativity(e).collect()[0]
     assert row["r_assort"] is None
+
+
+def test_clustering_coeff_triangle_plus_tail(spark):
+    import duckdb
+
+    from openreviewcrawler_spark.operators.rank import (
+        clustering_coeff,
+        clustering_coeff_sql,
+    )
+
+    # triangle {0,1,2} + pendant 2-3: nodes 0,1 have coeff 1.0; node 2 has
+    # deg 3, one triangle -> 2/(3*2) = 0.333333; node 3 deg 1 -> excluded.
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["deg"], r["n_tri"], r["coeff"])
+           for r in clustering_coeff(e).collect()}
+    assert got[0] == (2, 1, 1.0) and got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, 0.333333)
+    assert 3 not in got
+    cte = " union all ".join(f"select {a} as src, {b} as dst" for a, b in edges)
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in duckdb.sql(clustering_coeff_sql(cte)).fetchall()}
+    assert got == want

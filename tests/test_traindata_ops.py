@@ -602,3 +602,35 @@ def test_centroid_drift_two_labels(spark):
         assert (g["n_vectors"], g["centroid_norm"], g["drift_to_global"]) == (
             oracle[lbl][1], oracle[lbl][2], oracle[lbl][3],
         )
+
+
+def test_dim_stats_detects_dead_and_zero_dims(spark):
+    import duckdb
+    import pandas as pd
+
+    from openreviewcrawler_spark.operators.similarity import (
+        SQL_DIM_STATS,
+        dim_stats,
+    )
+
+    rows = [
+        (1, [0.5, 7.0, 0.0], 0),
+        (2, [-0.25, 7.0, 1.0], 0),
+        (3, [0.75, 7.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["pos"]: r for r in dim_stats(df).collect()}
+    assert got[2]["is_dead"] and got[2]["vmin"] == 7.0
+    assert not got[1]["is_dead"] and got[1]["n"] == 3
+    assert got[3]["n_zero"] == 2
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    want = {r[0]: r for r in con.sql(SQL_DIM_STATS).fetchall()}
+    for pos in (1, 2, 3):
+        g = got[pos]
+        assert (g["n"], g["vmin"], g["vmax"], g["mean"], g["n_zero"],
+                g["is_dead"]) == want[pos][1:]
