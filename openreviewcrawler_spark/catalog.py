@@ -5459,6 +5459,64 @@ def _sql_embedding_dim_stats() -> str:
     return SQL_DIM_STATS
 
 
+def q_text_unicode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset/mojibake QA gate (operators/textstats.unicode_profile_cols)
+    with PLANTED defects (the embedding_qa pattern — the fixture corpus is
+    pure ASCII, so the gate's columns would otherwise read trivially):
+    doc_id % 7 == 0 gets a Latin-1-double-decode marker suffix,
+    doc_id % 11 == 0 gets a BEL control char. One scan, pure codegen."""
+    from .operators.textstats import unicode_profile_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    doctored = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" nÃ¯ve")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\x07")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    cols = unicode_profile_cols(F.col("text"))
+    return doctored.select(
+        "doc_id", *[c.alias(k) for k, c in cols.items()]
+    )
+
+
+SQL_TEXT_UNICODE_PROFILE = """
+with doctored as (
+  select doc_id,
+         text || case when doc_id % 7 = 0 then ' nÃ¯ve' else '' end
+              || case when doc_id % 11 = 0 then chr(7) else '' end as text
+  from documents
+), b as (
+  select doc_id, length(text)::BIGINT as n_chars,
+         length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::BIGINT
+           as n_ascii,
+         (length(text)
+          - length(regexp_replace(text,
+              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))::BIGINT
+           as n_control,
+         (length(text) - length(translate(text, 'Ã', '')))::BIGINT
+           as n_mojibake
+  from doctored
+), r as (
+  select doc_id, n_chars, n_ascii, n_control, n_mojibake,
+         floor((n_ascii::DOUBLE / greatest(1, n_chars)::DOUBLE) * 1000000.0)
+           / 1000000.0 as ascii_ratio
+  from b
+)
+select doc_id, n_chars, n_ascii, n_control, n_mojibake, ascii_ratio,
+       case when ascii_ratio < 0.95 or n_mojibake > 0 then 'suspect'
+            when n_control > 0 then 'control_chars'
+            else 'clean' end as charset_flag
+from r
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -5678,6 +5736,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "embedding_dim_stats": QueryDef(
         q_embedding_dim_stats, _sql_embedding_dim_stats()
+    ),
+    "text_unicode_profile": QueryDef(
+        q_text_unicode_profile, SQL_TEXT_UNICODE_PROFILE
     ),
 }
 

@@ -277,3 +277,44 @@ def readability_cols(text: Column) -> dict[str, Column]:
         "flesch": flesch_t,
         "band": band,
     }
+
+
+def unicode_profile_cols(text: Column) -> dict[str, Column]:
+    """Charset/encoding QA — the mojibake gate every web-text cleaning
+    ladder runs before tokenization: ASCII ratio, C0-control count, and
+    the classic UTF-8-decoded-as-Latin-1 marker ('Ã' — a corpus with
+    real multilingual text has some, a corpus with double-decoded text
+    has one per non-ASCII character). Pure codegen projection.
+
+    Parity notes: counts by strip-and-diff (never split); `length` is
+    codepoints in both engines; the regexes live in PYTHON string
+    literals on the Spark side and a separate SQL string for DuckDB, so
+    the Hive-backslash-escaping trap for shared snippets (CLAUDE.md)
+    never applies; the one ratio is a per-row double division,
+    floor-truncated."""
+    n_chars = F.length(text).cast("long")
+    n_ascii = F.length(F.regexp_replace(text, "[^\x00-\x7f]", "")).cast("long")
+    n_control = (
+        n_chars
+        - F.length(
+            F.regexp_replace(text, "[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+        )
+    ).cast("long")
+    n_moji = (n_chars - F.length(F.translate(text, "Ã", ""))).cast("long")
+    ratio = n_ascii.cast("double") / F.greatest(
+        F.lit(1).cast("long"), n_chars
+    ).cast("double")
+    ratio_t = F.floor(ratio * F.lit(1000000.0)) / F.lit(1000000.0)
+    flag = (
+        F.when((ratio_t < 0.95) | (n_moji > 0), F.lit("suspect"))
+        .when(n_control > 0, F.lit("control_chars"))
+        .otherwise(F.lit("clean"))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_ascii": n_ascii,
+        "n_control": n_control,
+        "n_mojibake": n_moji,
+        "ascii_ratio": ratio_t,
+        "charset_flag": flag,
+    }

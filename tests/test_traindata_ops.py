@@ -634,3 +634,25 @@ def test_dim_stats_detects_dead_and_zero_dims(spark):
         g = got[pos]
         assert (g["n"], g["vmin"], g["vmax"], g["mean"], g["n_zero"],
                 g["is_dead"]) == want[pos][1:]
+
+
+def test_unicode_profile_flags_mojibake_and_controls(spark):
+    from openreviewcrawler_spark.operators.textstats import (
+        unicode_profile_cols,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain ascii text."),
+            (2, "double-decoded nÃ¯ve marker"),
+            (3, "bell\x07inside"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = unicode_profile_cols(F.col("text"))
+    out = {r["doc_id"]: r
+           for r in df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()}
+    assert out[1]["charset_flag"] == "clean" and out[1]["ascii_ratio"] == 1.0
+    assert out[2]["n_mojibake"] == 1 and out[2]["charset_flag"] == "suspect"
+    assert out[3]["n_control"] == 1 and out[3]["charset_flag"] == "control_chars"
+    assert out[2]["n_ascii"] == out[2]["n_chars"] - 2  # Ã and ¯ both counted
