@@ -5517,6 +5517,67 @@ from r
 """
 
 
+def q_host_graph_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page graph -> weighted host graph — the collapse every host-level
+    scheduler (politeness budgets, mirror detection, site-level PageRank)
+    runs instead of touching the page graph: hosts own consecutive
+    20-page blocks (floor(page/20), the planted-cell convention), edges
+    roll up to (src_host, dst_host) with link counts and distinct
+    endpoint-page counts, plus the intra-host flag.
+
+    Scale shape: one projection + ONE map-side-combined groupBy over the
+    edge table; output is O(host-pairs), the whole point — at 10^10
+    pages the host graph is the only graph the driver-side scheduler can
+    afford to look at. count_distinct is exact per group (bounded by the
+    20-page block size on the src side). Integer-only output."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 997).alias("ps"),
+        ((F.col("doc_id") * 13 + 5) % 997).alias("pd"),
+    ).filter(F.col("ps") != F.col("pd"))
+    hosted = edges.select(
+        "ps",
+        "pd",
+        F.floor(F.col("ps") / F.lit(20)).cast("long").alias("src_host"),
+        F.floor(F.col("pd") / F.lit(20)).cast("long").alias("dst_host"),
+    )
+    return (
+        hosted.groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.count_distinct("ps").cast("long").alias("n_src_pages"),
+            F.count_distinct("pd").cast("long").alias("n_dst_pages"),
+        )
+        .select(
+            "src_host",
+            "dst_host",
+            "n_links",
+            "n_src_pages",
+            "n_dst_pages",
+            (F.col("src_host") == F.col("dst_host")).alias("is_intra"),
+        )
+    )
+
+
+SQL_HOST_GRAPH_COLLAPSE = """
+with edges as (
+  select doc_id % 997 as ps, (doc_id * 13 + 5) % 997 as pd
+  from documents
+), f as (
+  select ps, pd,
+         floor(ps / 20)::BIGINT as src_host,
+         floor(pd / 20)::BIGINT as dst_host
+  from edges where ps <> pd
+)
+select src_host, dst_host,
+       count(*)::BIGINT as n_links,
+       count(distinct ps)::BIGINT as n_src_pages,
+       count(distinct pd)::BIGINT as n_dst_pages,
+       src_host = dst_host as is_intra
+from f group by src_host, dst_host
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -5739,6 +5800,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_unicode_profile": QueryDef(
         q_text_unicode_profile, SQL_TEXT_UNICODE_PROFILE
+    ),
+    "host_graph_collapse": QueryDef(
+        q_host_graph_collapse, SQL_HOST_GRAPH_COLLAPSE
     ),
 }
 
