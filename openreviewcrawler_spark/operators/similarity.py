@@ -602,9 +602,15 @@ def centroid_drift(vectors: DataFrame) -> DataFrame:
             "pos", "val"
         ),
     )
-    lm = dims.groupBy("label", "pos").agg(
-        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
-        F.count("*").alias("c"),
+    # lm (n_labels x dim rows) feeds BOTH the global centroid and the
+    # per-label join — without a persist Catalyst embeds the full
+    # corpus-scan aggregation once per consumer (the r3 "self-reference
+    # re-runs the upstream plan" trap; the plan guard asserts one scan)
+    lm = track_persist(
+        dims.groupBy("label", "pos").agg(
+            F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+            F.count("*").alias("c"),
+        )
     )
     g = lm.groupBy("pos").agg(
         (F.sum("s").cast("double") / F.sum("c")).alias("gm")

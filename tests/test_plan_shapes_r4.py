@@ -160,3 +160,57 @@ def test_semantic_dedup_pairs_are_cell_bounded(spark, sf_dir):
         if "Join" in line and "cell" in line and "NestedLoop" not in line
     ]
     assert pair_join, plan
+
+
+def test_session3_graph_ops_plans_are_equi_join_only(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import (
+        q_graph_assortativity,
+        q_graph_clustering_coeff,
+        q_graph_kcore,
+    )
+
+    # peeling / wedge / moment pipelines must stay hash equi-joins — a
+    # nested-loop fallback or a forced broadcast of the corpus-sized
+    # alive/degree tables is the 100x scale killer (r3 ngram lesson)
+    for q in (q_graph_kcore, q_graph_assortativity, q_graph_clustering_coeff):
+        _assert_clean(_plan(q(spark, sf_dir)))
+
+
+def test_oov_rate_broadcast_is_the_bounded_topk_only(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_traindata_oov_rate
+
+    plan = _plan(q_traindata_oov_rate(spark, sf_dir))
+    _assert_clean(plan)
+    # the vocab side is a constant-K top-K: distributed partial top-K,
+    # never a global Sort feeding the limit
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalLimit" not in plan, plan
+
+
+def test_embedding_profile_plans_are_single_pass(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import (
+        q_embedding_centroid_drift,
+        q_embedding_dim_stats,
+    )
+
+    # dim_stats: one generate + one aggregate, no join at all
+    dplan = _plan(q_embedding_dim_stats(spark, sf_dir))
+    _assert_clean(dplan, "Join", "Window")
+    # centroid_drift: the global centroid must derive from the per-label
+    # sums — BOTH consumers of lm read the persisted relation (one
+    # physical corpus scan), never re-embed the scan+aggregate per branch
+    cplan = _plan(q_embedding_centroid_drift(spark, sf_dir))
+    _assert_clean(cplan, "Window")
+    assert cplan.count("InMemoryTableScan") == 2, cplan
+
+
+def test_unicode_profile_and_host_collapse_are_shuffle_minimal(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import (
+        q_host_graph_collapse,
+        q_text_unicode_profile,
+    )
+
+    uplan = _plan(q_text_unicode_profile(spark, sf_dir))
+    _assert_clean(uplan, "Join", "Window", "Exchange")  # pure projection
+    hplan = _plan(q_host_graph_collapse(spark, sf_dir))
+    _assert_clean(hplan, "Join", "Window")
