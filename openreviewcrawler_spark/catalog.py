@@ -5578,6 +5578,135 @@ from f group by src_host, dst_host
 """
 
 
+_CB_OUTCOMES_CTE = """
+  select 'h' || cast(doc_id % 11 as varchar(10)) as host,
+         doc_id % 7 as rnd,
+         count(*)::BIGINT as n_req,
+         sum(case when ((doc_id % 11) + (doc_id % 7)) % 7 < 3
+                  then 1 else 0 end)::BIGINT as n_err
+  from documents group by 1, 2
+"""
+
+
+def q_crawl_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch circuit breaker (operators/scheduler.
+    circuit_breaker): closed -> open -> half_open over (host, round)
+    outcome rollups — 3 consecutive majority-failure rounds trip a
+    2-round cooldown, then a single probe. The failure-isolation sibling
+    of crawl_token_bucket (same applyInPandas recurrence shape, same
+    recursive-CTE oracle discipline). Fixture: (h + r) % 7 < 3 makes
+    every host fail exactly 3 consecutive rounds of its 7, so trip,
+    cooldown, probe and recovery all appear at every SF."""
+    from .operators.scheduler import circuit_breaker
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string")).alias("host")
+    r = (F.col("doc_id") % 7).alias("rnd")
+    fail = ((F.col("doc_id") % 11) + (F.col("doc_id") % 7)) % 7 < 3
+    outcomes = docs.groupBy(h, r).agg(
+        F.count(F.lit(1)).cast("long").alias("n_req"),
+        F.sum(fail.cast("long")).cast("long").alias("n_err"),
+    )
+    return circuit_breaker(outcomes)
+
+
+def _sql_crawl_circuit_breaker() -> str:
+    from .operators.scheduler import circuit_breaker_sql
+
+    return circuit_breaker_sql(_CB_OUTCOMES_CTE)
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-occurrence shingle novelty (operators/textstats.
+    ngram_novelty) over the duplicate-planted corpus: exact copies score
+    0.0 (every shingle first appeared in the original), the tail-cut
+    near-dups score only their lost-prefix share. The corpus-saturation
+    dashboard metric; see the operator docstring for the 3-shuffle shape."""
+    from .operators.textstats import ngram_novelty
+
+    return ngram_novelty(_corpus(spark, sf_dir))
+
+
+SQL_TEXT_NGRAM_NOVELTY = f"""
+with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
+first as (
+  select shingle, min(doc_id) as first_doc from sh group by shingle
+),
+per as (
+  select s.doc_id, count(*)::BIGINT as n_shingles,
+         sum(case when f.first_doc = s.doc_id then 1 else 0 end)::BIGINT as n_novel
+  from sh s join first f using (shingle) group by s.doc_id
+)
+select doc_id, n_shingles, n_novel,
+       floor((n_novel::DOUBLE / n_shingles::DOUBLE) * 1000000.0) / 1000000.0
+         as novelty
+from per
+"""
+
+
+def q_mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image tile-grid planning (operators/multimodal.plan_image_tiles):
+    64 px row-major tiles with border clipping, planned from metadata
+    only — the ViT-patch companion of mm_audio_chunks; one pure-JVM
+    sequence-explode, decode stays behind the multimodal stub."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.plan_image_tiles(multimodal.assets_from_documents(docs))
+
+
+SQL_MM_IMAGE_TILES = """
+with a as (
+  select doc_id as asset_id, length(text)::BIGINT as sl
+  from documents where doc_id % 3 = 0
+), d as (
+  select asset_id, (sl % 613 + 32)::BIGINT as w,
+         ((sl * 7) % 487 + 32)::BIGINT as h
+  from a
+), n as (
+  select asset_id, w, h,
+         ((w + 63) // 64)::BIGINT as nx, ((h + 63) // 64)::BIGINT as ny
+  from d
+), t as (
+  select asset_id, w, h, nx, unnest(range(nx * ny)) as tile_idx from n
+)
+select asset_id, tile_idx::BIGINT as tile_idx,
+       ((tile_idx % nx) * 64)::BIGINT as x0,
+       ((tile_idx // nx) * 64)::BIGINT as y0,
+       least((tile_idx % nx) * 64 + 64, w)::BIGINT as x1,
+       least((tile_idx // nx) * 64 + 64, h)::BIGINT as y1
+from t
+"""
+
+
+def q_traindata_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split balance audit (operators/textstats.
+    kfold_assign, k=5): md5-coin fold assignment + per-(fold, source)
+    counts with integer ppm deviation from the ideal share. The
+    reproducible-split sibling of traindata_stratified_sample (same
+    hash kit, partition semantics instead of Bernoulli)."""
+    from .operators.textstats import kfold_assign
+
+    return kfold_assign(_t(spark, sf_dir, "documents"), k=5)
+
+
+SQL_TRAINDATA_KFOLD_ASSIGN = f"""
+with f as (
+  select ({_H32.format(x="'kfold|' || cast(doc_id as varchar(30))")} % 5) as fold,
+         source as stratum
+  from documents
+), r as (
+  select fold, stratum, count(*)::BIGINT as n_docs from f group by fold, stratum
+), t as (
+  select fold, stratum, n_docs,
+         sum(n_docs) over (partition by stratum)::BIGINT as stratum_total
+  from r
+)
+select fold, stratum, n_docs, stratum_total,
+       floor(((n_docs * 5 - stratum_total) * 1000000) / (stratum_total * 5))::BIGINT
+         as dev_ppm
+from t
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -5803,6 +5932,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "host_graph_collapse": QueryDef(
         q_host_graph_collapse, SQL_HOST_GRAPH_COLLAPSE
+    ),
+    # --- session-4 additions (tail slots, r5-window queue) ---
+    "text_ngram_novelty": QueryDef(q_text_ngram_novelty, SQL_TEXT_NGRAM_NOVELTY),
+    "mm_image_tiles": QueryDef(q_mm_image_tiles, SQL_MM_IMAGE_TILES),
+    "traindata_kfold_assign": QueryDef(
+        q_traindata_kfold_assign, SQL_TRAINDATA_KFOLD_ASSIGN
+    ),
+    "crawl_circuit_breaker": QueryDef(
+        q_crawl_circuit_breaker, _sql_crawl_circuit_breaker()
     ),
 }
 

@@ -195,3 +195,51 @@ def plan_audio_chunks(
         start.alias("start_ms"),
         F.least(start + win_ms, F.col("__dur")).alias("end_ms"),
     )
+
+
+TILE_PX = 64
+
+
+def plan_image_tiles(assets: DataFrame, tile_px: int = TILE_PX) -> DataFrame:
+    """Image tiling plan — (asset_id, tile_idx, x0, y0, x1, y1) covering
+    each image with a tile_px grid (ViT-patch / SAM-crop preprocessing
+    shape). Like ``plan_audio_chunks`` this is the METADATA-ONLY planner:
+    width/height come from the deterministic src_len stand-in for the
+    decode stub's output (w = src_len % 613 + 32, h = src_len*7 % 487 +
+    32 — the real pipeline joins ``decode_metadata`` instead), so the
+    plan is pure JVM sequence-explode with the payload column pruned;
+    the Arrow crop stage downstream is the only reader of bytes.
+
+    Edge tiles are clipped at the image border (x1/y1 = least(..)), so
+    sum(tile areas) == w*h exactly. Row-major tile_idx = ty*nx + tx.
+    Not in the reference (PDF blobs only); training-pipeline surface.
+    """
+    w = (F.col("src_len") % 613 + 32).cast("long")
+    h = ((F.col("src_len") * 7) % 487 + 32).cast("long")
+    img = assets.filter(F.col("kind") == "image").select(
+        "asset_id", w.alias("__w"), h.alias("__h")
+    )
+    nx = F.floor((F.col("__w") + tile_px - 1) / tile_px).cast("long")
+    ny = F.floor((F.col("__h") + tile_px - 1) / tile_px).cast("long")
+    g = img.select("asset_id", "__w", "__h", nx.alias("__nx"), ny.alias("__ny"))
+    t = g.select(
+        "asset_id",
+        "__w",
+        "__h",
+        "__nx",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("__nx") * F.col("__ny") - 1).cast("int"))
+        ).alias("tile_idx"),
+    )
+    tx = F.col("tile_idx").cast("long") % F.col("__nx")
+    ty = F.floor(F.col("tile_idx").cast("long") / F.col("__nx")).cast("long")
+    x0 = tx * tile_px
+    y0 = ty * tile_px
+    return t.select(
+        "asset_id",
+        F.col("tile_idx").cast("long").alias("tile_idx"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        F.least(x0 + tile_px, F.col("__w")).alias("x1"),
+        F.least(y0 + tile_px, F.col("__h")).alias("y1"),
+    )

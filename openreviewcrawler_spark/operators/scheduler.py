@@ -860,3 +860,132 @@ select l.host, l.subnet, l.pending, n.subnet_hosts, n.subnet_pending,
          as host_cap
 from loads l join nets n using (subnet)
 """
+
+
+CB_FAIL_ROUNDS = 3  # consecutive failure rounds that trip the breaker
+CB_COOLDOWN = 2     # rounds a tripped breaker stays open
+
+
+def circuit_breaker(
+    outcomes: DataFrame,
+    fail_rounds: int = CB_FAIL_ROUNDS,
+    cooldown: int = CB_COOLDOWN,
+    host_col: str = "host",
+    round_col: str = "rnd",
+) -> DataFrame:
+    """Per-host fetch circuit breaker across scheduling rounds — (host,
+    rnd, n_req, n_err, state, allowed, denied). The failure-isolation
+    politeness tier the reference lacks entirely (its crawler retries
+    unconditionally): a host whose rounds keep majority-failing stops
+    receiving traffic for a cooldown, then gets a single half-open probe
+    before full traffic resumes.
+
+    State machine, evaluated at each round's START (integer-exact):
+      closed     allow all. fail := 2*n_err >= n_req; `fail_rounds`
+                 consecutive fails trip the breaker OPEN for `cooldown`.
+      open       allow none; after `cooldown` rounds -> half_open.
+      half_open  allow ONE probe; fail -> open again, success -> closed.
+
+    Like token_bucket_pacing this is a running non-associative recurrence
+    — not a window aggregate — so it is the sanctioned Arrow path: one
+    vectorized ``applyInPandas`` per host over the PRE-AGGREGATED (host,
+    round) outcome rollup (O(hosts x rounds) rows, never URLs; per-group
+    work bounded by rounds, not traffic). The DuckDB oracle is the
+    identical recurrence as a recursive CTE, bit-for-bit.
+    """
+    out_schema = (
+        f"{host_col} string, {round_col} long, n_req long, n_err long, "
+        "state string, allowed long, denied long"
+    )
+    labels = {0: "closed", 1: "open", 2: "half_open"}
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(round_col).reset_index(drop=True)
+        s, streak, left = 0, 0, 0
+        states, allowed = [], []
+        for n_req, n_err in zip(pdf["n_req"], pdf["n_err"]):
+            states.append(labels[s])
+            fail = 2 * int(n_err) >= int(n_req)
+            if s == 0:
+                allowed.append(int(n_req))
+                streak = streak + 1 if fail else 0
+                if streak >= fail_rounds:
+                    s, left, streak = 1, cooldown, 0
+            elif s == 1:
+                allowed.append(0)
+                left -= 1
+                if left == 0:
+                    s = 2
+            else:  # half_open
+                allowed.append(min(int(n_req), 1))
+                s, left = (1, cooldown) if fail else (0, 0)
+                streak = 0
+        pdf["state"] = states
+        pdf["allowed"] = allowed
+        pdf["denied"] = pdf["n_req"] - pdf["allowed"]
+        return pdf[
+            [host_col, round_col, "n_req", "n_err", "state", "allowed", "denied"]
+        ]
+
+    return outcomes.groupBy(host_col).applyInPandas(_run, out_schema)
+
+
+def circuit_breaker_sql(
+    outcomes_cte: str, fail_rounds: int = CB_FAIL_ROUNDS, cooldown: int = CB_COOLDOWN
+) -> str:
+    """Oracle twin: the same state machine as a recursive CTE stepping
+    rnd -> rnd + 1 per host (rounds dense per host). Carried columns are
+    the NEXT-round state triple (s, streak, open_left); each row also
+    emits the state the round STARTED in (that's what admission used)."""
+    step = f"""
+         case when w.s = 0 then
+                case when (case when 2 * r.n_err >= r.n_req then w.streak + 1
+                                else 0 end) >= {fail_rounds}
+                     then 1 else 0 end
+              when w.s = 1 then case when w.open_left - 1 = 0 then 2 else 1 end
+              else case when 2 * r.n_err >= r.n_req then 1 else 0 end
+         end"""
+    streak = f"""
+         case when w.s = 0 then
+                case when (case when 2 * r.n_err >= r.n_req then w.streak + 1
+                                else 0 end) >= {fail_rounds}
+                     then 0
+                     else case when 2 * r.n_err >= r.n_req then w.streak + 1
+                               else 0 end end
+              else 0 end"""
+    left = f"""
+         case when w.s = 0 then
+                case when (case when 2 * r.n_err >= r.n_req then w.streak + 1
+                                else 0 end) >= {fail_rounds}
+                     then {cooldown} else 0 end
+              when w.s = 1 then w.open_left - 1
+              else case when 2 * r.n_err >= r.n_req then {cooldown} else 0 end
+         end"""
+    allowed = """
+         case when w.s = 0 then r.n_req
+              when w.s = 1 then 0
+              else least(r.n_req, 1) end"""
+    return f"""
+with recursive log as ({outcomes_cte}),
+w(host, rnd, n_req, n_err, begin_s, allowed, s, streak, open_left) as (
+  select host, rnd, n_req, n_err, 0 as begin_s, n_req as allowed,
+         case when (case when 2 * n_err >= n_req then 1 else 0 end)
+                   >= {fail_rounds} then 1 else 0 end as s,
+         case when (case when 2 * n_err >= n_req then 1 else 0 end)
+                   >= {fail_rounds} then 0
+              else case when 2 * n_err >= n_req then 1 else 0 end end as streak,
+         case when (case when 2 * n_err >= n_req then 1 else 0 end)
+                   >= {fail_rounds} then {cooldown} else 0 end as open_left
+  from log where rnd = 0
+  union all
+  select r.host, r.rnd, r.n_req, r.n_err, w.s as begin_s,
+         ({allowed}) as allowed,
+         ({step}) as s, ({streak}) as streak, ({left}) as open_left
+  from w join log r on r.host = w.host and r.rnd = w.rnd + 1
+)
+select host, rnd::BIGINT as rnd, n_req::BIGINT as n_req, n_err::BIGINT as n_err,
+       case begin_s when 0 then 'closed' when 1 then 'open'
+            else 'half_open' end as state,
+       allowed::BIGINT as allowed, (n_req - allowed)::BIGINT as denied
+from w
+"""

@@ -19,7 +19,7 @@ Cross-engine determinism rules used throughout this repo:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -318,3 +318,89 @@ def unicode_profile_cols(text: Column) -> dict[str, Column]:
         "ascii_ratio": ratio_t,
         "charset_flag": flag,
     }
+
+
+def ngram_novelty(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY — what fraction of a doc's shingles
+    appear here for the first time (by doc_id order) anywhere in the
+    corpus. The training-data freshness metric: a crawl snapshot whose
+    new documents mostly re-state old shingles adds tokens but no
+    information; dashboards watch the novelty distribution drift toward
+    zero as a corpus saturates. Complements dedup (which finds PAIRS):
+    novelty is a per-doc scalar even for docs with no near-duplicate.
+
+    Not in the reference (its dedup is exact note-id `already_done`,
+    /root/reference/crawler.py); standard corpus-curation practice.
+
+    Shape (3 shuffles over the shingle table, all equi-keyed):
+      1. groupBy(shingle) -> min(doc_id): map-side partial MIN, so the
+         shuffle carries one row per distinct (partition, shingle);
+      2. join back on shingle (1 row per side pair; boilerplate-hot
+         shingles skew the key — AQE skew-join splits them, and the
+         per-key payload is one BIGINT, not the text);
+      3. groupBy(doc_id): partial-agg counts.
+    No UDF, no broadcast of anything corpus-sized. ``first_doc ==
+    doc_id`` ties are exact (min over BIGINT), so output is
+    deterministic at any parallelism. The ratio is a single per-row
+    double division, floor-truncated (round() tie-digit trap,
+    CLAUDE.md r4)."""
+    from .dedup import shingles_df
+
+    sh = shingles_df(corpus, n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    ratio = F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (F.floor(ratio * F.lit(1000000.0)) / F.lit(1000000.0)).alias("novelty"),
+    )
+
+
+def kfold_assign(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    salt: str = "kfold",
+) -> DataFrame:
+    """Deterministic k-fold split audit — fold = md5(salt|id) % k, then a
+    per-(fold, stratum) balance rollup. Training pipelines need splits
+    that are (a) reproducible across re-runs and cluster sizes (content
+    hash, never row position or rand()) and (b) balanced within every
+    stratum so no fold over-samples one source. Output: one row per
+    (fold, stratum) with its count and the deviation from the ideal
+    stratum_total/k share in parts-per-million (integer arithmetic —
+    exact at any scale, no float share).
+
+    ONE groupBy on (fold, stratum) + a stratum-total window over the
+    tiny k x |strata| rollup. The fold coin reuses the
+    stratified-sample hash kit (hash32_col) so both samplers stay
+    consistent."""
+    fold = (
+        hash32_col(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))) % k
+    ).alias("fold")
+    rolled = docs.select(fold, F.col(stratum_col).alias("stratum")).groupBy(
+        "fold", "stratum"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy("stratum")
+    total = F.sum("n_docs").over(w)
+    # ppm deviation from the ideal total/k share: all-integer, exact
+    dev = (F.col("n_docs") * k - total) * F.lit(1000000) / (total * k)
+    return rolled.select(
+        "fold",
+        "stratum",
+        "n_docs",
+        total.cast("long").alias("stratum_total"),
+        F.floor(dev).cast("long").alias("dev_ppm"),
+    )

@@ -1,0 +1,152 @@
+"""Session-4 operators: n-gram novelty, image tile planning, k-fold audit.
+
+Semantic checks on planted fixtures + the plan-shape guards that pin each
+operator's at-scale safety property (no nested-loop joins, no Python row
+UDFs, no corpus-sized broadcasts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BAD_ALWAYS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_clean(plan: str, *also_banned: str):
+    for op in BAD_ALWAYS + also_banned:
+        assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+def test_ngram_novelty_planted_copy_scores_zero(spark):
+    from openreviewcrawler_spark.operators.textstats import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "zeta eta theta iota kappa"),
+        # exact copy of doc 1: every shingle first occurred at doc 1
+        (3, "alpha beta gamma delta epsilon"),
+        # half-overlap: shares the 3 shingles of doc 2's tail, adds 2 new
+        (4, "theta iota kappa lam mu nu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 1.0
+    assert out[3]["novelty"] == 0.0 and out[3]["n_novel"] == 0
+    # doc 4: shingles = theta-iota-kappa (seen, doc 2), iota-kappa-lam,
+    # kappa-lam-mu, lam-mu-nu (3 novel of 4)
+    assert out[4]["n_shingles"] == 4 and out[4]["n_novel"] == 3
+    assert out[4]["novelty"] == 0.75
+
+
+def test_ngram_novelty_plan_no_corpus_broadcast(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_text_ngram_novelty
+
+    df = q_text_ngram_novelty(spark, sf_dir)
+    plan = _plan(df)
+    # no nested loops, no Python, no global window funnel; AQE may still
+    # broadcast at tiny SF from its own estimates (that backs off at scale)
+    _assert_clean(plan, "Window")
+    # but the corpus-sized first-occurrence table must never carry a
+    # literal broadcast hint (house rule, test_plans.py r3 verdict #2)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_image_tiles_cover_exactly(spark):
+    from openreviewcrawler_spark.operators.multimodal import plan_image_tiles
+
+    # src_len 100 -> w=132, h=700%487+32=245 -> nx=3, ny=4 -> 12 tiles
+    assets = spark.createDataFrame(
+        [(7, "image", bytearray(b"x"), 100), (8, "audio", bytearray(b"x"), 100)],
+        "asset_id long, kind string, payload binary, src_len long",
+    )
+    tiles = plan_image_tiles(assets).collect()
+    assert {t["asset_id"] for t in tiles} == {7}
+    assert len(tiles) == 12
+    area = sum((t["x1"] - t["x0"]) * (t["y1"] - t["y0"]) for t in tiles)
+    assert area == 132 * 245
+    assert all(0 <= t["x0"] < t["x1"] <= 132 for t in tiles)
+    assert all(0 <= t["y0"] < t["y1"] <= 245 for t in tiles)
+    # row-major: tile_idx 0..11 each exactly once
+    assert sorted(t["tile_idx"] for t in tiles) == list(range(12))
+
+
+def test_image_tiles_plan_pure_jvm(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_mm_image_tiles
+
+    plan = _plan(q_mm_image_tiles(spark, sf_dir))
+    _assert_clean(plan, "ArrowEvalPython", "Exchange")  # zero shuffles
+
+
+def test_kfold_assign_partitions_and_balance(spark):
+    from openreviewcrawler_spark.operators.textstats import kfold_assign
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("source")
+    )
+    out = kfold_assign(docs, k=5).collect()
+    # every (stratum) sums back to its total; folds partition the stratum
+    by_stratum: dict[str, int] = {}
+    for r in out:
+        by_stratum[r["stratum"]] = by_stratum.get(r["stratum"], 0) + r["n_docs"]
+        assert r["stratum_total"] == 250
+        # dev_ppm = (n*k - total)*1e6/(total*k), exact integer check
+        assert r["dev_ppm"] == (r["n_docs"] * 5 - 250) * 1000000 // (250 * 5)
+    assert all(v == 250 for v in by_stratum.values())
+    assert len(out) == 20  # 5 folds x 4 strata all non-empty at n=1000
+
+    # determinism across parallelism: same rollup at 1 and 8 partitions
+    a = sorted(map(tuple, kfold_assign(docs.repartition(1), k=5).collect()))
+    b = sorted(map(tuple, kfold_assign(docs.repartition(8), k=5).collect()))
+    assert a == b
+
+
+def test_circuit_breaker_trip_cooldown_probe_recover(spark):
+    from openreviewcrawler_spark.operators.scheduler import circuit_breaker
+
+    # one host, 9 dense rounds: 3 fails trip at r2; open r3-r4; half-open
+    # probe at r5 succeeds -> closed from r6 on; late fail at r7 resets
+    # nothing (streak 1)
+    rows = [
+        ("h", 0, 10, 8),   # fail 1 (closed, all allowed)
+        ("h", 1, 10, 10),  # fail 2
+        ("h", 2, 10, 5),   # 2*5>=10 -> fail 3: trips AFTER this round
+        ("h", 3, 10, 0),   # open: denied
+        ("h", 4, 10, 0),   # open: denied, cooldown ends
+        ("h", 5, 10, 0),   # half_open: 1 probe, success -> closed
+        ("h", 6, 10, 4),   # closed again (2*4 < 10: not a fail)
+        ("h", 7, 10, 9),   # fail, streak 1 only
+        ("h", 8, 10, 0),   # closed
+    ]
+    df = spark.createDataFrame(rows, "host string, rnd long, n_req long, n_err long")
+    out = {r["rnd"]: r for r in circuit_breaker(df).collect()}
+    expect = {
+        0: ("closed", 10), 1: ("closed", 10), 2: ("closed", 10),
+        3: ("open", 0), 4: ("open", 0), 5: ("half_open", 1),
+        6: ("closed", 10), 7: ("closed", 10), 8: ("closed", 10),
+    }
+    for rnd, (state, allowed) in expect.items():
+        assert (out[rnd]["state"], out[rnd]["allowed"]) == (state, allowed), rnd
+        assert out[rnd]["denied"] == out[rnd]["n_req"] - allowed
+
+
+def test_circuit_breaker_half_open_refail_reopens(spark):
+    from openreviewcrawler_spark.operators.scheduler import circuit_breaker
+
+    rows = [
+        ("h", 0, 4, 4), ("h", 1, 4, 4), ("h", 2, 4, 4),  # trip
+        ("h", 3, 4, 4), ("h", 4, 4, 4),                  # open (errs ignored)
+        ("h", 5, 4, 4),                                  # probe fails -> open
+        ("h", 6, 4, 0), ("h", 7, 4, 0),                  # open cooldown again
+        ("h", 8, 4, 0),                                  # probe succeeds
+        ("h", 9, 4, 0),                                  # closed
+    ]
+    df = spark.createDataFrame(rows, "host string, rnd long, n_req long, n_err long")
+    states = [r["state"] for r in sorted(circuit_breaker(df).collect(),
+                                         key=lambda r: r["rnd"])]
+    assert states == ["closed", "closed", "closed", "open", "open",
+                      "half_open", "open", "open", "half_open", "closed"]
