@@ -5578,6 +5578,127 @@ from f group by src_host, dst_host
 """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 gate (operators/similarity.recall_eval): LSH top-k vs
+    the exact brute-force answer on the same 16-query sample — the
+    regression alarm for plane/band/bucket-cap changes. Composes the two
+    existing rankers; overlap is an equi-join on (query_id, cand_id)."""
+    return similarity.recall_eval(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_ANN_RECALL_EVAL = f"""
+with b as ({SQL_ANN_BRUTE_TOPK}),
+l as ({SQL_ANN_LSH_TOPK}),
+nb as (select query_id, count(*)::BIGINT as n_brute from b group by 1),
+nl as (select query_id, count(*)::BIGINT as n_lsh from l group by 1),
+nh as (
+  select b.query_id, count(*)::BIGINT as n_hit
+  from b join l on b.query_id = l.query_id and b.cand_id = l.cand_id
+  group by 1
+)
+select nb.query_id, nb.n_brute,
+       coalesce(nl.n_lsh, 0)::BIGINT as n_lsh,
+       coalesce(nh.n_hit, 0)::BIGINT as n_hit,
+       floor((coalesce(nh.n_hit, 0)::DOUBLE / nb.n_brute::DOUBLE) * 1000000.0)
+         / 1000000.0 as recall
+from nb left join nl on nb.query_id = nl.query_id
+        left join nh on nb.query_id = nh.query_id
+"""
+
+
+def q_warc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive byte-range integrity audit (sources/warc.cdx_gap_audit)
+    over the CDX index with PLANTED record losses (every 17th capture
+    dropped post-indexing, simulating shard truncation): per shard, gap
+    count + lost bytes + overlap count + the contiguous verdict."""
+    from .sources.warc import cdx_gap_audit, cdx_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    cdx = cdx_index(docs, n_shards=8).filter(F.col("doc_id") % 17 != 0)
+    return cdx_gap_audit(cdx)
+
+
+SQL_WARC_GAP_AUDIT = f"""
+with cdx as ({SQL_WARC_CDX_INDEX}),
+kept as (select * from cdx where doc_id % 17 <> 0),
+g as (
+  select shard,
+         coalesce(lead("offset") over (partition by shard order by "offset" asc)
+                  - ("offset" + record_len), 0)::BIGINT as gap_bytes
+  from kept
+)
+select shard,
+       count(*)::BIGINT as n_records,
+       sum(case when gap_bytes > 0 then 1 else 0 end)::BIGINT as n_gaps,
+       sum(case when gap_bytes > 0 then gap_bytes else 0 end)::BIGINT
+         as lost_bytes,
+       sum(case when gap_bytes < 0 then 1 else 0 end)::BIGINT as n_overlaps,
+       sum(case when gap_bytes <> 0 then 1 else 0 end) = 0 as contiguous
+from g group by shard
+"""
+
+
+def q_host_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language mix — (host, lang, n_docs, host_total,
+    share_ppm, is_dominant): the language-budget rollup a multilingual
+    corpus curator slices before setting per-language sampling weights;
+    flags multilingual hosts where boilerplate language-ID noise
+    concentrates. All-integer shares (ppm, exact at any scale); ONE
+    groupBy + a window over the host x lang rollup (O(hosts x langs),
+    never documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy(
+        F.expr(HOST_EXPR).alias("host"), F.col("lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy("host")
+    rk = Window.partitionBy("host").orderBy(
+        F.col("n_docs").desc(), F.col("lang").asc()
+    )
+    total = F.sum("n_docs").over(w)
+    return per.select(
+        "host",
+        "lang",
+        "n_docs",
+        total.cast("long").alias("host_total"),
+        F.expr("n_docs * 1000000").cast("long").alias("__num"),
+        F.row_number().over(rk).alias("__rk"),
+    ).select(
+        "host",
+        "lang",
+        "n_docs",
+        "host_total",
+        F.expr("__num div host_total").cast("long").alias("share_ppm"),
+        (F.col("__rk") == 1).alias("is_dominant"),
+    )
+
+
+SQL_HOST_LANG_MIX = f"""
+with per as (
+  select {HOST_EXPR} as host, lang, count(*)::BIGINT as n_docs
+  from documents group by 1, 2
+), t as (
+  select host, lang, n_docs,
+         sum(n_docs) over (partition by host)::BIGINT as host_total,
+         row_number() over (partition by host
+                            order by n_docs desc, lang asc) as rk
+  from per
+)
+select host, lang, n_docs, host_total,
+       ((n_docs * 1000000) // host_total)::BIGINT as share_ppm,
+       rk = 1 as is_dominant
+from t
+"""
+
+
 _CB_OUTCOMES_CTE = """
   select 'h' || cast(doc_id % 11 as varchar(10)) as host,
          doc_id % 7 as rnd,
@@ -5942,6 +6063,9 @@ CATALOG: dict[str, QueryDef] = {
     "crawl_circuit_breaker": QueryDef(
         q_crawl_circuit_breaker, _sql_crawl_circuit_breaker()
     ),
+    "ann_recall_eval": QueryDef(q_ann_recall_eval, SQL_ANN_RECALL_EVAL),
+    "warc_gap_audit": QueryDef(q_warc_gap_audit, SQL_WARC_GAP_AUDIT),
+    "host_lang_mix": QueryDef(q_host_lang_mix, SQL_HOST_LANG_MIX),
 }
 
 

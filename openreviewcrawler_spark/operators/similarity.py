@@ -735,3 +735,49 @@ select pos::BIGINT as pos, count(*)::BIGINT as n,
        min(val) = max(val) as is_dead
 from dims group by pos
 """
+
+
+def recall_eval(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFrame:
+    """ANN quality gate — recall@k of the LSH path against the exact
+    brute-force answer, per query: (query_id, n_brute, n_lsh, n_hit,
+    recall). The eval harness a production ANN deployment ships with:
+    recall collapse after a re-bucketing or plane change shows up here
+    before any training-data consumer sees it.
+
+    Both rankers run on the SAME fixed query sample (n_queries), so cost
+    is bounded by the sample, not the corpus: brute-force is a
+    broadcast-query scan (its only all-pairs side is the k x sample
+    output), the LSH side is the capped band join. The overlap count is
+    an equi-join on (query_id, cand_id); recall = n_hit / n_brute,
+    floor-truncated (tie-digit round() trap)."""
+    brute = brute_topk(vectors, n_queries, k).select("query_id", "cand_id")
+    approx = ann_lsh_topk(vectors, n_queries, k).select("query_id", "cand_id")
+    nb = brute.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brute")
+    )
+    nl = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh")
+    )
+    nh = (
+        brute.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    out = (
+        nb.join(nl, "query_id", "left")
+        .join(nh, "query_id", "left")
+        .select(
+            "query_id",
+            "n_brute",
+            F.coalesce("n_lsh", F.lit(0)).cast("long").alias("n_lsh"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    recall = F.col("n_hit").cast("double") / F.col("n_brute").cast("double")
+    return out.select(
+        "query_id",
+        "n_brute",
+        "n_lsh",
+        "n_hit",
+        (F.floor(recall * F.lit(1000000.0)) / F.lit(1000000.0)).alias("recall"),
+    )

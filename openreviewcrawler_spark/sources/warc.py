@@ -158,3 +158,37 @@ def revisit_records(
     return out.select(
         url_col, ts_col, "digest", "record_type", "original_url", "original_ts", "stored_len"
     )
+
+
+def cdx_gap_audit(cdx: DataFrame) -> DataFrame:
+    """Archive-integrity audit over a CDX index — per shard: are the
+    byte ranges contiguous? (shard, n_records, n_gaps, lost_bytes,
+    n_overlaps, contiguous). A gap means records were lost after
+    indexing (truncated shard, failed upload); an overlap means the
+    index itself is corrupt. This is the read-side invariant check a
+    100 TB archive runs before serving seeks — the WARC sibling of the
+    charset QA gate.
+
+    Shape: ONE lead() window per shard ordered by offset (exactly the
+    order a CDX file is stored in; per-shard volume = corpus/shards and
+    the shard count scales with the corpus), then a map-side-partial
+    groupBy(shard). Pure integer byte arithmetic."""
+    w = Window.partitionBy("shard").orderBy(F.col("offset").asc())
+    nxt = F.lead("offset").over(w)
+    gap = F.when(nxt.isNull(), F.lit(0).cast("long")).otherwise(
+        nxt - (F.col("offset") + F.col("record_len"))
+    )
+    per = cdx.select("shard", gap.alias("gap_bytes"))
+    return per.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum((F.col("gap_bytes") > 0).cast("long")).cast("long").alias("n_gaps"),
+        F.sum(
+            F.when(F.col("gap_bytes") > 0, F.col("gap_bytes")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("lost_bytes"),
+        F.sum((F.col("gap_bytes") < 0).cast("long")).cast("long").alias("n_overlaps"),
+        (
+            F.sum((F.col("gap_bytes") != 0).cast("long")) == F.lit(0)
+        ).alias("contiguous"),
+    )

@@ -150,3 +150,70 @@ def test_circuit_breaker_half_open_refail_reopens(spark):
                                          key=lambda r: r["rnd"])]
     assert states == ["closed", "closed", "closed", "open", "open",
                       "half_open", "open", "open", "half_open", "closed"]
+
+
+def test_cdx_gap_audit_detects_planted_defects(spark):
+    from openreviewcrawler_spark.sources.warc import cdx_gap_audit
+
+    rows = [
+        # shard 0: contiguous
+        (0, 0, 10), (0, 10, 5), (0, 15, 20),
+        # shard 1: one 7-byte gap between 10 and the record at 22
+        (1, 0, 10), (1, 10, 5), (1, 22, 8),
+        # shard 2: overlap (record at 8 starts inside [0, 10))
+        (2, 0, 10), (2, 8, 5),
+    ]
+    cdx = spark.createDataFrame(rows, "shard int, offset long, record_len long")
+    out = {r["shard"]: r for r in cdx_gap_audit(cdx).collect()}
+    assert out[0]["contiguous"] and out[0]["n_gaps"] == 0 and out[0]["lost_bytes"] == 0
+    assert not out[1]["contiguous"] and out[1]["n_gaps"] == 1
+    assert out[1]["lost_bytes"] == 7 and out[1]["n_overlaps"] == 0
+    assert not out[2]["contiguous"] and out[2]["n_overlaps"] == 1
+    assert out[2]["n_gaps"] == 0 and out[2]["lost_bytes"] == 0
+
+
+def test_ann_recall_eval_bounds_and_truncation(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_ann_recall_eval
+
+    rows = q_ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == 16
+    import math
+    for r in rows:
+        assert 0 <= r["n_hit"] <= min(r["n_brute"], r["n_lsh"] or 0) or r["n_lsh"] == 0
+        assert r["recall"] == math.floor(r["n_hit"] / r["n_brute"] * 1e6) / 1e6
+
+
+def test_ann_recall_eval_detects_good_recall_on_near_dups(spark, sf_dir):
+    """The harness must read HIGH when neighbors exist: same planted
+    ~0.99-cos corpus as the r2 LSH gate, evaluated through recall_eval
+    at k=1. (On raw random embeddings recall@5 ~ 0.05 — an honest ANN
+    answer, which is exactly what the catalog entry records.)"""
+    from openreviewcrawler_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    near = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * (F.lit(1.0) + F.lit(0.15) * (i == 0).cast("double")),
+        ).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    rows = similarity.recall_eval(emb.unionByName(near), n_queries=16, k=1).collect()
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall >= 0.8, f"recall_eval mean {mean_recall:.2f}"
+
+
+def test_host_lang_mix_shares_partition(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_host_lang_mix
+
+    rows = q_host_lang_mix(spark, sf_dir).collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        assert sum(1 for r in rs if r["is_dominant"]) == 1, host
+        assert sum(r["n_docs"] for r in rs) == rs[0]["host_total"]
+        # floor'd ppm shares under-count by < 1 ppm per language
+        total_ppm = sum(r["share_ppm"] for r in rs)
+        assert 1000000 - len(rs) < total_ppm <= 1000000, host
