@@ -5578,6 +5578,22 @@ from f group by src_host, dst_host
 """
 
 
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction + eigenvalue of the embedding Gram matrix
+    (operators/similarity.pca_power, 2 power iterations) — the
+    representation-collapse monitor. Decimal-exact per-dim sums,
+    index-ordered folds, sqrt + floor truncation; each iteration's
+    one-row v is localCheckpoint()ed so no corpus aggregation is ever
+    re-embedded."""
+    return similarity.pca_power(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_pca_power() -> str:
+    return similarity.pca_power_sql(
+        "select embedding::DOUBLE[] as e from embeddings"
+    )
+
+
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall@5 gate (operators/similarity.recall_eval): LSH top-k vs
     the exact brute-force answer on the same 16-query sample — the
@@ -6066,6 +6082,9 @@ CATALOG: dict[str, QueryDef] = {
     "ann_recall_eval": QueryDef(q_ann_recall_eval, SQL_ANN_RECALL_EVAL),
     "warc_gap_audit": QueryDef(q_warc_gap_audit, SQL_WARC_GAP_AUDIT),
     "host_lang_mix": QueryDef(q_host_lang_mix, SQL_HOST_LANG_MIX),
+    "embedding_pca_power": QueryDef(
+        q_embedding_pca_power, _sql_embedding_pca_power()
+    ),
 }
 
 

@@ -781,3 +781,108 @@ def recall_eval(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFram
         "n_hit",
         (F.floor(recall * F.lit(1000000.0)) / F.lit(1000000.0)).alias("recall"),
     )
+
+
+def pca_power(vectors: DataFrame, n_iter: int = 2, dim: int = 64) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding Gram
+    matrix by POWER ITERATION — (pos, loading, eigenvalue). The
+    embedding-collapse monitor: a healthy encoder spreads variance, a
+    collapsing one concentrates it, and the top eigenvalue's share is
+    the first number a representation-quality dashboard plots. Two
+    matrix-vector products expressed as DataFrame aggregations — no
+    MLlib, no driver-side linear algebra.
+
+    Per iteration (v fixed, one row): y_i = <x_i, v> is an INDEX-ORDER
+    double fold per row (zip_with + aggregate = DuckDB's list_transform
+    + list_reduce, bit-equal); s_j = sum_i y_i * x_ij in DECIMAL(28,12)
+    (exact, shuffle-order independent — the k-means/centroid recipe);
+    norm + normalize via sqrt (IEEE-correctly-rounded) and per-row
+    division. The new v is ONE ROW, localCheckpoint()ed so the next
+    iteration's plan reads a materialized row instead of re-embedding
+    the whole corpus aggregation per consumer (redirects/self-join
+    lesson). Scale shape per iteration: one posexplode scan of the
+    corpus, one 64-group decimal groupBy, one single-row crossJoin
+    (sanctioned 1-row BNLJ, stats.py precedent). Output floor-truncated.
+    """
+    base = vectors.select(F.col("embedding").cast("array<double>").alias("e"))
+    spark = vectors.sparkSession
+    va = spark.range(1).select(
+        F.array(*[F.lit(1.0)] * dim).alias("vv"), F.lit(0.0).alias("lam")
+    )
+    for _ in range(n_iter):
+        t = base.crossJoin(va.select("vv"))
+        y = F.aggregate(
+            F.zip_with(F.col("e"), F.col("vv"), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        rows = t.select(y.alias("y"), F.posexplode("e").alias("pos", "val"))
+        s = rows.groupBy("pos").agg(
+            F.sum((F.col("y") * F.col("val")).cast("decimal(28,12)")).alias("sd")
+        )
+        one = s.groupBy().agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("pos", F.col("sd").cast("double").alias("sv"))
+                )
+            ).alias("sl")
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("sl"), lambda st: st["sv"] * st["sv"]),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        pre = one.select("sl", norm.alias("lam"))
+        va = pre.select(
+            F.transform(F.col("sl"), lambda st: st["sv"] / F.col("lam")).alias(
+                "vv"
+            ),
+            "lam",
+        ).localCheckpoint()
+    trunc = lambda c: F.floor(c * F.lit(1000000.0)) / F.lit(1000000.0)  # noqa: E731
+    out = va.select("lam", F.posexplode("vv").alias("pos", "loading"))
+    return out.select(
+        F.col("pos").cast("long").alias("pos"),
+        trunc(F.col("loading")).alias("loading"),
+        trunc(F.col("lam")).alias("eigenvalue"),
+    )
+
+
+def pca_power_sql(vectors_cte: str, n_iter: int = 2, dim: int = 64) -> str:
+    """Oracle twin: the identical recurrence unrolled — same index-order
+    folds (list_reduce), same DECIMAL(28,12) per-dim sums, same sqrt and
+    floor truncation."""
+    steps = ["v0 as (select list_transform(range(%d), i -> 1.0) as vv)" % dim]
+    prev = "v0"
+    for k in range(1, n_iter + 1):
+        steps.append(f"""y{k} as (
+  select e, list_reduce(
+    list_transform(range(1, {dim} + 1), j -> e[j] * vv[j]), (a, b) -> a + b
+  ) as y
+  from raw cross join {prev}
+), d{k} as (
+  select y, unnest(range(len(e))) as pos, unnest(e) as val from y{k}
+), s{k} as (
+  select pos, sum((y * val)::DECIMAL(28,12)) as sd from d{k} group by pos
+), l{k} as (
+  select list(sd::DOUBLE order by pos) as sl from s{k}
+), n{k} as (
+  select sl, sqrt(list_reduce(list_transform(sl, x -> x * x),
+                              (a, b) -> a + b)) as lam
+  from l{k}
+), v{k} as (
+  select list_transform(sl, x -> x / lam) as vv, lam from n{k}
+)""")
+        prev = f"v{k}"
+    body = ",\n".join(steps)
+    return f"""
+with raw as ({vectors_cte}),
+{body}
+select pos::BIGINT as pos,
+       floor(loading * 1000000.0) / 1000000.0 as loading,
+       floor(lam * 1000000.0) / 1000000.0 as eigenvalue
+from (select unnest(range({dim})) as pos, unnest(vv) as loading, lam
+      from {prev})
+"""

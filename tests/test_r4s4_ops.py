@@ -217,3 +217,36 @@ def test_host_lang_mix_shares_partition(spark, sf_dir):
         # floor'd ppm shares under-count by < 1 ppm per language
         total_ppm = sum(r["share_ppm"] for r in rs)
         assert 1000000 - len(rs) < total_ppm <= 1000000, host
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    from openreviewcrawler_spark.operators.similarity import pca_power
+
+    # all rows equal x = (3, 0, 4, 0): Gram = n * x x^T, one iteration
+    # already lands exactly on x/|x| = (0.6, 0, 0.8, 0)
+    df = spark.createDataFrame(
+        [(i, [3.0, 0.0, 4.0, 0.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["pos"]: r for r in pca_power(df, n_iter=2, dim=4).collect()}
+    assert [out[p]["loading"] for p in range(4)] == [0.6, 0.0, 0.8, 0.0]
+    # eigenvalue of n * x x^T is n * |x|^2 = 50 * 25 = 1250
+    assert out[0]["eigenvalue"] == 1250.0
+
+
+def test_pca_power_dominant_axis_on_anisotropic_noise(spark):
+    from openreviewcrawler_spark.operators.similarity import pca_power
+
+    # deterministic anisotropic cloud: dim 1 has 10x the spread of the
+    # others -> the dominant loading concentrates there
+    rows = [
+        (i, [((i * 7) % 5 - 2.0) / 10.0,
+             float((i * 13) % 11 - 5),
+             ((i * 3) % 7 - 3.0) / 10.0])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["pos"]: r for r in pca_power(df, n_iter=2, dim=3).collect()}
+    assert abs(out[1]["loading"]) > 0.99
+    assert abs(out[0]["loading"]) < 0.1 and abs(out[2]["loading"]) < 0.1
+    assert out[1]["eigenvalue"] > 0
