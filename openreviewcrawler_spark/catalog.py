@@ -5578,6 +5578,164 @@ from f group by src_host, dst_host
 """
 
 
+def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper selection — for every near-dup cluster
+    (>= 2 members), which member a QUALITY-argmax policy keeps vs the
+    canonical min-doc_id keeper, and the quality gained by choosing it.
+    The curation upgrade on top of dedup_components: min-id keeps
+    whichever copy crawled first; a real pipeline keeps the best copy
+    (the un-truncated original over the tail-cut near-dup).
+
+    Scale shape: the expensive part is the components labeling the
+    pipeline already computes; on top of it, one size groupBy, one q10
+    attach join, one row_number window PER COMPONENT over cluster
+    members only (the edge subgraph — orders of magnitude smaller than
+    the corpus), and the min-id baseline's quality attaches by joining
+    q10 on component directly (component == min reachable doc_id by
+    construction). Quality is compared in integer TENTHS (textstats.
+    quality_q10_col) — no float-sum ordering artifacts."""
+    from .operators.textstats import quality_q10_col
+
+    corpus = _corpus(spark, sf_dir)
+    edges = dedup.minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    comp = dedup.connected_components(edges, corpus.select("doc_id"))
+    q = corpus.select("doc_id", quality_q10_col(F.col("text")).alias("q10"))
+    return dedup.quality_keeper(comp, q)
+
+
+SQL_DEDUP_KEEPER_QUALITY = f"""
+with comp as ({SQL_DEDUP_COMPONENTS}),
+corpus as ({CORPUS_SQL}),
+qb as (
+  select doc_id, len({_SQL_TOKENS})::BIGINT as n_tokens,
+         length(text)::BIGINT as n_chars,
+         {_sw_sql(("the", "a", "of", "and", "is", "to"))}::BIGINT as stop_en,
+         length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))::BIGINT as nop
+  from corpus
+),
+q as (
+  select doc_id,
+         (case when n_tokens between 10 and 100000 then 4 else 0 end
+          + case when (n_chars - (n_tokens - 1)) / n_tokens::DOUBLE >= 2.0
+                  and (n_chars - (n_tokens - 1)) / n_tokens::DOUBLE <= 12.0
+                 then 3 else 0 end
+          + case when stop_en / n_tokens::DOUBLE >= 0.01 then 2 else 0 end
+          + case when (n_chars - nop) / n_chars::DOUBLE <= 0.2
+                 then 1 else 0 end)::BIGINT as q10
+  from qb
+),
+sizes as (
+  select component, count(*)::BIGINT as cluster_size
+  from comp group by 1 having count(*) >= 2
+),
+r as (
+  select c.component, s.cluster_size, c.doc_id, q.q10,
+         row_number() over (partition by c.component
+                            order by q.q10 desc, c.doc_id asc) as rq
+  from comp c join sizes s using (component) join q on q.doc_id = c.doc_id
+)
+select r.component, r.cluster_size, r.doc_id as keeper_doc,
+       r.q10 as keeper_q10, mq.q10 as minid_q10,
+       (r.q10 - mq.q10)::BIGINT as q_gain
+from r join q mq on mq.doc_id = r.component
+where r.rq = 1
+"""
+
+
+def q_lang_script_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-language vs script cross-check — per language: how many
+    docs carry a script that contradicts the label (zh tagged text that
+    is ~pure ASCII; latin-language text that is mostly non-ASCII). The
+    mislabeled-ingest detector: a feed whose `lang` metadata drifts from
+    its bytes poisons language budgets downstream. ONE map-side-partial
+    groupBy over per-row codegen'd predicates; integer ppm output."""
+    docs = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_ascii = F.length(F.regexp_replace("text", "[^\x00-\x7f]", "")).cast("long")
+    ratio = n_ascii.cast("double") / F.greatest(F.lit(1).cast("long"), n_chars).cast(
+        "double"
+    )
+    mismatch = (
+        ((F.col("lang") == "zh") & (ratio > 0.95))
+        | (F.col("lang").isin("en", "de", "es", "fr") & (ratio < 0.5))
+    ).cast("long")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(mismatch).cast("long").alias("n_mismatch"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_mismatch",
+        F.expr("n_mismatch * 1000000 div n_docs").cast("long").alias(
+            "mismatch_ppm"
+        ),
+    )
+
+
+SQL_LANG_SCRIPT_AUDIT = """
+with b as (
+  select lang,
+         case when (lang = 'zh' and
+                    length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE
+                      / greatest(1, length(text))::DOUBLE > 0.95)
+                or (lang in ('en', 'de', 'es', 'fr') and
+                    length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE
+                      / greatest(1, length(text))::DOUBLE < 0.5)
+              then 1 else 0 end as mm
+  from documents
+)
+select lang, count(*)::BIGINT as n_docs, sum(mm)::BIGINT as n_mismatch,
+       ((sum(mm) * 1000000) // count(*))::BIGINT as mismatch_ppm
+from b group by lang
+"""
+
+
+def q_crawl_frontier_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier staleness profile — discovered-but-unfetched URLs bucketed
+    by age relative to the newest event (1-hour buckets, capped at 48):
+    the recrawl/backlog dashboard slice that tells a scheduler whether
+    the frontier is draining or rotting. One global max (single-row
+    crossJoin, sanctioned) + one map-side-partial groupBy; integer hour
+    arithmetic on epoch millis."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.groupBy().agg(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("mx")
+    )
+    aged = ev.crossJoin(mx).select(
+        F.least(
+            F.lit(48).cast("long"),
+            ((F.col("mx") - F.unix_millis(F.col("ts").cast("timestamp")))
+             / F.lit(3600000)).cast("long"),
+        ).alias("age_h")
+    )
+    agg = aged.groupBy("age_h").agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    total = Window.partitionBy()
+    return agg.select(
+        "age_h",
+        "n_urls",
+        F.expr("n_urls * 1000000").cast("long").alias("__num"),
+        F.sum("n_urls").over(total).cast("long").alias("__tot"),
+    ).select(
+        "age_h",
+        "n_urls",
+        F.expr("__num div __tot").cast("long").alias("share_ppm"),
+    )
+
+
+SQL_CRAWL_FRONTIER_AGE = """
+with mx as (select max(epoch_ms(ts)) as mx from events),
+aged as (
+  select least(48, (mx - epoch_ms(ts)) // 3600000)::BIGINT as age_h
+  from events cross join mx
+),
+agg as (select age_h, count(*)::BIGINT as n_urls from aged group by 1)
+select age_h, n_urls,
+       ((n_urls * 1000000) // sum(n_urls) over ())::BIGINT as share_ppm
+from agg
+"""
+
+
 def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction + eigenvalue of the embedding Gram matrix
     (operators/similarity.pca_power, 2 power iterations) — the
@@ -6085,6 +6243,11 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_pca_power": QueryDef(
         q_embedding_pca_power, _sql_embedding_pca_power()
     ),
+    "dedup_keeper_quality": QueryDef(
+        q_dedup_keeper_quality, SQL_DEDUP_KEEPER_QUALITY
+    ),
+    "lang_script_audit": QueryDef(q_lang_script_audit, SQL_LANG_SCRIPT_AUDIT),
+    "crawl_frontier_age": QueryDef(q_crawl_frontier_age, SQL_CRAWL_FRONTIER_AGE),
 }
 
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import track_persist
@@ -914,3 +914,46 @@ from pairs p
 join sizes sa on sa.host = p.host_a
 join sizes sb on sb.host = p.host_b
 """
+
+
+def quality_keeper(comp: DataFrame, quality: DataFrame) -> DataFrame:
+    """Quality-argmax keeper per near-dup cluster — (component,
+    cluster_size, keeper_doc, keeper_q10, minid_q10, q_gain) for every
+    component with >= 2 members. ``comp`` is connected_components output
+    (doc_id, component); ``quality`` is (doc_id, q10) integer-tenths
+    scores (textstats.quality_q10_col). q_gain is what the policy buys
+    over the canonical min-id keeper; the min-id baseline's quality
+    attaches by joining quality on component directly (component == min
+    reachable doc_id by construction).
+
+    Scale shape: one size groupBy + one attach join + one row_number
+    window per component over CLUSTER MEMBERS only (the edge subgraph),
+    never the corpus. Integer comparisons throughout."""
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    ).filter(F.col("cluster_size") >= 2)
+    j = comp.join(sizes, "component").join(quality, "doc_id")
+    wq = Window.partitionBy("component").orderBy(
+        F.col("q10").desc(), F.col("doc_id").asc()
+    )
+    keeper = (
+        j.withColumn("rq", F.row_number().over(wq))
+        .filter(F.col("rq") == 1)
+        .select(
+            "component",
+            "cluster_size",
+            F.col("doc_id").alias("keeper_doc"),
+            F.col("q10").alias("keeper_q10"),
+        )
+    )
+    minq = quality.select(
+        F.col("doc_id").alias("component"), F.col("q10").alias("minid_q10")
+    )
+    return keeper.join(minq, "component").select(
+        "component",
+        "cluster_size",
+        "keeper_doc",
+        "keeper_q10",
+        "minid_q10",
+        (F.col("keeper_q10") - F.col("minid_q10")).cast("long").alias("q_gain"),
+    )

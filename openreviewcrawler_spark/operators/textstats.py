@@ -404,3 +404,27 @@ def kfold_assign(
         total.cast("long").alias("stratum_total"),
         F.floor(dev).cast("long").alias("dev_ppm"),
     )
+
+
+def quality_q10_col(text: Column) -> Column:
+    """Composite quality score in integer TENTHS (0..10) — the exact
+    predicates of :func:`quality_score_cols` with integer weights
+    (4/3/2/1) instead of float literals. Use this wherever the score is
+    COMPARED or aggregated (keeper selection, rollups): integers are
+    exactly representable and totally ordered with no 0.1+0.2 float-sum
+    artifacts, while the per-row double predicates (mean_tok, ratios)
+    remain bit-identical across engines."""
+    toks = tokens_col(text)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    mean_tok = (n_chars - (n_tokens - F.lit(1))) / n_tokens
+    stop_ratio = stopword_hits(toks, STOPWORDS["en"]).cast("long") / n_tokens
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    ) / n_chars
+    return (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(4)).otherwise(F.lit(0))
+        + F.when((mean_tok >= 2.0) & (mean_tok <= 12.0), F.lit(3)).otherwise(F.lit(0))
+        + F.when(stop_ratio >= 0.01, F.lit(2)).otherwise(F.lit(0))
+        + F.when(punct_ratio <= 0.2, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")

@@ -250,3 +250,47 @@ def test_pca_power_dominant_axis_on_anisotropic_noise(spark):
     assert abs(out[1]["loading"]) > 0.99
     assert abs(out[0]["loading"]) < 0.1 and abs(out[2]["loading"]) < 0.1
     assert out[1]["eigenvalue"] > 0
+
+
+def test_keeper_quality_prefers_best_copy(spark, sf_dir):
+    """The tail-cut near-dups (_corpus plants substr(text, ...) copies)
+    are usually LOWER quality than their originals; the quality-argmax
+    keeper must never lose quality vs the min-id keeper, and must gain
+    on at least one cluster in the planted fixture."""
+    from openreviewcrawler_spark.catalog import q_dedup_keeper_quality
+
+    rows = q_dedup_keeper_quality(spark, sf_dir).collect()
+    assert rows
+    assert all(r["q_gain"] >= 0 for r in rows)
+    assert all(r["keeper_q10"] >= r["minid_q10"] for r in rows)
+    assert all(r["cluster_size"] >= 2 for r in rows)
+
+
+def test_quality_keeper_selection_semantics(spark):
+    from openreviewcrawler_spark.operators.dedup import quality_keeper
+
+    comp = spark.createDataFrame(
+        # cluster 1: {1, 5, 9}; cluster 2: {2, 7}; singleton 3 (excluded)
+        [(1, 1), (5, 1), (9, 1), (2, 2), (7, 2), (3, 3)],
+        "doc_id long, component long",
+    )
+    q = spark.createDataFrame(
+        # best in cluster 1 is doc 5 (q 9 > min-id doc 1's q 4); tie in
+        # cluster 2 -> smaller doc_id (the min-id keeper itself) wins
+        [(1, 4), (5, 9), (9, 9), (2, 7), (7, 7), (3, 10)],
+        "doc_id long, q10 long",
+    )
+    out = {r["component"]: r for r in quality_keeper(comp, q).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["keeper_doc"] == 5 and out[1]["q_gain"] == 5
+    assert out[1]["cluster_size"] == 3 and out[1]["minid_q10"] == 4
+    assert out[2]["keeper_doc"] == 2 and out[2]["q_gain"] == 0
+
+
+def test_frontier_age_shares_and_cap(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_frontier_age
+
+    rows = q_crawl_frontier_age(spark, sf_dir).collect()
+    assert all(0 <= r["age_h"] <= 48 for r in rows)
+    total_ppm = sum(r["share_ppm"] for r in rows)
+    assert 1000000 - len(rows) < total_ppm <= 1000000
