@@ -6002,6 +6002,96 @@ from t
 """
 
 
+# ---------------------------------------------------------------------------
+# session-5 r4 batch: community quality, fairness, session-param mining
+# ---------------------------------------------------------------------------
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-quality audit (operators/rank.modularity) — per-community
+    Newman modularity terms over the label-propagation communities of the
+    planted-cell + noise graph (same labels as graph_label_propagation,
+    same edges as graph_triangle_count). The planted 5-node cells surface
+    as high-q_contrib communities; propagation noise sits near zero —
+    the number a frontier-budget allocator reads before trusting a
+    community as a link farm. Oracle: the unrolled LPA SQL nests as the
+    labels CTE (nested WITH inside a CTE, CLAUDE.md)."""
+    from .operators.rank import label_propagation, modularity
+
+    edges = _tri_edges_df(spark, sf_dir)
+    nodes = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 100).alias("node")
+    ).distinct()
+    labels = label_propagation(edges, nodes, n_iter=2)
+    return modularity(edges, labels)
+
+
+def _sql_graph_modularity() -> str:
+    from .operators.rank import label_propagation_sql, modularity_sql
+
+    return modularity_sql(
+        _TRI_EDGES_CTE,
+        label_propagation_sql(_TRI_EDGES_CTE, _RANK_NODES_CTE, n_iter=2),
+    )
+
+
+_FAIR_PER_CTE = f"""select {_BINPACK_HOST_EXPR} as host,
+  doc_id % 5 as rnd, count(*)::BIGINT as n_fetch
+from documents group by 1, 2"""
+
+
+def q_crawl_fairness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round Jain fairness of the fetch allocation (operators/
+    scheduler.jain_fairness) over the skewed binpack host synthesis
+    (host cardinality varies with doc_id % 37, so rounds are genuinely
+    unfair and the index separates them). The politeness-skew alarm
+    read next to crawl_host_skew_gini each round."""
+    from .operators.scheduler import jain_fairness
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy(
+        F.expr(_BINPACK_HOST_EXPR).alias("host"),
+        (F.col("doc_id") % 5).alias("rnd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_fetch"))
+    return jain_fairness(per)
+
+
+def _sql_crawl_fairness_index() -> str:
+    from .operators.scheduler import jain_fairness_sql
+
+    return jain_fairness_sql(_FAIR_PER_CTE)
+
+
+#: query-string synthesis shared verbatim: 'id' is content-bearing (20
+#: values), 'sess' is a per-document md5 token (session-like), 'ref' is a
+#: sometimes-present constant
+_QP_URL_EXPR = """'https://h' || cast(doc_id % 7 as varchar(10)) || '.example/p/'
+ || cast(doc_id % 40 as varchar(10))
+ || '?id=' || cast(doc_id % 20 as varchar(10))
+ || '&sess=' || substr(md5('s' || cast(doc_id as varchar(30))), 1, 8)
+ || (case when doc_id % 3 = 0 then '&ref=home' else '' end)"""
+
+
+def q_url_query_param_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-parameter mining (functions/urls.query_param_stats): per
+    (host, query-param key) URL and value cardinalities -> collapse_ppm
+    + session_like flag. Expected on the synthesis: 'sess' flags
+    session-like on every host (distinct md5 value per URL), 'id'
+    collapses ~20/n_urls, 'ref' collapses to 1 value. The per-host
+    evidence table crawl_dust_rules consumes."""
+    from .functions.urls import query_param_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(F.expr(_QP_URL_EXPR).alias("url"))
+    return query_param_stats(pages)
+
+
+def _sql_url_query_param_stats() -> str:
+    from .functions.urls import query_param_stats_sql
+
+    return query_param_stats_sql(f"select {_QP_URL_EXPR} as url from documents")
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -6248,6 +6338,14 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "lang_script_audit": QueryDef(q_lang_script_audit, SQL_LANG_SCRIPT_AUDIT),
     "crawl_frontier_age": QueryDef(q_crawl_frontier_age, SQL_CRAWL_FRONTIER_AGE),
+    # --- session-5 additions (tail slots, r5-window queue) ---
+    "graph_modularity": QueryDef(q_graph_modularity, _sql_graph_modularity()),
+    "crawl_fairness_index": QueryDef(
+        q_crawl_fairness_index, _sql_crawl_fairness_index()
+    ),
+    "url_query_param_stats": QueryDef(
+        q_url_query_param_stats, _sql_url_query_param_stats()
+    ),
 }
 
 

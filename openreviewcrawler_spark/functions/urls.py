@@ -229,3 +229,73 @@ def registrable_domain_sql(host_expr: str) -> str:
         f" when {n} >= 3 and {last2} in ({suffixes}) then {last3}"
         f" else {last2} end)"
     )
+
+
+def query_param_stats(
+    pages: "DataFrame", url_col: str = "url", min_session_urls: int = 8
+):
+    """Per-(host, query-param-key) cardinality profile — (host, param_key,
+    n_urls, n_values, collapse_ppm, session_like): the DUST companion
+    that finds session-id / tracking parameters. A key whose value is
+    distinct on (nearly) every URL (collapse_ppm ~ 1e6 over enough URLs)
+    is session-like — stripping it collapses the crawl space; a
+    low-cardinality key (collapse_ppm small) is content-bearing and must
+    survive canonicalization. Feeds crawl_dust_rules with per-host
+    evidence instead of a global pattern list.
+
+    Engine-parity: host via the shared backslash-free regex, query
+    splitting via ``split_part`` (literal delimiter, '' when the part is
+    absent — identical out-of-range semantics in Spark and DuckDB; never
+    ``element_at`` past the end, which ANSI mode rejects). All-integer
+    shares. Scale shape: pure projection + explode (one row per
+    url x param) into ONE groupBy — no join, no window, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    host = F.regexp_extract(F.col(url_col), "https?://([^/]+)/", 1)
+    qs = F.split_part(F.col(url_col), F.lit("?"), F.lit(2))
+    pairs = (
+        pages.select(host.alias("host"), qs.alias("qs"))
+        .filter(F.col("qs") != "")
+        .select("host", F.explode(F.split(F.col("qs"), "&")).alias("kv"))
+        .select(
+            "host",
+            F.split_part(F.col("kv"), F.lit("="), F.lit(1)).alias("param_key"),
+            F.split_part(F.col("kv"), F.lit("="), F.lit(2)).alias("param_val"),
+        )
+    )
+    per = pairs.groupBy("host", "param_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("param_val").cast("long").alias("n_values"),
+    )
+    return per.select(
+        "host",
+        "param_key",
+        "n_urls",
+        "n_values",
+        F.expr("(n_values * 1000000) div n_urls").cast("long").alias("collapse_ppm"),
+        (
+            (F.col("n_values") == F.col("n_urls"))
+            & (F.col("n_urls") >= F.lit(min_session_urls))
+        ).alias("session_like"),
+    )
+
+
+def query_param_stats_sql(pages_cte: str, min_session_urls: int = 8) -> str:
+    """Oracle twin of :func:`query_param_stats` over a CTE producing
+    ``url`` rows."""
+    return f"""
+with p as ({pages_cte}),
+q as (select regexp_extract(url, 'https?://([^/]+)/', 1) as host,
+             split_part(url, '?', 2) as qs from p),
+kv as (select host, unnest(string_split(qs, '&')) as kv
+       from q where qs <> ''),
+per as (select host, split_part(kv, '=', 1) as param_key,
+               count(*)::BIGINT as n_urls,
+               count(distinct split_part(kv, '=', 2))::BIGINT as n_values
+        from kv group by 1, 2)
+select host, param_key, n_urls, n_values,
+       ((n_values * 1000000) // n_urls)::BIGINT as collapse_ppm,
+       n_values = n_urls and n_urls >= {min_session_urls} as session_like
+from per
+"""

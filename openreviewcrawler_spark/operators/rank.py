@@ -859,3 +859,123 @@ select d.node::BIGINT as node, d.deg,
 from deg2 d left join t on d.node = t.node
 where d.deg >= 2
 """
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community modularity decomposition — (label, n_nodes, e_intra,
+    deg_sum, q_contrib): each community's additive term of Newman
+    modularity Q = sum_c [ e_c/m - (d_c/(2m))^2 ] over the distinct
+    undirected edge set. The community-quality audit that closes the
+    label-propagation loop: a link farm shows up as a community whose
+    q_contrib dwarfs its node share, while q_contrib ~ 0 communities are
+    propagation noise safe to ignore when allocating crawl budget.
+
+    Scale shape: undirected edge canonicalization (least/greatest +
+    distinct) persisted once and read three times (total m, degrees,
+    intra-community counts); degrees from ONE explode + groupBy; labels
+    attach by shuffle equi-joins (the label table is O(nodes) — never
+    broadcast); the single-row total m attaches via a constant-key
+    broadcast join, not a nested-loop cross join.
+
+    Float parity: every count is exact integer; the Q term is pure
+    per-row double arithmetic (div/mul/sub — IEEE-identical across
+    engines, CLAUDE.md float recipe) floor-truncated to 1e-6 (tie-digit
+    round() trap).
+    """
+    from ..caching import track_persist
+
+    und = track_persist(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("node")),
+                    F.struct(F.col("v").alias("node")),
+                )
+            ).alias("e")
+        )
+        .select("e.node")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lab = labels.select("node", "label")
+    comm = (
+        lab.join(deg, "node", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("deg_sum"),
+        )
+    )
+    intra = (
+        und.join(lab.select(F.col("node").alias("u"), F.col("label").alias("lu")), "u")
+        .join(lab.select(F.col("node").alias("v"), F.col("label").alias("lv")), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_intra"))
+    )
+    tot = und.agg(F.count(F.lit(1)).alias("m")).withColumn("__k", F.lit(1))
+    out = (
+        comm.join(intra, "label", "left")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+    )
+    ec = F.coalesce(F.col("e_intra"), F.lit(0)).cast("double")
+    dc = F.col("deg_sum").cast("double")
+    md = F.col("m").cast("double")
+    half = dc / (F.lit(2.0) * md)
+    q = ec / md - half * half
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.coalesce(F.col("e_intra"), F.lit(0)).cast("long").alias("e_intra"),
+        F.col("deg_sum").cast("long").alias("deg_sum"),
+        (F.floor(q * F.lit(1000000.0)) / F.lit(1000000.0)).alias("q_contrib"),
+    )
+
+
+def modularity_sql(edges_cte: str, labels_sql: str) -> str:
+    """Oracle twin: same integer counts, same per-row double Q term.
+
+    ``labels_sql`` may be a full ``WITH ... SELECT`` statement (nested
+    WITH inside a CTE is legal in DuckDB — CLAUDE.md), so the
+    label_propagation oracle composes directly.
+    """
+    return f"""
+with raw as ({edges_cte}),
+labels as ({labels_sql}),
+und as (select distinct least(src, dst) as u, greatest(src, dst) as v
+        from raw where src <> dst),
+deg as (select node, count(*) as d from (
+  select u as node from und union all select v as node from und
+) group by node),
+comm as (
+  select l.label, count(*)::BIGINT as n_nodes,
+         sum(coalesce(d.d, 0))::BIGINT as deg_sum
+  from labels l left join deg d on l.node = d.node
+  group by l.label
+),
+intra as (
+  select lu.label, count(*)::BIGINT as e_intra
+  from und
+  join labels lu on und.u = lu.node
+  join labels lv on und.v = lv.node
+  where lu.label = lv.label
+  group by lu.label
+),
+tot as (select count(*)::BIGINT as m from und)
+select c.label::BIGINT as label, c.n_nodes,
+       coalesce(i.e_intra, 0)::BIGINT as e_intra, c.deg_sum,
+       floor((coalesce(i.e_intra, 0)::DOUBLE / t.m::DOUBLE
+              - (c.deg_sum::DOUBLE / (2.0 * t.m::DOUBLE))
+                * (c.deg_sum::DOUBLE / (2.0 * t.m::DOUBLE))) * 1000000.0)
+         / 1000000.0 as q_contrib
+from comm c left join intra i on c.label = i.label cross join tot t
+"""

@@ -989,3 +989,56 @@ select host, rnd::BIGINT as rnd, n_req::BIGINT as n_req, n_err::BIGINT as n_err,
        allowed::BIGINT as allowed, (n_req - allowed)::BIGINT as denied
 from w
 """
+
+
+def jain_fairness(per: DataFrame) -> DataFrame:
+    """Per-round Jain fairness index over per-host fetch allocations —
+    (rnd, n_hosts, total_fetches, jain_ppm) from a (host, rnd, n_fetch)
+    rollup. J = (sum x)^2 / (n * sum x^2): 1.0 when every host got the
+    same share, -> 1/n when one host took the whole round — the one-number
+    politeness-skew alarm a crawl operator watches next to
+    crawl_host_skew_gini (Gini reads inequality of the distribution;
+    Jain reads how far the ROUND is from its fair allocation).
+
+    All-integer arithmetic (exact at any shuffle order): jain_ppm =
+    (total^2 * 1e6) div (n * sum_sq), truncating integer division both
+    engines agree on for non-negative operands. BIGINT headroom: safe
+    below ~3e6 fetches per round (total^2 * 1e6 < 2^63); a 100 TB
+    deployment rounds above that should lift the two products to
+    DECIMAL(38,0) (the graph_assortativity recipe) — the fixture and any
+    per-round batch this engine schedules stay far under it.
+
+    Scale shape: ONE map-side-combined groupBy per level — (host, rnd)
+    counts then rnd moments; no window, no join, no collect.
+    """
+    agg = per.groupBy("rnd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("n_fetch").cast("long").alias("total_fetches"),
+        F.sum(F.col("n_fetch") * F.col("n_fetch")).cast("long").alias("__ss"),
+    )
+    return agg.select(
+        F.col("rnd").cast("long").alias("rnd"),
+        "n_hosts",
+        "total_fetches",
+        F.expr(
+            "(total_fetches * total_fetches * 1000000) div (n_hosts * __ss)"
+        ).cast("long").alias("jain_ppm"),
+    )
+
+
+def jain_fairness_sql(per_cte: str) -> str:
+    """Oracle twin of :func:`jain_fairness` over the same (host, rnd,
+    n_fetch) rollup CTE."""
+    return f"""
+with per as ({per_cte}),
+agg as (
+  select rnd, count(*)::BIGINT as n_hosts,
+         sum(n_fetch)::BIGINT as total_fetches,
+         sum(n_fetch * n_fetch)::BIGINT as ss
+  from per group by rnd
+)
+select rnd::BIGINT as rnd, n_hosts, total_fetches,
+       ((total_fetches * total_fetches * 1000000) // (n_hosts * ss))::BIGINT
+         as jain_ppm
+from agg
+"""

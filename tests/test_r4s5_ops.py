@@ -1,0 +1,141 @@
+"""Session-5 operators: modularity, Jain fairness, session-param mining.
+
+Semantic checks on planted fixtures + the plan-shape guards pinning each
+operator's at-scale safety property (no nested-loop joins beyond the
+constant-key single-row total attach, no Python row UDFs, no corpus-sized
+broadcasts).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+BAD_ALWAYS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_clean(plan: str, *also_banned: str):
+    for op in BAD_ALWAYS + also_banned:
+        assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+def test_modularity_two_triangles_with_bridge(spark):
+    from openreviewcrawler_spark.operators.rank import modularity
+
+    # triangle {1,2,3}, triangle {4,5,6}, bridge 3-4: m = 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node long, label long",
+    )
+    out = {r["label"]: r for r in modularity(edges, labels).collect()}
+    assert set(out) == {1, 4}
+    for lbl in (1, 4):
+        r = out[lbl]
+        assert r["n_nodes"] == 3 and r["e_intra"] == 3 and r["deg_sum"] == 7
+        expect = math.floor((3 / 7 - (7 / 14) ** 2) * 1e6) / 1e6
+        assert r["q_contrib"] == expect
+
+
+def test_modularity_symmetric_duplicate_edges_collapse(spark):
+    from openreviewcrawler_spark.operators.rank import modularity
+
+    # both orientations + a self-loop: the undirected distinct set is ONE
+    # edge (1,2); self-loops are dropped before m is counted
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1)], "src long, dst long"
+    )
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "node long, label long")
+    rows = modularity(edges, labels).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["e_intra"] == 1 and r["deg_sum"] == 2 and r["n_nodes"] == 2
+    # e/m - (d/2m)^2 = 1/1 - 1 = 0
+    assert r["q_contrib"] == 0.0
+
+
+def test_modularity_plan_no_label_broadcast_hint(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_graph_modularity
+
+    df = q_graph_modularity(spark, sf_dir)
+    plan = _plan(df)
+    # the single-row total m attaches as a 1-row broadcast (the accepted
+    # house shape for scalar totals, stats.py:82) — allow exactly that one
+    # nested-loop and nothing else
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    _assert_clean(plan.replace("BroadcastNestedLoopJoin", "", 1))
+    # no literal broadcast hint on the O(nodes) label table (AQE may still
+    # pick a broadcast at tiny SF from its own size estimates)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1  # only the 1-row total
+
+
+def test_jain_fairness_uniform_and_skewed(spark):
+    from openreviewcrawler_spark.operators.scheduler import jain_fairness
+
+    rows = [
+        # round 0: uniform 4 hosts x 5 fetches -> J = 1
+        *[(f"h{i}", 0, 5) for i in range(4)],
+        # round 1: one host takes 9 of 12 -> J = 144/(4*(81+1+1+1)) = 0.428571
+        ("h0", 1, 9), ("h1", 1, 1), ("h2", 1, 1), ("h3", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "host string, rnd long, n_fetch long")
+    out = {r["rnd"]: r for r in jain_fairness(df).collect()}
+    assert out[0]["jain_ppm"] == 1_000_000
+    assert out[0]["total_fetches"] == 20 and out[0]["n_hosts"] == 4
+    assert out[1]["jain_ppm"] == (144 * 1_000_000) // (4 * 84)
+
+
+def test_jain_fairness_plan_single_rollup(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_fairness_index
+
+    df = q_crawl_fairness_index(spark, sf_dir)
+    plan = _plan(df)
+    _assert_clean(plan, "Window")
+    # two groupBys, no join: exactly the host-level and round-level shuffles
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_query_param_stats_session_detection(spark):
+    from openreviewcrawler_spark.functions.urls import query_param_stats
+
+    urls = [
+        (f"https://a.example/p/{i}?id={i % 3}&sess=s{i:04d}",) for i in range(10)
+    ] + [("https://a.example/plain/path",)]  # no query string -> ignored
+    df = spark.createDataFrame(urls, "url string")
+    out = {r["param_key"]: r for r in query_param_stats(df).collect()}
+    assert set(out) == {"id", "sess"}
+    sess = out["sess"]
+    assert sess["n_urls"] == 10 and sess["n_values"] == 10
+    assert sess["collapse_ppm"] == 1_000_000 and sess["session_like"]
+    ident = out["id"]
+    assert ident["n_values"] == 3 and not ident["session_like"]
+    assert ident["collapse_ppm"] == 300_000
+
+
+def test_query_param_stats_bare_key_and_threshold(spark):
+    from openreviewcrawler_spark.functions.urls import query_param_stats
+
+    # bare key (no '='): value is '' in both engines (split_part
+    # out-of-range contract); below min_session_urls stays un-flagged
+    urls = [(f"https://b.example/x?flag&u={i}",) for i in range(4)]
+    df = spark.createDataFrame(urls, "url string")
+    out = {r["param_key"]: r for r in query_param_stats(df).collect()}
+    assert out["flag"]["n_values"] == 1 and not out["flag"]["session_like"]
+    assert out["u"]["n_values"] == 4 and not out["u"]["session_like"]  # < 8
+
+
+def test_query_param_stats_plan_jvm_only(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_url_query_param_stats
+
+    df = q_url_query_param_stats(spark, sf_dir)
+    _assert_clean(_plan(df), "Window")
