@@ -6092,6 +6092,146 @@ def _sql_url_query_param_stats() -> str:
     return query_param_stats_sql(f"select {_QP_URL_EXPR} as url from documents")
 
 
+#: code-snippet plant shared verbatim: every 13th document gets a code tail
+_CODE_TEXT_EXPR = """(case when doc_id % 13 = 0 then text ||
+ ' def f(x): { return x; } import os; class T { void g() { y = 2; } }'
+ else text end)"""
+
+
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing (operators/textstats.code_detect_cols) with a
+    planted code tail on every 13th document: brace/semicolon/keyword
+    counts by the replace-trick (exact integer, regex-free), absolute-
+    count is_code gate. The stream splitter a training-data pipeline runs
+    before per-stream quality scoring. Pure scan-time projection."""
+    from .operators.textstats import code_detect_cols
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CODE_TEXT_EXPR).alias("t")
+    )
+    cols = code_detect_cols(F.col("t"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
+def _sql_text_code_detect() -> str:
+    from .operators.textstats import code_detect_sql_cols
+
+    cols = code_detect_sql_cols("t")
+    sel = ",\n       ".join(f"{e} as {k}" for k, e in cols.items())
+    return f"""
+with docs as (select doc_id, {_CODE_TEXT_EXPR} as t from documents)
+select doc_id,
+       {sel}
+from docs
+"""
+
+
+def q_traindata_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (chars per whitespace token, e3
+    fixed-point) — the audit that decides whether a tokenizer's byte
+    budget is fairly shared across languages before setting per-language
+    sampling temperatures; high-fertility languages burn more context
+    per word. All-integer (sums + one truncating division), ONE
+    map-side-combined groupBy over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.expr("(total_chars * 1000) div total_tokens").cast("long").alias(
+            "chars_per_token_e3"
+        ),
+    )
+
+
+SQL_TRAINDATA_TOKENIZER_FERTILITY = f"""
+with agg as (
+  select lang, count(*)::BIGINT as n_docs,
+         sum(length(text))::BIGINT as total_chars,
+         sum(len({_SQL_TOKENS}))::BIGINT as total_tokens
+  from documents group by lang
+)
+select lang, n_docs, total_chars, total_tokens,
+       ((total_chars * 1000) // total_tokens)::BIGINT as chars_per_token_e3
+from agg
+"""
+
+
+#: canonical-link synthesis shared verbatim: doc_id%4 in (1,2) point at a
+#: shared canonical (clusters keyed by doc_id%30, members span hosts),
+#: doc_id%4=3 self-declares, doc_id%4=0 has no canonical link
+_CANON_URL_EXPR = ("'https://h' || cast(doc_id % 7 as varchar(10))"
+                   " || '.example/p/' || cast(doc_id as varchar(30))")
+_CANON_HTML_EXPR = f"""'<html><head>'
+ || (case when doc_id % 4 = 1 or doc_id % 4 = 2 then
+      '<link rel="canonical" href="https://canon.example/d/'
+      || cast(doc_id % 30 as varchar(10)) || '">'
+     when doc_id % 4 = 3 then
+      '<link rel="canonical" href="' || {_CANON_URL_EXPR} || '">'
+     else '' end)
+ || '</head><body></body></html>'"""
+
+
+def q_html_canonical_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-link consolidation (the rel=canonical dedup tier): pages
+    grouped by their declared canonical target -> cluster size, distinct
+    declaring hosts, self-declarations, cross-host flag. A page that
+    declares a canonical is a KNOWN duplicate of it — this tier collapses
+    those for free before any content hashing runs; cross-host clusters
+    feed crawl_mirror_detect. Regexp head-parse (shared pattern with
+    html_meta_extract) + ONE groupBy; host cardinality is exact
+    count(distinct) over the already-grouped cluster."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.expr(_CANON_URL_EXPR).alias("url"),
+        F.expr(_CANON_HTML_EXPR).alias("html"),
+    )
+    pages = docs.select(
+        "url",
+        F.regexp_extract(F.col("html"), _CANONICAL_PATTERN, 1).alias("canonical"),
+        F.regexp_extract(F.col("url"), "https?://([^/]+)/", 1).alias("host"),
+    ).filter(F.col("canonical") != "")
+    agg = pages.groupBy("canonical").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum(
+            F.when(F.col("canonical") == F.col("url"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_self"),
+    )
+    return agg.select(
+        "canonical",
+        "n_pages",
+        "n_hosts",
+        "n_self",
+        (F.col("n_hosts") > 1).alias("is_cross_host"),
+    )
+
+
+SQL_HTML_CANONICAL_CLUSTER = f"""
+with docs as (
+  select {_CANON_URL_EXPR} as url, {_CANON_HTML_EXPR} as html from documents
+), pages as (
+  select url,
+         regexp_extract(html, '{_CANONICAL_PATTERN}', 1) as canonical,
+         regexp_extract(url, 'https?://([^/]+)/', 1) as host
+  from docs
+), agg as (
+  select canonical, count(*)::BIGINT as n_pages,
+         count(distinct host)::BIGINT as n_hosts,
+         sum(case when canonical = url then 1 else 0 end)::BIGINT as n_self
+  from pages where canonical <> ''
+  group by canonical
+)
+select canonical, n_pages, n_hosts, n_self, n_hosts > 1 as is_cross_host
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -6345,6 +6485,13 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "url_query_param_stats": QueryDef(
         q_url_query_param_stats, _sql_url_query_param_stats()
+    ),
+    "text_code_detect": QueryDef(q_text_code_detect, _sql_text_code_detect()),
+    "traindata_tokenizer_fertility": QueryDef(
+        q_traindata_tokenizer_fertility, SQL_TRAINDATA_TOKENIZER_FERTILITY
+    ),
+    "html_canonical_cluster": QueryDef(
+        q_html_canonical_cluster, SQL_HTML_CANONICAL_CLUSTER
     ),
 }
 

@@ -428,3 +428,70 @@ def quality_q10_col(text: Column) -> Column:
         + F.when(stop_ratio >= 0.01, F.lit(2)).otherwise(F.lit(0))
         + F.when(punct_ratio <= 0.2, F.lit(1)).otherwise(F.lit(0))
     ).cast("long")
+
+
+CODE_KEYWORDS = ("def ", "return ", "import ", "void ", "class ")
+
+
+def code_detect_cols(text: Column) -> dict[str, Column]:
+    """Code-vs-prose detection signals — brace/semicolon density and
+    keyword hits: the training-data router that splits a web corpus into
+    code and natural-language streams before per-stream quality gates
+    (code tolerates high symbol density that the prose quality score
+    would reject). All counts via the replace-trick (substring
+    occurrence = length delta / pattern length — exact integers, no
+    regex, identical in Spark and DuckDB); is_code is a conjunction of
+    absolute-count gates so it is length-stable. Pure per-row codegen
+    expressions, zero shuffle at scan time.
+    """
+
+    def _hits(sub: str) -> Column:
+        diff = F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit("")))
+        if len(sub) == 1:
+            return diff.cast("long")
+        return (diff / F.lit(len(sub))).cast("long")
+
+    n_braces = (_hits("{") + _hits("}")).cast("long")
+    n_semis = _hits(";")
+    kw_hits = None
+    for kw in CODE_KEYWORDS:
+        h = _hits(kw)
+        kw_hits = h if kw_hits is None else kw_hits + h
+    kw_hits = kw_hits.cast("long")
+    score = (n_braces * F.lit(3) + n_semis * F.lit(2) + kw_hits * F.lit(5)).cast(
+        "long"
+    )
+    return {
+        "n_braces": n_braces,
+        "n_semis": n_semis,
+        "kw_hits": kw_hits,
+        "code_score": score,
+        "is_code": (n_braces >= 2) & (n_semis >= 2) & (kw_hits >= 2),
+    }
+
+
+def code_detect_sql_cols(text_expr: str) -> dict[str, str]:
+    """Oracle twin of :func:`code_detect_cols` — SQL expression strings
+    over ``text_expr``, same replace-trick arithmetic."""
+
+    def _hits(sub: str) -> str:
+        esc = sub.replace("'", "''")
+        diff = (
+            f"(length({text_expr}) - length(replace({text_expr}, '{esc}', '')))"
+        )
+        if len(sub) == 1:
+            return diff
+        return f"({diff} / {len(sub)})"
+
+    n_braces = f"({_hits('{')} + {_hits('}')})"
+    n_semis = _hits(";")
+    kw = " + ".join(_hits(k) for k in CODE_KEYWORDS)
+    return {
+        "n_braces": f"{n_braces}::BIGINT",
+        "n_semis": f"{n_semis}::BIGINT",
+        "kw_hits": f"({kw})::BIGINT",
+        "code_score": f"({n_braces}::BIGINT * 3 + {n_semis}::BIGINT * 2"
+        f" + ({kw})::BIGINT * 5)::BIGINT",
+        "is_code": f"{n_braces}::BIGINT >= 2 and {n_semis}::BIGINT >= 2"
+        f" and ({kw})::BIGINT >= 2",
+    }

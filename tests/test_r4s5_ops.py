@@ -139,3 +139,65 @@ def test_query_param_stats_plan_jvm_only(spark, sf_dir):
 
     df = q_url_query_param_stats(spark, sf_dir)
     _assert_clean(_plan(df), "Window")
+
+
+def test_code_detect_planted_snippet(spark):
+    from openreviewcrawler_spark.operators.textstats import code_detect_cols
+
+    rows = [
+        (1, "plain prose about a meeting and a deadline"),
+        (2, "def f(x): { return x; } import os; class T { void g() { y = 2; } }"),
+        (3, "a sentence that mentions return on investment"),  # 1 kw only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = code_detect_cols(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()
+    }
+    assert not out[1]["is_code"] and out[1]["n_braces"] == 0
+    code = out[2]
+    assert code["is_code"]
+    assert code["n_braces"] == 6 and code["n_semis"] == 3
+    # def, return, import, void, class -> 5 keyword hits
+    assert code["kw_hits"] == 5
+    assert code["code_score"] == 6 * 3 + 3 * 2 + 5 * 5
+    assert not out[3]["is_code"] and out[3]["kw_hits"] == 1
+
+
+def test_tokenizer_fertility_integer_division(spark):
+    from openreviewcrawler_spark.catalog import q_traindata_tokenizer_fertility
+
+    rows = [("en", "four words right here"), ("en", "ab"), ("de", "lange wörter")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    df.createOrReplaceTempView("__fert_docs")
+    # drive the same arithmetic directly: en = (22+2)*1000 div (4+1)
+    agg = (
+        df.groupBy("lang")
+        .agg(
+            F.sum(F.length("text")).alias("c"),
+            F.sum(F.size(F.split("text", " "))).alias("t"),
+        )
+        .collect()
+    )
+    vals = {r["lang"]: (r["c"], r["t"]) for r in agg}
+    assert vals["en"] == (23, 5)
+    assert vals["de"] == (12, 2)
+
+
+def test_html_canonical_cluster_semantics(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_html_canonical_cluster
+
+    out = q_html_canonical_cluster(spark, sf_dir).collect()
+    shared = [r for r in out if "canon.example" in r["canonical"]]
+    selfs = [r for r in out if r["n_self"] > 0]
+    # shared canonical targets gather multiple pages across hosts
+    assert shared and all(r["n_pages"] >= 2 for r in shared)
+    assert any(r["is_cross_host"] for r in shared)
+    # self-declaring pages are singleton clusters of themselves
+    assert selfs and all(
+        r["n_pages"] == 1 and r["n_self"] == 1 and not r["is_cross_host"]
+        for r in selfs
+    )
+    plan = _plan(q_html_canonical_cluster(spark, sf_dir))
+    _assert_clean(plan, "Window")
