@@ -2585,8 +2585,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
-SQL_ANN_IVF_TOPK = f"""
-with v as (
+#: shared IVF quantizer CTE chain (seeds -> one exact-decimal Lloyd pass ->
+#: storage assignment) — the prefix of both SQL_ANN_IVF_TOPK and
+#: SQL_ANN_IVF_CELL_BALANCE, kept in ONE place so the two oracles can never
+#: drift apart on the quantizer
+_SQL_IVF_STORAGE_CTES = f"""v as (
   select vec_id, embedding::DOUBLE[] as e,
          {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
   from embeddings
@@ -2621,7 +2624,11 @@ with v as (
   )
 ), storage as (
   select vec_id, cell from assign where cell_rank <= 1
-), qprobe as (
+)"""
+
+
+SQL_ANN_IVF_TOPK = f"""
+with {_SQL_IVF_STORAGE_CTES}, qprobe as (
   select vec_id as query_id, cell from assign
   where cell_rank <= {similarity.IVF_PROBE} and vec_id < 16
 ), cand as (
@@ -6212,6 +6219,108 @@ def q_html_canonical_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit — per-cell population, share and hot flag
+    (n_vectors * n_cells > 2 * total) for the same quantizer ann_ivf_topk
+    searches: a cell hoarding a multiple of the fair share makes probes
+    scan-heavy (recall@probe collapses onto that cell), empty-ish cells
+    waste the quantizer's budget — the number to watch before re-running
+    Lloyd with more centroids. Spark side reuses operators/similarity
+    ivf_centroids+ivf_assign (probe=1 argmax groupBy, no window); the
+    oracle reuses the shared quantizer CTE chain, so index and audit can
+    never disagree about cell membership. The single-row total attaches
+    via the accepted 1-row broadcast."""
+    v = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(v)
+    assign = similarity.ivf_assign(v, cents=cents, probe=1)
+    per = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_cells"),
+        F.sum("n_vectors").cast("long").alias("__total"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vectors",
+        F.expr("(n_vectors * 1000000) div __total").cast("long").alias("share_ppm"),
+        (F.col("n_vectors") * F.col("__n_cells") > F.lit(2) * F.col("__total")).alias(
+            "is_hot"
+        ),
+    )
+
+
+SQL_ANN_IVF_CELL_BALANCE = f"""
+with {_SQL_IVF_STORAGE_CTES},
+per as (select cell, count(*)::BIGINT as n_vectors from storage group by cell),
+tot as (select count(*)::BIGINT as n_cells, sum(n_vectors)::BIGINT as total
+        from per)
+select cell::BIGINT as cell, n_vectors,
+       ((n_vectors * 1000000) // total)::BIGINT as share_ppm,
+       n_vectors * n_cells > 2 * total as is_hot
+from per cross join tot
+"""
+
+
+#: planted perceptual-hash fixture: assets in groups of 4 (group =
+#: (doc_id - doc_id%4)/4); member 0 carries the group's base fingerprint,
+#: member m flips ONE bit in band m-1 — every in-group pair sits at
+#: Hamming <= 2, cross-group pairs are md5-random (~32) and fail the
+#: exact verify even when a 16-bit band collides
+_PHASH_GROUP = "cast((doc_id - doc_id % 4) / 4 as bigint)"
+
+
+def _phash_spark_band(b: int) -> str:
+    base = (
+        f"cast(conv(substr(md5(concat('ph', cast({_PHASH_GROUP} as string),"
+        f" '|', '{b}')), 1, 4), 16, 10) as bigint)"
+    )
+    flip = (
+        f"(case when doc_id % 4 = {b + 1} then cast({1 << ((3 * (b + 1)) % 16)}"
+        f" as bigint) else cast(0 as bigint) end)"
+    )
+    return f"({base} ^ {flip})"
+
+
+def _phash_duck_band(b: int) -> str:
+    base = (
+        f"('0x' || substr(md5('ph' || cast({_PHASH_GROUP} as varchar(30))"
+        f" || '|' || '{b}'), 1, 4))::BIGINT"
+    )
+    flip = (
+        f"(case when doc_id % 4 = {b + 1} then {1 << ((3 * (b + 1)) % 16)}"
+        f" else 0 end)"
+    )
+    return f"xor({base}, {flip})"
+
+
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (operators/dedup.banded_hamming_pairs):
+    near-duplicate asset pairs under Hamming <= 3 over a 64-bit pHash,
+    banded 4 x 16 bits — the multimodal sibling of dedup_simhash (same
+    pigeonhole guarantee, hot-bucket cap and persisted band table; the
+    banding engine is fingerprint-agnostic). The pixel-level pHash decode
+    itself is the documented multimodal stub (no image libs in this
+    container): the fixture emits deterministic planted fingerprints with
+    in-group bit flips, so candidate generation, bucket capping and the
+    exact bit_count verify all run for real."""
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        *[F.expr(_phash_spark_band(b)).alias(f"b{b}") for b in range(4)],
+    )
+    return dedup.banded_hamming_pairs(wide, id_col="asset_id")
+
+
+def _sql_mm_phash_dedup() -> str:
+    bands = ", ".join(f"{_phash_duck_band(b)} as b{b}" for b in range(4))
+    return dedup.banded_hamming_pairs_sql(
+        f"select doc_id as asset_id, {bands} from documents",
+        id_col="asset_id",
+    )
+
+
 SQL_HTML_CANONICAL_CLUSTER = f"""
 with docs as (
   select {_CANON_URL_EXPR} as url, {_CANON_HTML_EXPR} as html from documents
@@ -6493,6 +6602,10 @@ CATALOG: dict[str, QueryDef] = {
     "html_canonical_cluster": QueryDef(
         q_html_canonical_cluster, SQL_HTML_CANONICAL_CLUSTER
     ),
+    "ann_ivf_cell_balance": QueryDef(
+        q_ann_ivf_cell_balance, SQL_ANN_IVF_CELL_BALANCE
+    ),
+    "mm_phash_dedup": QueryDef(q_mm_phash_dedup, _sql_mm_phash_dedup()),
 }
 
 

@@ -957,3 +957,110 @@ def quality_keeper(comp: DataFrame, quality: DataFrame) -> DataFrame:
         "minid_q10",
         (F.col("keeper_q10") - F.col("minid_q10")).cast("long").alias("q_gain"),
     )
+
+
+def banded_hamming_pairs(
+    wide: DataFrame,
+    id_col: str = "asset_id",
+    n_bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — near-duplicate pairs under Hamming distance
+    over ANY banded 64-bit fingerprint, given a wide table
+    (``id_col``, b0..b{n_bands-1}) of 16-bit band values. The generic
+    engine behind :func:`simhash_near_pairs`, reusable for perceptual
+    image hashes (pHash), audio chromaprints, or any other fixed-width
+    fingerprint a decode stage emits — the banding, hot-bucket cap and
+    exact verify are modality-independent.
+
+    Same at-scale contract as the simhash tier: candidate generation is a
+    band equi-join (pigeonhole: Hamming <= n_bands-1 pairs always share a
+    band, so blocking loses no qualifying pair), buckets above MAX_BUCKET
+    (degenerate all-black/all-silent assets) drop before the join, and
+    the band table evaluates ONCE (persisted; hot scan + anti-join +
+    self-join all read cache — the r3 union-embeds lesson).
+    """
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"), F.col(f"b{b}").alias("bval")
+        )
+        for b in range(n_bands)
+    ]
+    bands = track_persist(
+        wide.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    )
+    hot = (
+        bands.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > MAX_BUCKET)
+        .select("band", "bval")
+    )
+    kept = bands.join(F.broadcast(hot), ["band", "bval"], "left_anti")
+    l, r = kept.alias("l"), kept.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    wl = wide.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"b{b}").alias(f"la{b}") for b in range(n_bands)],
+    )
+    wr = wide.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"b{b}").alias(f"rb{b}") for b in range(n_bands)],
+    )
+    hamming = None
+    for b in range(n_bands):
+        term = F.bit_count(F.col(f"la{b}").bitwiseXOR(F.col(f"rb{b}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        pairs.join(wl, "id_a")
+        .join(wr, "id_b")
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def banded_hamming_pairs_sql(
+    wide_cte: str,
+    id_col: str = "asset_id",
+    n_bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> str:
+    """Oracle twin of :func:`banded_hamming_pairs` over a CTE producing
+    (``id_col``, b0..b{n_bands-1})."""
+    ham = " + ".join(f"bit_count(xor(wl.b{b}, wr.b{b}))" for b in range(n_bands))
+    band_rows = " union all ".join(
+        f"select {id_col}, {b}::BIGINT as band, b{b} as bval from wide"
+        for b in range(n_bands)
+    )
+    return f"""
+with wide as ({wide_cte}),
+bands as (
+  {band_rows}
+), hot as (
+  select band, bval from bands group by 1, 2 having count(*) > {MAX_BUCKET}
+), kept as (
+  select b.* from bands b
+  where not exists (select 1 from hot h where h.band = b.band and h.bval = b.bval)
+), pairs as (
+  select distinct l.{id_col} as id_a, r.{id_col} as id_b
+  from kept l join kept r
+    on l.band = r.band and l.bval = r.bval and l.{id_col} < r.{id_col}
+)
+select p.id_a::BIGINT as id_a, p.id_b::BIGINT as id_b, ({ham})::BIGINT as hamming
+from pairs p
+join wide wl on wl.{id_col} = p.id_a
+join wide wr on wr.{id_col} = p.id_b
+where ({ham}) <= {max_hamming}
+"""
