@@ -6219,6 +6219,235 @@ def q_html_canonical_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STAGES = (
+    "exact_dedup",
+    "near_dedup",
+    "lang_filter",
+    "quality_gate",
+    "decontaminate",
+)
+
+
+def q_traindata_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline funnel observability — one row per
+    traindata_clean_corpus stage with (n_in, n_out, drop_ppm): the
+    dashboard a corpus operator reads every nightly run to catch a stage
+    suddenly eating the corpus (an over-aggressive near-dup threshold, a
+    broken language model) BEFORE the training job starves. Cumulative-
+    conjunction semantics: stage k's survivors are docs passing gates
+    1..k, so n_out of the last row equals the clean_corpus output count
+    by construction.
+
+    One pass: every gate is a per-doc FLAG (exact keeper via the md5
+    window, near keeper via the components join, lang/quality as scan
+    expressions, contamination as a left anti-join flag), then ONE
+    aggregate row of 6 conditional sums explodes into the 5 stage rows —
+    no per-stage recount jobs, no union re-running the dedup pipeline
+    (the r3 union-embeds lesson applied to observability)."""
+    from .operators.textstats import lang_id_col, quality_score_cols, tokens_col
+
+    corpus = _corpus(spark, sf_dir)
+    edges = dedup.minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    comp = dedup.connected_components(edges, corpus.select("doc_id"))
+    near = comp.select(
+        "doc_id", (F.col("doc_id") == F.col("component")).alias("f_near")
+    )
+    ev = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("eval_id"), "text")
+    )
+    contaminated = dedup.decontaminate_ngrams(
+        corpus.select("doc_id", "text"), ev, n=3
+    ).select("doc_id").withColumn("f_cont", F.lit(True))
+    toks = tokens_col(F.col("text"))
+    q = quality_score_cols(F.col("text"))
+    flags = (
+        corpus.select(
+            "doc_id",
+            "text",
+            F.row_number()
+            .over(Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id")))
+            .alias("__rn"),
+        )
+        .select(
+            "doc_id",
+            (F.col("__rn") == 1).alias("f_exact"),
+            (lang_id_col(toks) == "en").alias("f_lang"),
+            (q["quality_score"] >= 0.5).alias("f_quality"),
+        )
+        .join(near, "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .withColumn("f_decont", F.coalesce(~F.col("f_cont"), F.lit(True)))
+    )
+
+    def _n(*fs: str) -> Column:
+        cond = F.lit(True)
+        for f in fs:
+            cond = cond & F.col(f)
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        _n("f_exact").alias("n1"),
+        _n("f_exact", "f_near").alias("n2"),
+        _n("f_exact", "f_near", "f_lang").alias("n3"),
+        _n("f_exact", "f_near", "f_lang", "f_quality").alias("n4"),
+        _n("f_exact", "f_near", "f_lang", "f_quality", "f_decont").alias("n5"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("long").alias("stage_id"),
+                        F.lit(name).alias("stage"),
+                        F.col(f"n{i}").alias("n_in"),
+                        F.col(f"n{i + 1}").alias("n_out"),
+                    )
+                    for i, name in enumerate(_FUNNEL_STAGES)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return rows.select(
+        "stage_id",
+        "stage",
+        "n_in",
+        "n_out",
+        F.expr(
+            "case when n_in = 0 then 0 else ((n_in - n_out) * 1000000) div n_in end"
+        ).cast("long").alias("drop_ppm"),
+    )
+
+
+def _sql_traindata_funnel_audit() -> str:
+    from .operators.textstats import STOPWORDS
+
+    keys = []
+    for lang, ws in sorted(STOPWORDS.items()):
+        keys.append(
+            f"lpad(((1000000 + -1 * {_sw_sql(ws)}))::VARCHAR, 7, '0') || '{lang}'"
+        )
+    least = "least(" + ", ".join(keys) + ")"
+    anyhit = " + ".join(_sw_sql(ws) for _, ws in sorted(STOPWORDS.items()))
+    stage_rows = " union all ".join(
+        f"select {i + 1} as stage_id, '{name}' as stage,"
+        f" n{i} as n_in, n{i + 1} as n_out from agg"
+        for i, name in enumerate(_FUNNEL_STAGES)
+    )
+    return f"""
+with corpus as ({CORPUS_SQL}),
+comp as ({SQL_DEDUP_COMPONENTS}),
+ev_docs as (select doc_id as eval_id, text from documents where doc_id % 97 = 0),
+ev_sh as (
+  select unnest(list_distinct(
+    list_transform(range(1, len({_SQL_TOKENS}) - 1),
+                   i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i + 1] || ' ' || {_SQL_TOKENS}[i + 2])
+  )) as shingle from ev_docs where len({_SQL_TOKENS}) >= 3
+),
+tr_sh as (
+  select doc_id, unnest(list_distinct(
+    list_transform(range(1, len({_SQL_TOKENS}) - 1),
+                   i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i + 1] || ' ' || {_SQL_TOKENS}[i + 2])
+  )) as shingle from corpus where len({_SQL_TOKENS}) >= 3
+),
+contaminated as (select distinct t.doc_id from tr_sh t
+                 join (select distinct shingle from ev_sh) e using (shingle)),
+scored as (
+  select doc_id, text,
+    row_number() over (partition by md5(text) order by doc_id asc) as rn,
+    len({_SQL_TOKENS})::BIGINT as n_tokens,
+    length(text)::BIGINT as n_chars,
+    {_sw_sql(("the", "a", "of", "and", "is", "to"))}::BIGINT as stop_en,
+    case when ({anyhit}) = 0 then 'und' else substr({least}, 8) end as lang_pred
+  from corpus
+),
+m as (
+  select doc_id, rn, lang_pred, n_tokens,
+    (n_chars - (n_tokens - 1)) / n_tokens::DOUBLE as mean_tok,
+    stop_en / n_tokens::DOUBLE as stop_ratio,
+    (n_chars - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))) / n_chars::DOUBLE as punct_ratio
+  from scored
+),
+flags as (
+  select m.doc_id,
+    m.rn = 1 as f_exact,
+    exists (select 1 from comp c
+            where c.doc_id = m.doc_id and c.doc_id = c.component) as f_near,
+    m.lang_pred = 'en' as f_lang,
+    {_SQL_QUALITY_SCORE} >= 0.5 as f_quality,
+    not exists (select 1 from contaminated k where k.doc_id = m.doc_id) as f_decont
+  from m
+),
+agg as (
+  select count(*)::BIGINT as n0,
+    sum(case when f_exact then 1 else 0 end)::BIGINT as n1,
+    sum(case when f_exact and f_near then 1 else 0 end)::BIGINT as n2,
+    sum(case when f_exact and f_near and f_lang then 1 else 0 end)::BIGINT as n3,
+    sum(case when f_exact and f_near and f_lang and f_quality
+        then 1 else 0 end)::BIGINT as n4,
+    sum(case when f_exact and f_near and f_lang and f_quality and f_decont
+        then 1 else 0 end)::BIGINT as n5
+  from flags
+),
+stages as ({stage_rows})
+select stage_id::BIGINT as stage_id, stage, n_in, n_out,
+       (case when n_in = 0 then 0
+             else ((n_in - n_out) * 1000000) // n_in end)::BIGINT as drop_ppm
+from stages
+"""
+
+
+def q_crawl_dns_prefetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DNS prefetch planning — per round: active hosts, FIRST-SEEN hosts
+    (the resolver batch to prefetch before the round starts), cache hits,
+    URL volume. A 1000-executor fetch round that resolves lazily stalls
+    its politeness slots on DNS latency; this plan sizes the resolver
+    batch ahead of time. Two map-side groupBys + one shuffle join on
+    host — no window, no collect."""
+    docs = _t(spark, sf_dir, "documents")
+    hr = docs.groupBy(
+        F.expr(_BINPACK_HOST_EXPR).alias("host"),
+        (F.col("doc_id") % 7).alias("rnd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    first = hr.groupBy("host").agg(F.min("rnd").alias("first_rnd"))
+    per = hr.join(first, "host")
+    agg = per.groupBy("rnd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum(F.when(F.col("rnd") == F.col("first_rnd"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new_hosts"),
+        F.sum("n_urls").cast("long").alias("n_urls"),
+    )
+    return agg.select(
+        F.col("rnd").cast("long").alias("rnd"),
+        "n_hosts",
+        "n_new_hosts",
+        (F.col("n_hosts") - F.col("n_new_hosts")).alias("n_cached_hosts"),
+        "n_urls",
+    )
+
+
+SQL_CRAWL_DNS_PREFETCH_PLAN = f"""
+with hr as (
+  select {_BINPACK_HOST_EXPR} as host, doc_id % 7 as rnd,
+         count(*)::BIGINT as n_urls
+  from documents group by 1, 2
+),
+first as (select host, min(rnd) as first_rnd from hr group by host),
+agg as (
+  select rnd, count(*)::BIGINT as n_hosts,
+         sum(case when rnd = first_rnd then 1 else 0 end)::BIGINT as n_new_hosts,
+         sum(n_urls)::BIGINT as n_urls
+  from hr join first using (host) group by rnd
+)
+select rnd::BIGINT as rnd, n_hosts, n_new_hosts,
+       (n_hosts - n_new_hosts)::BIGINT as n_cached_hosts, n_urls
+from agg
+"""
+
+
 def q_ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index-health audit — per-cell population, share and hot flag
     (n_vectors * n_cells > 2 * total) for the same quantizer ann_ivf_topk
@@ -6606,6 +6835,12 @@ CATALOG: dict[str, QueryDef] = {
         q_ann_ivf_cell_balance, SQL_ANN_IVF_CELL_BALANCE
     ),
     "mm_phash_dedup": QueryDef(q_mm_phash_dedup, _sql_mm_phash_dedup()),
+    "traindata_funnel_audit": QueryDef(
+        q_traindata_funnel_audit, _sql_traindata_funnel_audit()
+    ),
+    "crawl_dns_prefetch_plan": QueryDef(
+        q_crawl_dns_prefetch_plan, SQL_CRAWL_DNS_PREFETCH_PLAN
+    ),
 }
 
 

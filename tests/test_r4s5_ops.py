@@ -256,3 +256,47 @@ def test_ivf_cell_balance_shares(spark, sf_dir):
     # nested loops here are only the K-row centroid broadcasts (the
     # established ivf shape) + the 1-row total; never an unbroadcast product
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_funnel_audit_chains_and_matches_clean_corpus(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import (
+        q_traindata_clean_corpus,
+        q_traindata_funnel_audit,
+    )
+
+    rows = sorted(
+        q_traindata_funnel_audit(spark, sf_dir).collect(),
+        key=lambda r: r["stage_id"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "exact_dedup", "near_dedup", "lang_filter", "quality_gate",
+        "decontaminate",
+    ]
+    for r in rows:
+        assert 0 <= r["n_out"] <= r["n_in"]
+        expect = 0 if r["n_in"] == 0 else ((r["n_in"] - r["n_out"]) * 1_000_000) // r["n_in"]
+        assert r["drop_ppm"] == expect
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt["n_in"] == prev["n_out"]
+    # the funnel's final survivor count IS the clean_corpus output count
+    final = rows[-1]["n_out"]
+    assert final == q_traindata_clean_corpus(spark, sf_dir).count()
+    # stages genuinely drop something on the planted dup fixture
+    assert rows[0]["n_in"] > final
+
+
+def test_dns_prefetch_plan_first_seen_partition(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import q_crawl_dns_prefetch_plan
+
+    rows = sorted(
+        q_crawl_dns_prefetch_plan(spark, sf_dir).collect(), key=lambda r: r["rnd"]
+    )
+    assert rows and rows[0]["rnd"] == 0
+    # every host active in round 0 is first-seen there
+    assert rows[0]["n_new_hosts"] == rows[0]["n_hosts"]
+    assert rows[0]["n_cached_hosts"] == 0
+    for r in rows:
+        assert r["n_cached_hosts"] == r["n_hosts"] - r["n_new_hosts"]
+        assert r["n_urls"] >= r["n_hosts"]
+    plan = _plan(q_crawl_dns_prefetch_plan(spark, sf_dir))
+    _assert_clean(plan, "Window")
