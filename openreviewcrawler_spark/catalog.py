@@ -6399,6 +6399,124 @@ from stages
 """
 
 
+def q_embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-QA cross-check — per IVF cell: population, majority
+    source label and purity_ppm. High purity means the quantizer's
+    geometry recovers the labeling (cells ~ topics, safe to use for
+    SemDeDup-style within-cell dedup); purity near the label prior means
+    the embedding space ignores the labels — re-embed before trusting
+    semantic dedup. Same quantizer as ann_ivf_topk / ann_ivf_cell_balance
+    (shared CTE chain in the oracle); the per-cell argmax is a
+    max(struct(n, -label)) groupBy with the (n desc, label asc)
+    tie-break, never a per-vector window."""
+    v = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(v)
+    assign = similarity.ivf_assign(v, cents=cents, probe=1)
+    lab = v.select("vec_id", F.col("label").cast("long").alias("label"))
+    cl = assign.join(lab, "vec_id").groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    agg = cl.groupBy("cell").agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.max(F.struct(F.col("n"), (-F.col("label")).alias("negl"))).alias("b"),
+    )
+    return agg.select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vectors",
+        (-F.col("b.negl")).cast("long").alias("majority_label"),
+        F.col("b.n").cast("long").alias("majority_n"),
+        F.expr("(b.n * 1000000) div n_vectors").cast("long").alias("purity_ppm"),
+    )
+
+
+SQL_EMBEDDING_CLUSTER_PURITY = f"""
+with {_SQL_IVF_STORAGE_CTES},
+cl as (
+  select s.cell, e.label::BIGINT as label, count(*)::BIGINT as n
+  from storage s join embeddings e on e.vec_id = s.vec_id
+  group by 1, 2
+),
+rk as (
+  select cell, label, n,
+         sum(n) over (partition by cell)::BIGINT as n_vectors,
+         row_number() over (partition by cell order by n desc, label asc) as r
+  from cl
+)
+select cell::BIGINT as cell, n_vectors, label as majority_label,
+       n as majority_n,
+       ((n * 1000000) // n_vectors)::BIGINT as purity_ppm
+from rk where r = 1
+"""
+
+
+def q_traindata_pack_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing fragmentation audit — per packed 2048-token sequence: how
+    many documents intersect it, how many arrive whole vs split across a
+    boundary, how many START here. Split documents need attention-mask
+    resets mid-sequence and lose cross-boundary supervision; a packer
+    whose split share creeps up is wasting tokens — this is the audit the
+    dataloader team reads next to traindata_length_buckets. One explode
+    of each doc's (seq_id .. seq_id+spanned-1) range over the scalable
+    prefix-sum assignment (no per-seq window, no join)."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, 2048)
+    spans = packed.select(
+        "seq_id",
+        "n_seqs_spanned",
+        F.explode(
+            F.sequence(
+                F.col("seq_id"), F.col("seq_id") + F.col("n_seqs_spanned") - 1
+            )
+        ).alias("seq"),
+    )
+    agg = spans.groupBy("seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_seqs_spanned") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_whole_docs"),
+        F.sum(F.when(F.col("n_seqs_spanned") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_split_docs"),
+        F.sum(F.when(F.col("seq") == F.col("seq_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_starts"),
+    )
+    return agg.select(
+        F.col("seq").cast("long").alias("seq_id"),
+        "n_docs",
+        "n_whole_docs",
+        "n_split_docs",
+        "n_starts",
+        (F.col("n_split_docs") > 0).alias("is_fragmented"),
+    )
+
+
+SQL_TRAINDATA_PACK_FRAGMENTATION = f"""
+with packed as ({SQL_TRAINDATA_PACK_SEQUENCES}),
+spans as (
+  select seq_id, n_seqs_spanned,
+         unnest(range(seq_id, seq_id + n_seqs_spanned)) as seq
+  from packed
+),
+agg as (
+  select seq, count(*)::BIGINT as n_docs,
+         sum(case when n_seqs_spanned = 1 then 1 else 0 end)::BIGINT
+           as n_whole_docs,
+         sum(case when n_seqs_spanned > 1 then 1 else 0 end)::BIGINT
+           as n_split_docs,
+         sum(case when seq = seq_id then 1 else 0 end)::BIGINT as n_starts
+  from spans group by seq
+)
+select seq::BIGINT as seq_id, n_docs, n_whole_docs, n_split_docs, n_starts,
+       n_split_docs > 0 as is_fragmented
+from agg
+"""
+
+
 def q_crawl_dns_prefetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DNS prefetch planning — per round: active hosts, FIRST-SEEN hosts
     (the resolver batch to prefetch before the round starts), cache hits,
@@ -6840,6 +6958,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_dns_prefetch_plan": QueryDef(
         q_crawl_dns_prefetch_plan, SQL_CRAWL_DNS_PREFETCH_PLAN
+    ),
+    "embedding_cluster_purity": QueryDef(
+        q_embedding_cluster_purity, SQL_EMBEDDING_CLUSTER_PURITY
+    ),
+    "traindata_pack_fragmentation": QueryDef(
+        q_traindata_pack_fragmentation, SQL_TRAINDATA_PACK_FRAGMENTATION
     ),
 }
 

@@ -300,3 +300,45 @@ def test_dns_prefetch_plan_first_seen_partition(spark, sf_dir):
         assert r["n_urls"] >= r["n_hosts"]
     plan = _plan(q_crawl_dns_prefetch_plan(spark, sf_dir))
     _assert_clean(plan, "Window")
+
+
+def test_cluster_purity_consistent(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import (
+        q_ann_ivf_cell_balance,
+        q_embedding_cluster_purity,
+    )
+
+    pur = {r["cell"]: r for r in q_embedding_cluster_purity(spark, sf_dir).collect()}
+    bal = {r["cell"]: r for r in q_ann_ivf_cell_balance(spark, sf_dir).collect()}
+    # same quantizer -> same cells with identical populations
+    assert set(pur) == set(bal)
+    for c, r in pur.items():
+        assert r["n_vectors"] == bal[c]["n_vectors"]
+        assert 0 < r["majority_n"] <= r["n_vectors"]
+        assert r["purity_ppm"] == (r["majority_n"] * 1_000_000) // r["n_vectors"]
+
+
+def test_pack_fragmentation_invariants(spark, sf_dir):
+    from openreviewcrawler_spark.catalog import (
+        q_traindata_pack_fragmentation,
+        q_traindata_pack_sequences,
+    )
+
+    frag = sorted(
+        q_traindata_pack_fragmentation(spark, sf_dir).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    packed = q_traindata_pack_sequences(spark, sf_dir).collect()
+    n_docs = len(packed)
+    # every doc starts in exactly one sequence
+    assert sum(r["n_starts"] for r in frag) == n_docs
+    # intersections = sum of spans
+    assert sum(r["n_docs"] for r in frag) == sum(r["n_seqs_spanned"] for r in packed)
+    for r in frag:
+        assert r["n_docs"] == r["n_whole_docs"] + r["n_split_docs"]
+        assert r["is_fragmented"] == (r["n_split_docs"] > 0)
+    # contiguous sequence ids from 0
+    assert frag[0]["seq_id"] == 0
+    assert [r["seq_id"] for r in frag] == list(range(len(frag)))
+    plan = _plan(q_traindata_pack_fragmentation(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
