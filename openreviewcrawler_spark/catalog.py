@@ -6688,6 +6688,419 @@ from agg
 """
 
 
+# ---------------------------------------------------------------------------
+# session-6: events OLAP, embedding outliers, link co-citation, keep-alive
+# planning, curriculum ordering, mixed-language + per-host boilerplate audits
+# ---------------------------------------------------------------------------
+
+_EVENTS_MS_CTE = (
+    "select user_id, event_id, event_type, epoch_ms(ts) as ts_ms from events"
+)
+
+
+def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/events.funnel) over the event
+    stream: per step, users who reached it IN ORDER (a click counts only
+    at-or-after that user's first view, a purchase only after a qualified
+    click) + conversion ppm vs the previous step. One shuffle on user_id;
+    the stacked running-min windows share one sort; integer-only output."""
+    from .operators.events import funnel
+
+    return funnel(_events_ms(spark, sf_dir))
+
+
+def _sql_event_funnel() -> str:
+    from .operators.events import funnel_sql
+
+    return funnel_sql(_EVENTS_MS_CTE)
+
+
+def q_event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/events.cohort_retention): users
+    bucketed by first-seen week, counted in each later active week. The
+    matrix is bounded by the calendar span squared, never the corpus; the
+    cohort attach joins on the key both aggregates shuffled on."""
+    from .operators.events import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return cohort_retention(ev)
+
+
+def _sql_event_cohort_retention() -> str:
+    from .operators.events import cohort_retention_sql
+
+    return cohort_retention_sql(
+        "select user_id, epoch_ms(ts) as ts_ms from events"
+    )
+
+
+def q_embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers (operators/similarity.outlier_topk):
+    the k vectors farthest from their label centroid — the re-inspection
+    queue for mislabeled docs and encoder failures. Exact decimal-mean
+    centroids (n_labels broadcast rows), TWO-PHASE top-k (per-partition
+    prune then final rank) so no task ever holds a label's full set."""
+    from .operators.similarity import outlier_topk
+
+    return outlier_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_outlier_topk() -> str:
+    from .operators.similarity import outlier_topk_sql
+
+    return outlier_topk_sql("select vec_id, label, embedding from embeddings")
+
+
+#: template-link graph for co-citation: 40 src pages in 5 template groups
+#: of 8; every page cites its group's 3 shared nav targets (fan-in 8),
+#: ~10 unique targets (fan-in 1), and one site-wide hot target (fan-in 40
+#: — must be dropped by the cap before pair generation)
+_COCITE_EDGES_CTE = """select (doc_id % 5) * 8 + (doc_id % 8) as src,
+       1000 + (doc_id % 5) * 10 + (doc_id % 3) as dst from documents
+union all
+select (doc_id % 5) * 8 + (doc_id % 8) as src, 2000 + (doc_id % 400) as dst
+from documents
+union all
+select (doc_id % 5) * 8 + (doc_id % 8) as src, 3000 as dst from documents"""
+
+
+def _cocite_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    src = (F.col("doc_id") % 5) * 8 + (F.col("doc_id") % 8)
+    # all three edge families in ONE explode (the union-embeds lesson)
+    return docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    src.alias("src"),
+                    (
+                        F.lit(1000)
+                        + (F.col("doc_id") % 5) * 10
+                        + (F.col("doc_id") % 3)
+                    ).alias("dst"),
+                ),
+                F.struct(
+                    src.alias("src"),
+                    (F.lit(2000) + F.col("doc_id") % 400).alias("dst"),
+                ),
+                F.struct(src.alias("src"), F.lit(3000).cast("long").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.*")
+
+
+def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link co-citation similarity (operators/rank.cocitation): src pairs
+    whose out-link sets overlap — nav-template / mirror / link-farm
+    detection at the page level. Hot dsts (fan-in > cap) are dropped
+    wholesale before pair generation (stop-shingle discipline), bounding
+    the dst self-join at cap^2/2 pairs per key; the capped edge table is
+    persisted once so the self-join doesn't re-run the synthesis. The
+    planted template groups surface as 3-common-nav pairs; the site-wide
+    hot dst (fan-in 40) must vanish. Integer-only Jaccard ppm."""
+    from .operators.rank import cocitation
+
+    return cocitation(_cocite_edges_df(spark, sf_dir), cap=20, min_common=2)
+
+
+def _sql_graph_cocitation() -> str:
+    from .operators.rank import cocitation_sql
+
+    return cocitation_sql(_COCITE_EDGES_CTE, cap=20, min_common=2)
+
+
+def q_crawl_keepalive_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP keep-alive planning: given the deterministic global fetch
+    order (the scalable seq stamp, O2), count per host how many TCP
+    connections the round needs when a connection idles out after 8
+    non-host fetches — consecutive same-host seqs reuse, larger gaps
+    reopen. The fetch-cost model that motivates host-clustered ordering:
+    reuse_ppm is the fraction of fetches that skip a handshake. One
+    window per host over the stamped batch; integer-only output."""
+    u = _urlset(spark, sf_dir).select("url", "host", "seed_index", "depth")
+    seq = assign_seq_scalable(u, ["seed_index", "depth", "url"], "fetch_seq")
+    w = Window.partitionBy("host").orderBy("fetch_seq")
+    gap = F.col("fetch_seq") - F.lag("fetch_seq").over(w)
+    flags = seq.withColumn(
+        "new_conn", F.when(gap.isNull() | (gap > 8), 1).otherwise(0)
+    )
+    agg = flags.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum("new_conn").cast("long").alias("n_connections"),
+    )
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_connections",
+        F.expr(
+            "cast(((n_fetches - n_connections) * cast(1000000 as bigint))"
+            " div n_fetches as bigint)"
+        ).alias("reuse_ppm"),
+    )
+
+
+SQL_CRAWL_KEEPALIVE_PLAN = f"""
+with u as (
+  select {CANON_URL_EXPR} as url, {HOST_EXPR} as host,
+         doc_id % 7 as seed_index, doc_id % 3 as depth
+  from documents
+),
+s as (
+  select host,
+         row_number() over (order by seed_index, depth, url) - 1 as fetch_seq
+  from u
+),
+g as (
+  select host,
+         fetch_seq - lag(fetch_seq) over (partition by host order by fetch_seq)
+           as gap
+  from s
+),
+a as (
+  select host, count(*)::BIGINT as n_fetches,
+         sum(case when gap is null or gap > 8 then 1 else 0 end)::BIGINT
+           as n_connections
+  from g group by host
+)
+select host, n_fetches, n_connections,
+       (((n_fetches - n_connections) * 1000000) // n_fetches)::BIGINT
+         as reuse_ppm
+from a
+"""
+
+
+def q_traindata_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: documents sorted best-quality-band-first with
+    a deterministic md5 shuffle inside each band, stamped with a global
+    training sequence via the barrier-free scalable stamp (O2 machinery —
+    NOT a global window, which would funnel the corpus through one task).
+    Band = floor(quality_score * 10): the score is a fixed-order sum of
+    constants, so the double — and the band — is bit-identical across
+    engines per row."""
+    from .operators.textstats import hash32_col
+
+    docs = _t(spark, sf_dir, "documents")
+    score = quality_score_cols(F.col("text"))["quality_score"]
+    base = docs.select(
+        "doc_id",
+        F.floor(score * 10).cast("long").alias("band"),
+        hash32_col(
+            F.concat(F.lit("cur"), F.col("doc_id").cast("string"))
+        ).alias("shuf"),
+    ).withColumn("inv_band", (F.lit(10) - F.col("band")).cast("long"))
+    out = assign_seq_scalable(
+        base, ["inv_band", "shuf", "doc_id"], "curriculum_seq"
+    )
+    return out.select("doc_id", "band", "curriculum_seq")
+
+
+SQL_TRAINDATA_CURRICULUM_ORDER = f"""
+with {_SQL_QUALITY_M},
+b as (
+  select doc_id,
+         floor({_SQL_QUALITY_SCORE}::DOUBLE * 10)::BIGINT as band,
+         {_H32.format(x="'cur' || cast(doc_id as varchar(30))")} as shuf
+  from m
+)
+select doc_id, band,
+       (row_number() over (order by 10 - band, shuf, doc_id) - 1)::BIGINT
+         as curriculum_seq
+from b
+"""
+
+
+def q_text_langmix_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language document audit: per-paragraph language ID (the F-
+    surface stopword heuristic applied per chunk), rolled up per doc to
+    (n_paras, n_langs, primary_lang, is_mixed) — the CCNet-style gate
+    that drops documents whose paragraphs disagree on language (scraped
+    comment sections, machine-translated spam). One explode + two
+    groupBys; the primary-language window runs over the doc x lang
+    rollup (<= 6 rows per doc), never the paragraph table."""
+    from .operators.dedup import PARA_CHUNK_RE
+    from .operators.textstats import lang_id_col, tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    paras = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{PARA_CHUNK_RE}', 0)")
+        ).alias("para"),
+    )
+    pl = paras.select(
+        "doc_id", lang_id_col(tokens_col(F.col("para"))).alias("plang")
+    )
+    per = pl.groupBy("doc_id", "plang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("plang").asc()
+    )
+    prim = (
+        per.filter(F.col("plang") != "und")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("primary_lang"))
+    )
+    aggd = per.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_paras"),
+        F.sum(
+            F.when(F.col("plang") != "und", 1).otherwise(0)
+        ).cast("long").alias("n_langs"),
+    )
+    return aggd.join(prim, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        "n_langs",
+        F.coalesce(F.col("primary_lang"), F.lit("und")).alias("primary_lang"),
+        (F.col("n_langs") > 1).alias("is_mixed"),
+    )
+
+
+def _sql_text_langmix_paragraphs() -> str:
+    from .operators.dedup import PARA_CHUNK_RE
+    from .operators.textstats import STOPWORDS
+
+    tok = "string_split(para, ' ')"
+
+    def sw(words: tuple[str, ...]) -> str:
+        quoted = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter({tok}, t -> t in ({quoted})))"
+
+    keys = [
+        f"lpad(((1000000 + -1 * {sw(ws)}))::VARCHAR, 7, '0') || '{lang}'"
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    least = "least(" + ", ".join(keys) + ")"
+    anyhit = " + ".join(sw(ws) for _, ws in sorted(STOPWORDS.items()))
+    return f"""
+with paras as (
+  select doc_id,
+         unnest(regexp_extract_all(text, '{PARA_CHUNK_RE}')) as para
+  from documents
+),
+pl as (
+  select doc_id,
+         case when ({anyhit}) = 0 then 'und' else substr({least}, 8) end
+           as plang
+  from paras
+),
+per as (select doc_id, plang, count(*) as n from pl group by 1, 2),
+known as (
+  select doc_id, plang,
+         row_number() over (partition by doc_id order by n desc, plang asc)
+           as rn
+  from per where plang <> 'und'
+),
+agg as (
+  select doc_id, sum(n)::BIGINT as n_paras,
+         sum(case when plang <> 'und' then 1 else 0 end)::BIGINT as n_langs
+  from per group by doc_id
+)
+select a.doc_id, a.n_paras, a.n_langs,
+       coalesce(k.plang, 'und') as primary_lang,
+       a.n_langs > 1 as is_mixed
+from agg a left join known k on a.doc_id = k.doc_id and k.rn = 1
+"""
+
+
+#: planted per-host banner: every third doc gets a PARA_WORDS-word promo
+#: banner prefix that depends only on its host, so paragraph chunk 1 is
+#: byte-identical across that host's banner docs (shared verbatim)
+_BOILER_TEXT_EXPR = (
+    "case when doc_id % 3 = 0 then "
+    "trim(repeat('promo' || cast(doc_id % 7 as varchar(10)) || ' ', 20))"
+    " || ' ' || text else text end"
+)
+_BOILER_HOST_EXPR = "'h' || cast(doc_id % 7 as varchar(10))"
+
+
+def q_text_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host repeated-paragraph (boilerplate) detection — the CCNet
+    dedup-within-host pass that strips nav banners, cookie notices and
+    footers BEFORE quality scoring: a paragraph hash appearing in >= 30%
+    of a host's documents (min 3) is boilerplate, whatever its content.
+    Shape: one explode, a per-(host, doc, hash) distinct, one groupBy —
+    all shuffles on host-prefixed keys; output is only the repeated
+    paragraphs (n_docs >= 2), a vanishing fraction of the corpus."""
+    from .operators.textstats import hash32_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_BOILER_HOST_EXPR).alias("host"),
+        F.expr(_BOILER_TEXT_EXPR).alias("text2"),
+    )
+    from .operators.dedup import PARA_CHUNK_RE
+
+    paras = docs.select(
+        "host",
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(text2, '{PARA_CHUNK_RE}', 0)")
+        ).alias("para"),
+    ).select("host", "doc_id", hash32_col(F.col("para")).alias("para_hash"))
+    counts = (
+        paras.distinct()
+        .groupBy("host", "para_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    host_docs = docs.groupBy("host").agg(F.count("*").alias("n_host_docs"))
+    out = counts.join(host_docs, "host")
+    share = F.expr(
+        "cast((n_docs * cast(1000000 as bigint)) div n_host_docs as bigint)"
+    )
+    return out.select(
+        "host",
+        "para_hash",
+        "n_docs",
+        "n_host_docs",
+        share.alias("share_ppm"),
+        ((F.col("n_docs") >= 3) & (share >= 300000)).alias("is_boilerplate"),
+    )
+
+
+def _sql_text_host_boilerplate() -> str:
+    from .operators.dedup import PARA_CHUNK_RE
+
+    return f"""
+with docs as (
+  select doc_id, {_BOILER_HOST_EXPR} as host, {_BOILER_TEXT_EXPR} as text2
+  from documents
+),
+paras as (
+  select distinct host, doc_id, {_H32.format(x='para')} as para_hash
+  from (
+    select host, doc_id,
+           unnest(regexp_extract_all(text2, '{PARA_CHUNK_RE}')) as para
+    from docs
+  )
+),
+counts as (
+  select host, para_hash, count(*)::BIGINT as n_docs
+  from paras group by 1, 2
+  having count(*) >= 2
+),
+hd as (select host, count(*)::BIGINT as n_host_docs from docs group by host)
+select c.host, c.para_hash, c.n_docs, h.n_host_docs,
+       ((c.n_docs * 1000000) // h.n_host_docs)::BIGINT as share_ppm,
+       (c.n_docs >= 3
+        and (c.n_docs * 1000000) // h.n_host_docs >= 300000)
+         as is_boilerplate
+from counts c join hd h using (host)
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -6964,6 +7377,27 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "traindata_pack_fragmentation": QueryDef(
         q_traindata_pack_fragmentation, SQL_TRAINDATA_PACK_FRAGMENTATION
+    ),
+    # --- session-6 additions (tail slots, r5-window queue) ---
+    "event_funnel": QueryDef(q_event_funnel, _sql_event_funnel()),
+    "event_cohort_retention": QueryDef(
+        q_event_cohort_retention, _sql_event_cohort_retention()
+    ),
+    "embedding_outlier_topk": QueryDef(
+        q_embedding_outlier_topk, _sql_embedding_outlier_topk()
+    ),
+    "graph_cocitation": QueryDef(q_graph_cocitation, _sql_graph_cocitation()),
+    "crawl_keepalive_plan": QueryDef(
+        q_crawl_keepalive_plan, SQL_CRAWL_KEEPALIVE_PLAN
+    ),
+    "traindata_curriculum_order": QueryDef(
+        q_traindata_curriculum_order, SQL_TRAINDATA_CURRICULUM_ORDER
+    ),
+    "text_langmix_paragraphs": QueryDef(
+        q_text_langmix_paragraphs, _sql_text_langmix_paragraphs()
+    ),
+    "text_host_boilerplate": QueryDef(
+        q_text_host_boilerplate, _sql_text_host_boilerplate()
     ),
 }
 

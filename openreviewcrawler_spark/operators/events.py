@@ -1,0 +1,176 @@
+"""Event-stream OLAP: ordered conversion funnels and cohort retention.
+
+Not present in the reference (it has no event stream); required for the
+training-data/analytics surface over the driver's ``events`` table — the
+batch twins of the metrics a crawl/ingest control plane tracks per user
+or per host (reach, conversion, retention of activity over time).
+
+Scale shapes:
+
+* ``funnel`` — ONE shuffle on the user key; the ordered-step semantics
+  ("step i counts only at-or-after the first qualified step i-1 event")
+  are stacked running-min window passes over the SAME (user, time)
+  sort, so Spark reuses one exchange + one sort for all steps; the
+  per-user flags then collapse map-side into a single global row before
+  the constant-size step table is exploded. No driver-side iteration,
+  no joins, integer-only output (ppm via BIGINT division).
+* ``cohort_retention`` — two groupBys on the user key (first-seen week,
+  distinct active weeks); the join attaching the cohort week is on the
+  same key the aggregates shuffled on, so AQE plans it co-partitioned.
+  Output is a (cohort_week x week_offset) matrix — bounded by the
+  square of the calendar span, independent of corpus size.
+
+Cross-engine parity: timestamps are compared/ordered as epoch millis
+(Spark ``unix_millis`` after the NTZ cast == DuckDB ``epoch_ms``), every
+window frame is explicit ROWS-bounded with a full tie-break, and all
+outputs are BIGINT (ppm by integer division — no float anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: conversion funnel steps (shared default with the SQL twin)
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered conversion funnel: one row per step with the number of
+    users who reached it IN ORDER and the conversion ppm vs the previous
+    step. A step-i event qualifies only if some qualified step-(i-1)
+    event exists at-or-before it (running min over the per-user event
+    order) — out-of-order events never count.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events
+    prev_reach = None
+    for i, step in enumerate(steps):
+        qualified = F.col(type_col) == step
+        if prev_reach is not None:
+            qualified = qualified & prev_reach.isNotNull()
+        df = df.withColumn(f"__q{i}", F.when(qualified, F.col(ts_col)))
+        df = df.withColumn(f"__r{i}", F.min(f"__q{i}").over(w))
+        prev_reach = F.col(f"__r{i}")
+
+    per_user = df.groupBy(user_col).agg(
+        *[
+            F.max(F.col(f"__q{i}").isNotNull().cast("int")).alias(f"s{i}")
+            for i in range(len(steps))
+        ]
+    )
+    totals = per_user.agg(
+        *[F.sum(f"s{i}").cast("long").alias(f"n{i}") for i in range(len(steps))]
+    )
+    step_rows = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("long").alias("step_idx"),
+                        F.lit(step).alias("step"),
+                        F.col(f"n{i}").alias("n_users"),
+                        F.col(f"n{max(i - 1, 0)}").alias("prev"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    conv = F.when(
+        F.col("prev") > 0,
+        F.expr("(n_users * cast(1000000 as bigint)) div prev"),
+    ).otherwise(F.lit(0))
+    return step_rows.select(
+        "step_idx", "step", "n_users", conv.cast("long").alias("conv_ppm")
+    )
+
+
+def funnel_sql(
+    events_cte: str, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> str:
+    """DuckDB twin of :func:`funnel`. ``events_cte`` must select
+    (user_id, event_id, event_type, ts_ms)."""
+    frame = (
+        "over (partition by user_id order by ts_ms, event_id "
+        "rows between unbounded preceding and current row)"
+    )
+    ctes = [f"ev as ({events_cte})"]
+    prev = None
+    src = "ev"
+    for i, step in enumerate(steps):
+        cond = f"event_type = '{step}'"
+        if prev is not None:
+            cond += f" and {prev} is not null"
+        ctes.append(
+            f"q{i} as (select *, case when {cond} then ts_ms end as c{i} from {src})"
+        )
+        ctes.append(f"r{i} as (select *, min(c{i}) {frame} as m{i} from q{i})")
+        prev, src = f"m{i}", f"r{i}"
+    flags = ", ".join(
+        f"max(case when c{i} is not null then 1 else 0 end) as s{i}"
+        for i in range(len(steps))
+    )
+    sums = ", ".join(f"sum(s{i})::BIGINT as n{i}" for i in range(len(steps)))
+    ctes.append(f"pu as (select user_id, {flags} from {src} group by user_id)")
+    ctes.append(f"tot as (select {sums} from pu)")
+    selects = []
+    for i, step in enumerate(steps):
+        prev_n = f"n{max(i - 1, 0)}"
+        selects.append(
+            f"select {i + 1}::BIGINT as step_idx, '{step}' as step, "
+            f"n{i} as n_users, (case when {prev_n} > 0 then "
+            f"(n{i} * 1000000) // {prev_n} else 0 end)::BIGINT as conv_ppm "
+            "from tot"
+        )
+    return "with " + ",\n".join(ctes) + "\n" + "\nunion all\n".join(selects)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+    week_ms: int = 7 * 86400000,
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users): users grouped by their
+    first-seen week, counted in every later week they were active."""
+    wk = F.expr(f"{ts_ms_col} div cast({week_ms} as bigint)")
+    ev = events.select(F.col(user_col).alias("user_id"), wk.alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    joined = active.join(first, "user_id")
+    return (
+        joined.groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def cohort_retention_sql(events_cte: str, week_ms: int = 7 * 86400000) -> str:
+    """DuckDB twin of :func:`cohort_retention`. ``events_cte`` must select
+    (user_id, ts_ms)."""
+    return f"""
+with ev as (
+  select user_id, ts_ms // {week_ms} as wk from ({events_cte})
+),
+first_seen as (select user_id, min(wk) as cohort_week from ev group by user_id),
+act as (select distinct user_id, wk from ev)
+select f.cohort_week::BIGINT as cohort_week,
+       (a.wk - f.cohort_week)::BIGINT as week_offset,
+       count(*)::BIGINT as n_users
+from act a join first_seen f using (user_id)
+group by 1, 2
+"""

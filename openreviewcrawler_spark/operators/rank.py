@@ -979,3 +979,102 @@ select c.label::BIGINT as label, c.n_nodes,
          / 1000000.0 as q_contrib
 from comm c left join intra i on c.label = i.label cross join tot t
 """
+
+
+def cocitation(
+    edges: DataFrame, cap: int = 20, min_common: int = 2
+) -> DataFrame:
+    """Co-citation similarity: pairs of source pages whose out-link sets
+    overlap — the link-graph analog of n-gram Jaccard dedup (mirror/
+    template/link-farm detection at the page level; two srcs that cite
+    nearly the same set of dsts are usually the same nav template).
+
+    Semantics are defined OVER THE CAPPED EDGE SET: dsts whose fan-in
+    exceeds ``cap`` are dropped wholesale before anything else (a
+    super-popular dst co-cited by everything carries no similarity
+    signal — the stop-shingle discipline from operators/dedup.py), and
+    out-degrees in the Jaccard denominator are recomputed on the
+    surviving edges, so the score is exact for the stated input.
+
+    Scale shape: distinct + fan-in groupBy shuffle on dst, capped edge
+    table persisted ONCE (the self-join would otherwise embed and re-run
+    the upstream plan per side — the r3 lesson), pair generation is an
+    equi-join on dst whose per-key fan-out is <= cap (so <= cap^2/2 pairs
+    per dst — never quadratic in the corpus), degree attach on the pair
+    keys. Integer-only output: jacc_ppm by BIGINT division, no floats.
+    """
+    from ..caching import track_persist
+
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    fan = e.groupBy("dst").agg(F.count("*").alias("fin"))
+    ek = track_persist(
+        e.join(fan.filter(F.col("fin") <= cap).select("dst"), "dst")
+    )
+    deg = ek.groupBy("src").agg(F.count("*").alias("deg"))
+    pairs = (
+        ek.alias("a")
+        .join(ek.alias("b"), "dst")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    out = (
+        pairs.join(deg.withColumnRenamed("src", "src_a"), "src_a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("src", "src_b").withColumnRenamed(
+                "deg", "deg_b"
+            ),
+            "src_b",
+        )
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        F.col("deg_a").cast("long").alias("deg_a"),
+        F.col("deg_b").cast("long").alias("deg_b"),
+        F.expr(
+            "cast((n_common * cast(1000000 as bigint))"
+            " div (deg_a + deg_b - n_common) as bigint)"
+        ).alias("jacc_ppm"),
+    )
+
+
+def cocitation_sql(edges_cte: str, cap: int = 20, min_common: int = 2) -> str:
+    """DuckDB twin of :func:`cocitation`."""
+    return f"""
+with e0 as (
+  select distinct src::BIGINT as src, dst::BIGINT as dst
+  from ({edges_cte}) where src <> dst
+),
+fan as (select dst, count(*) as fin from e0 group by dst),
+ek as (
+  select e0.src, e0.dst from e0 join fan using (dst) where fin <= {cap}
+),
+deg as (select src, count(*) as deg from ek group by src),
+p as (
+  select a.src as src_a, b.src as src_b, count(*) as n_common
+  from ek a join ek b using (dst)
+  where a.src < b.src
+  group by 1, 2
+  having count(*) >= {min_common}
+)
+select p.src_a, p.src_b, p.n_common::BIGINT as n_common,
+       da.deg::BIGINT as deg_a, db.deg::BIGINT as deg_b,
+       ((p.n_common * 1000000) // (da.deg + db.deg - p.n_common))::BIGINT
+         as jacc_ppm
+from p
+join deg da on p.src_a = da.src
+join deg db on p.src_b = db.src
+"""

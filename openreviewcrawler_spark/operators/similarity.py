@@ -886,3 +886,115 @@ select pos::BIGINT as pos,
 from (select unnest(range({dim})) as pos, unnest(vv) as loading, lam
       from {prev})
 """
+
+
+def outlier_topk(vectors: DataFrame, k: int = 5) -> DataFrame:
+    """(label, rank, vec_id, dist) — the k vectors FARTHEST from their
+    label's centroid, per label. The embedding-space outlier audit a
+    training-data pipeline runs per source/domain: mislabeled documents,
+    encoder failures and adversarial pages sit in the distance tail of
+    their label's cluster, and the tail is what a human (or a stronger
+    classifier) should re-inspect first.
+
+    Scale shape: centroids are per-(label, pos) DECIMAL(28,12) sums (the
+    exact-mean recipe shared with ``ivf_centroids``) collapsed to a
+    means table of n_labels rows — a broadcast-side constant at any
+    corpus size (the oov-vocab justification: bounded by the label
+    vocabulary, not the corpus). Scoring is one broadcast join + a pure
+    array fold. Top-k is TWO-PHASE: a per-(label, input-partition)
+    row_number prunes every partition to k candidates, then the final
+    per-label window ranks <= k * n_partitions survivors — no partition
+    ever holds a label's full vector set, unlike a naive global window
+    (the one-task-funnel trap). Top-k is a semilattice, so the result is
+    identical under any partitioning; ties (duplicate vectors) break by
+    vec_id, making the order total.
+
+    Float parity: per-row fold in index order with 0.0 init (== DuckDB's
+    no-init list_reduce — summands are squares, non-negative), sqrt is
+    IEEE-correctly-rounded, output floor-truncated (round() tie trap)."""
+    v = vectors.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    dims = v.select("label", F.posexplode("e").alias("pos", "val"))
+    lm = dims.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    means = lm.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("mu")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("mu"), lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = v.join(F.broadcast(means), "label").select(
+        "label", "vec_id", d2.alias("d2")
+    )
+    part = scored.withColumn("__part", F.spark_partition_id())
+    w1 = Window.partitionBy("label", "__part").orderBy(
+        F.desc("d2"), F.asc("vec_id")
+    )
+    pruned = (
+        part.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__part")
+    )
+    w2 = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "label",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            (F.floor(F.sqrt(F.col("d2")) * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
+                "dist"
+            ),
+        )
+    )
+
+
+def outlier_topk_sql(vectors_cte: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`outlier_topk`. ``vectors_cte`` must select
+    (vec_id, label, embedding)."""
+    return f"""
+with raw as (
+  select vec_id::BIGINT as vec_id, label::BIGINT as label,
+         embedding::DOUBLE[] as e
+  from ({vectors_cte})
+),
+dims as (
+  select label, unnest(range(1, len(e) + 1)) as pos, unnest(e) as val
+  from raw
+),
+lm as (
+  select label, pos,
+         sum(val::DECIMAL(28,12))::DOUBLE / count(*) as m
+  from dims group by label, pos
+),
+means as (select label, list(m order by pos) as mu from lm group by label),
+scored as (
+  select r.label, r.vec_id,
+         list_reduce(
+           list_transform(range(1, len(r.e) + 1),
+                          i -> (r.e[i] - ms.mu[i]) * (r.e[i] - ms.mu[i])),
+           (a, b) -> a + b) as d2
+  from raw r join means ms using (label)
+),
+rk as (
+  select *, row_number() over (partition by label
+                               order by d2 desc, vec_id asc) as rnk
+  from scored
+)
+select label, rnk::BIGINT as rank, vec_id,
+       floor(sqrt(d2) * 1000000.0) / 1000000.0 as dist
+from rk where rnk <= {k}
+"""
