@@ -7101,6 +7101,242 @@ from counts c join hd h using (host)
 """
 
 
+# ---------------------------------------------------------------------------
+# session-7 operators
+# ---------------------------------------------------------------------------
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over the per-user event stream
+    (operators/events.transition_matrix): (prev -> next) counts and
+    per-prev probability ppm. One shuffle on user_id for the lag window;
+    the per-prev totals ride a window over the |types|^2-bounded pair
+    aggregate, never the stream. Integer-only output."""
+    from .operators.events import transition_matrix
+
+    return transition_matrix(_events_ms(spark, sf_dir))
+
+
+def _sql_event_transition_matrix() -> str:
+    from .operators.events import transition_matrix_sql
+
+    return transition_matrix_sql(_EVENTS_MS_CTE)
+
+
+def q_graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 2-hop reach per node (operators/rank.two_hop_reach) over
+    the planted-cell + noise graph — frontier-expansion sizing. Midpoint
+    out-degree cap bounds the hop join's per-key fan-out (<= cap), the
+    capped edge table is persisted once for both join sides."""
+    from .operators.rank import two_hop_reach
+
+    return two_hop_reach(_tri_edges_df(spark, sf_dir), cap=20)
+
+
+def _sql_graph_two_hop_reach() -> str:
+    from .operators.rank import two_hop_reach_sql
+
+    return two_hop_reach_sql(_TRI_EDGES_CTE, cap=20)
+
+
+def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean pairwise cosine WITHOUT the pair join
+    (operators/similarity.pairwise_diversity): the sum-vector identity
+    makes diversity an O(n*d) semilattice of per-dim decimal sums — the
+    n^2 formulation this replaces is the textbook scale-killer."""
+    from .operators.similarity import pairwise_diversity
+
+    return pairwise_diversity(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_diversity() -> str:
+    from .operators.similarity import pairwise_diversity_sql
+
+    return pairwise_diversity_sql("select label, embedding from embeddings")
+
+
+#: anomaly input derivation — shared verbatim; every 97th doc is planted
+#: 50x oversized (a trap/truncation stand-in) so the 2-sigma gate fires
+_ANOM_HOST_EXPR = "'h' || cast(doc_id % 7 as varchar(10))"
+_ANOM_LEN_EXPR = (
+    "case when doc_id % 97 = 0 then n_chars * 50 else n_chars end"
+)
+
+
+def q_crawl_content_length_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-host 2-sigma content-length outliers
+    (operators/anomaly.length_anomaly): truncated fetches, soft-404s and
+    trap pages sit in the size tail of their host. Exact DECIMAL moments
+    + a shared-verbatim double predicate; no broadcast of the
+    corpus-derived per-host stats table."""
+    from .operators.anomaly import length_anomaly
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.expr(_ANOM_HOST_EXPR).alias("host"),
+        "doc_id",
+        F.expr(_ANOM_LEN_EXPR).alias("length"),
+    )
+    return length_anomaly(docs)
+
+
+def _sql_crawl_content_length_anomaly() -> str:
+    from .operators.anomaly import length_anomaly_sql
+
+    return length_anomaly_sql(
+        f"select {_ANOM_HOST_EXPR} as host, doc_id, {_ANOM_LEN_EXPR} as length"
+        " from documents"
+    )
+
+
+#: sitemap-coverage derivation — shared verbatim: per-host sitemap set,
+#: fetched set and lastmod/fetch-day staleness flags in ONE scan (no
+#: join at all — the flags collapse map-side into one groupBy)
+_SMCOV_CTE = """select source || '.example' as host,
+  cast(doc_id % 3 <> 1 as int) as in_sm,
+  cast(doc_id % 2 = 0 as int) as in_f,
+  cast(doc_id % 2 = 0 and doc_id % 3 <> 1
+       and (doc_id % 30) > (doc_id % 17) as int) as is_stale
+from documents"""
+
+
+def q_crawl_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host sitemap-vs-fetch coverage audit: how much of the host's
+    declared sitemap the crawl actually captured (coverage_ppm), how
+    much it fetched OFF-sitemap (orphan_ppm — discovery the host didn't
+    declare), and how many captured pages are stale vs their sitemap
+    lastmod. Shape: one scan, one groupBy on host — flag sums combine
+    map-side; no joins, integer-only output."""
+    flags = _t(spark, sf_dir, "documents").selectExpr(
+        "source || '.example' as host",
+        "cast(doc_id % 3 <> 1 as int) as in_sm",
+        "cast(doc_id % 2 = 0 as int) as in_f",
+        "cast(doc_id % 2 = 0 and doc_id % 3 <> 1"
+        " and (doc_id % 30) > (doc_id % 17) as int) as is_stale",
+    )
+    agg = flags.groupBy("host").agg(
+        F.sum("in_sm").cast("long").alias("n_sitemap"),
+        F.sum("in_f").cast("long").alias("n_fetched"),
+        F.sum(F.col("in_sm") * F.col("in_f")).cast("long").alias("n_both"),
+        F.sum(F.col("in_f") * (1 - F.col("in_sm")))
+        .cast("long")
+        .alias("n_orphan"),
+        F.sum("is_stale").cast("long").alias("n_stale"),
+    )
+    cov = F.when(
+        F.col("n_sitemap") > 0,
+        F.expr("(n_both * cast(1000000 as bigint)) div n_sitemap"),
+    ).otherwise(F.lit(0))
+    orph = F.when(
+        F.col("n_fetched") > 0,
+        F.expr("(n_orphan * cast(1000000 as bigint)) div n_fetched"),
+    ).otherwise(F.lit(0))
+    return agg.select(
+        "host",
+        "n_sitemap",
+        "n_fetched",
+        "n_both",
+        "n_orphan",
+        "n_stale",
+        cov.cast("long").alias("coverage_ppm"),
+        orph.cast("long").alias("orphan_ppm"),
+    )
+
+
+SQL_CRAWL_SITEMAP_COVERAGE = f"""
+with flags as ({_SMCOV_CTE}),
+agg as (
+  select host,
+         sum(in_sm)::BIGINT as n_sitemap,
+         sum(in_f)::BIGINT as n_fetched,
+         sum(in_sm * in_f)::BIGINT as n_both,
+         sum(in_f * (1 - in_sm))::BIGINT as n_orphan,
+         sum(is_stale)::BIGINT as n_stale
+  from flags group by host
+)
+select host, n_sitemap, n_fetched, n_both, n_orphan, n_stale,
+       (case when n_sitemap > 0
+             then (n_both * 1000000) // n_sitemap else 0 end)::BIGINT
+         as coverage_ppm,
+       (case when n_fetched > 0
+             then (n_orphan * 1000000) // n_fetched else 0 end)::BIGINT
+         as orphan_ppm
+from agg
+"""
+
+#: RAG chunking plan: window W tokens, stride S. Chunk count and overlap
+#: have closed forms (k = 1 + ceil((n-W)/S); overlap = (k-1)*(W-S)) —
+#: the plan needs NO explode, just per-row integer arithmetic
+_CHUNK_W, _CHUNK_S = 120, 90
+
+
+def q_traindata_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking plan per source (RAG/context chunks of
+    W=120 tokens, stride 90): chunk counts, emitted-token volume and the
+    overlap tax as ppm of emitted. Closed-form per-row arithmetic — no
+    explode, one groupBy on source; integer-only output. Distinct from
+    traindata_pack_sequences (concat packing) and length_buckets: this
+    is the duplication COST of overlap-chunking a corpus."""
+    from .operators.textstats import tokens_col
+
+    W, S = _CHUNK_W, _CHUNK_S
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok")
+    )
+    k = F.when(F.col("n_tok") <= W, F.lit(1).cast("long")).otherwise(
+        F.expr(f"1 + ((n_tok - {W} + {S - 1}) div {S})")
+    )
+    c = d.withColumn("k", k).withColumn(
+        "emitted",
+        (F.col("k") - 1) * W + (F.col("n_tok") - (F.col("k") - 1) * S),
+    )
+    agg = c.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("k").cast("long").alias("n_chunks"),
+        F.sum("emitted").cast("long").alias("n_emitted"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chunks",
+        "n_emitted",
+        F.expr(
+            "cast(((n_emitted - n_tokens) * cast(1000000 as bigint))"
+            " div n_emitted as bigint)"
+        ).alias("overlap_ppm"),
+    )
+
+
+SQL_TRAINDATA_CHUNK_OVERLAP = f"""
+with d as (
+  select source, len(string_split(text, ' '))::BIGINT as n_tok
+  from documents
+),
+c as (
+  select source, n_tok,
+         case when n_tok <= {_CHUNK_W} then 1
+              else 1 + ((n_tok - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S})
+         end as k
+  from d
+),
+e as (
+  select source, n_tok, k,
+         (k - 1) * {_CHUNK_W} + (n_tok - (k - 1) * {_CHUNK_S}) as emitted
+  from c
+)
+select source, count(*)::BIGINT as n_docs,
+       sum(n_tok)::BIGINT as n_tokens,
+       sum(k)::BIGINT as n_chunks,
+       sum(emitted)::BIGINT as n_emitted,
+       (((sum(emitted) - sum(n_tok)) * 1000000) // sum(emitted))::BIGINT
+         as overlap_ppm
+from e group by source
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -7398,6 +7634,25 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_host_boilerplate": QueryDef(
         q_text_host_boilerplate, _sql_text_host_boilerplate()
+    ),
+    # --- session-7 additions (tail slots, r5-window queue) ---
+    "event_transition_matrix": QueryDef(
+        q_event_transition_matrix, _sql_event_transition_matrix()
+    ),
+    "graph_two_hop_reach": QueryDef(
+        q_graph_two_hop_reach, _sql_graph_two_hop_reach()
+    ),
+    "embedding_diversity": QueryDef(
+        q_embedding_diversity, _sql_embedding_diversity()
+    ),
+    "crawl_content_length_anomaly": QueryDef(
+        q_crawl_content_length_anomaly, _sql_crawl_content_length_anomaly()
+    ),
+    "crawl_sitemap_coverage": QueryDef(
+        q_crawl_sitemap_coverage, SQL_CRAWL_SITEMAP_COVERAGE
+    ),
+    "traindata_chunk_overlap": QueryDef(
+        q_traindata_chunk_overlap, SQL_TRAINDATA_CHUNK_OVERLAP
     ),
 }
 

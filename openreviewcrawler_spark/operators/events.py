@@ -174,3 +174,71 @@ select f.cohort_week::BIGINT as cohort_week,
 from act a join first_seen f using (user_id)
 group by 1, 2
 """
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    stream: for every consecutive pair in each user's (ts, id)-ordered
+    history, count (prev_type -> next_type) and its probability among
+    all transitions leaving prev_type. The session-flow fingerprint a
+    crawl/ingest control plane watches for bot loops (self-transitions
+    near 1.0) and funnel leaks (purchase rows that never follow click).
+
+    Scale shape: ONE shuffle on the user key for the lag window; the
+    pair table then collapses map-side into at most |types|^2 rows, so
+    the per-prev row totals attach via a window over that BOUNDED
+    aggregate (never over the event stream). Integer-only output
+    (ppm by BIGINT division); tie-break on event_id makes the order —
+    and therefore the pair multiset — total and engine-independent.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return pairs.withColumn("row_total", F.sum("n").over(wt)).select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("row_total").cast("long").alias("row_total"),
+        F.expr("cast((n * cast(1000000 as bigint)) div row_total as bigint)").alias(
+            "prob_ppm"
+        ),
+    )
+
+
+def transition_matrix_sql(events_cte: str) -> str:
+    """DuckDB twin of :func:`transition_matrix`. ``events_cte`` must
+    select (user_id, event_id, event_type, ts_ms)."""
+    return f"""
+with ev as ({events_cte}),
+lagged as (
+  select event_type as next_type,
+         lag(event_type) over (
+           partition by user_id order by ts_ms, event_id
+         ) as prev_type
+  from ev
+),
+pairs as (
+  select prev_type, next_type, count(*) as n
+  from lagged where prev_type is not null
+  group by prev_type, next_type
+)
+select prev_type, next_type, n::BIGINT as n,
+       (sum(n) over (partition by prev_type))::BIGINT as row_total,
+       ((n * 1000000) // (sum(n) over (partition by prev_type)))::BIGINT
+         as prob_ppm
+from pairs
+"""

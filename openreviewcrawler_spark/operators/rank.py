@@ -1078,3 +1078,73 @@ from p
 join deg da on p.src_a = da.src
 join deg db on p.src_b = db.src
 """
+
+
+def two_hop_reach(edges: DataFrame, cap: int = 20) -> DataFrame:
+    """Distinct 2-hop reach per source node — the frontier-expansion
+    sizing signal (how many NEW urls one more hop from this page can
+    discover) and the influence analog of degree one level out.
+
+    Semantics are defined OVER THE CAPPED EDGE SET (the cocitation
+    discipline): midpoints whose OUT-degree exceeds ``cap`` are dropped
+    before the hop join — a hub that links to everything inflates every
+    reach count with the same mass and is exactly the key that makes the
+    join quadratic. On the surviving edges, reach(u) = |{v != u : u->m,
+    m->v}| — distinct endpoints, self excluded.
+
+    Scale shape: dedup + out-degree groupBy shuffle on src; the capped
+    edge table is persisted ONCE and used as both join sides (the r3
+    self-join-re-runs-upstream lesson); the hop equi-join's per-key
+    fan-out is <= cap, so output is <= |E| * cap, never |V|^2. The
+    distinct + count collapse map-side. Integer-only output.
+    """
+    from ..caching import track_persist
+
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    odeg = e.groupBy("src").agg(F.count("*").alias("odeg"))
+    mids_ok = odeg.filter(F.col("odeg") <= cap).select(
+        F.col("src").alias("mid")
+    )
+    ek = track_persist(e)
+    hop2 = (
+        ek.alias("a")
+        .join(mids_ok, F.col("a.dst") == F.col("mid"))
+        .join(
+            ek.alias("b").select(
+                F.col("src").alias("mid2"), F.col("dst").alias("v")
+            ),
+            F.col("mid") == F.col("mid2"),
+        )
+        .filter(F.col("a.src") != F.col("v"))
+        .select(F.col("a.src").alias("src"), "v")
+        .distinct()
+    )
+    return hop2.groupBy("src").agg(F.count("*").cast("long").alias("n_reach"))
+
+
+def two_hop_reach_sql(edges_cte: str, cap: int = 20) -> str:
+    """DuckDB twin of :func:`two_hop_reach`."""
+    return f"""
+with raw as ({edges_cte}),
+e as (
+  select distinct src::BIGINT as src, dst::BIGINT as dst
+  from raw where src <> dst
+),
+odeg as (select src, count(*) as odeg from e group by src),
+mids as (select src as mid from odeg where odeg <= {cap}),
+hop2 as (
+  select distinct a.src as src, b.dst as v
+  from e a
+  join mids on a.dst = mids.mid
+  join e b on b.src = mids.mid
+  where a.src <> b.dst
+)
+select src, count(*)::BIGINT as n_reach from hop2 group by src
+"""

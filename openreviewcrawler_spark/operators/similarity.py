@@ -998,3 +998,120 @@ select label, rnk::BIGINT as rank, vec_id,
        floor(sqrt(d2) * 1000000.0) / 1000000.0 as dist
 from rk where rnk <= {k}
 """
+
+
+def pairwise_diversity(vectors: DataFrame) -> DataFrame:
+    """Per-label mean pairwise cosine similarity — the embedding-space
+    diversity audit for a training mix (a label/source whose documents
+    all point the same way is redundant; one near 0 is well spread),
+    computed WITHOUT the pair join: for unit vectors the mean pairwise
+    cosine is (||sum u||^2 - sum ||u||^2) / (n*(n-1)) — one pass, O(n*d),
+    a semilattice of per-dim sums. The n^2 formulation this replaces is
+    the textbook scale-killer; this shape is exact and never shuffles
+    anything larger than (n_labels * dim) rows.
+
+    Scale shape: per-row unit-normalize (the norm fold runs ONCE per row
+    in the pre-explode projection — never captured inside an element
+    lambda, the r4 lambda-capture lesson); per-(label, dim) partial sums
+    combine map-side; the label-level collapse handles n_labels * dim
+    rows only. Float parity: cross-row sums ride DECIMAL(28,12) (exact,
+    associative); the dim-order fold is 0.0-init over non-negative terms
+    (== DuckDB's no-init list_reduce); sqrt is IEEE-correctly rounded;
+    output floor-truncated (round() tie trap).
+    """
+    v = vectors.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    base = v.select(
+        "label",
+        "e",
+        F.sqrt(
+            F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    dims = base.select(
+        "label", F.col("nrm"), F.posexplode("e").alias("pos", "val")
+    ).select("label", "pos", (F.col("val") / F.col("nrm")).alias("uv"))
+    g1 = dims.groupBy("label", "pos").agg(
+        F.sum(F.col("uv").cast("decimal(28,12)")).cast("double").alias("s"),
+        F.sum((F.col("uv") * F.col("uv")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("t"),
+        F.count("*").alias("cnt"),
+    )
+    lab = g1.groupBy("label").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "s", "t"))).alias("arr"),
+        F.max("cnt").alias("n"),
+    )
+    s2 = F.aggregate(
+        F.transform(F.col("arr"), lambda z: z["s"] * z["s"]),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    t_sum = F.aggregate(
+        F.transform(F.col("arr"), lambda z: z["t"]),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mean_cos = F.when(
+        F.col("n") > 1,
+        F.floor(
+            (s2 - t_sum)
+            / (F.col("n") * (F.col("n") - 1))
+            * F.lit(1000000.0)
+        )
+        / F.lit(1000000.0),
+    ).otherwise(F.lit(0.0))
+    return lab.select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        mean_cos.alias("mean_pairwise_cos"),
+    )
+
+
+def pairwise_diversity_sql(vectors_cte: str) -> str:
+    """DuckDB twin of :func:`pairwise_diversity`. ``vectors_cte`` must
+    select (label, embedding)."""
+    return f"""
+with raw as (
+  select label::BIGINT as label, embedding::DOUBLE[] as e
+  from ({vectors_cte})
+),
+base as (
+  select label, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+           as nrm
+  from raw
+),
+nz as (select * from base where nrm > 0),
+dims as (
+  select label,
+         unnest(range(0, len(e))) as pos,
+         unnest(e) / nrm as uv
+  from nz
+),
+g1 as (
+  select label, pos,
+         sum(uv::DECIMAL(28,12))::DOUBLE as s,
+         sum((uv * uv)::DECIMAL(28,12))::DOUBLE as t,
+         count(*) as cnt
+  from dims group by label, pos
+),
+lab as (
+  select label,
+         list(s order by pos) as sa,
+         list(t order by pos) as ta,
+         max(cnt) as n
+  from g1 group by label
+)
+select label, n::BIGINT as n,
+       case when n > 1 then
+         floor(
+           (list_reduce(list_transform(sa, x -> x * x), (a, b) -> a + b)
+            - list_reduce(ta, (a, b) -> a + b))
+           / (n * (n - 1)) * 1000000.0
+         ) / 1000000.0
+       else 0.0 end as mean_pairwise_cos
+from lab
+"""

@@ -1,0 +1,308 @@
+"""Session-7 operators: event transition matrix, 2-hop reach, embedding
+diversity (pair-free), content-length anomaly, sitemap coverage, chunk
+overlap.
+
+Semantic checks on planted fixtures + plan-shape guards for the
+at-scale safety properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BAD_ALWAYS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_clean(plan: str, *also_banned: str):
+    for op in BAD_ALWAYS + also_banned:
+        assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+# ------------------------------------------------------- transition matrix
+
+
+def test_transition_matrix_counts_and_ppm(spark):
+    from openreviewcrawler_spark.operators.events import transition_matrix
+
+    rows = [
+        # user 1: view -> click -> view -> purchase
+        (1, 1, "view", 100),
+        (1, 2, "click", 200),
+        (1, 3, "view", 300),
+        (1, 4, "purchase", 400),
+        # user 2: view -> view (self transition)
+        (2, 5, "view", 100),
+        (2, 6, "view", 200),
+        # user 3: single event -> contributes NO transition
+        (3, 7, "click", 100),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_ms long"
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in transition_matrix(ev).collect()
+    }
+    assert out[("view", "click")]["n"] == 1
+    assert out[("view", "view")]["n"] == 1
+    assert out[("view", "purchase")]["n"] == 1
+    assert out[("click", "view")]["n"] == 1
+    assert ("click", "purchase") not in out
+    # view row: 3 outgoing transitions, each 1/3
+    assert out[("view", "click")]["row_total"] == 3
+    assert out[("view", "click")]["prob_ppm"] == 333333
+    assert out[("click", "view")]["prob_ppm"] == 1000000
+    assert len(out) == 4
+
+
+def test_transition_matrix_ties_break_by_event_id(spark):
+    from openreviewcrawler_spark.operators.events import transition_matrix
+
+    # same ts: order is by event_id -> view(1) then click(2)
+    rows = [(1, 2, "click", 100), (1, 1, "view", 100)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_ms long"
+    )
+    out = transition_matrix(ev).collect()
+    assert len(out) == 1
+    assert (out[0]["prev_type"], out[0]["next_type"]) == ("view", "click")
+
+
+# ------------------------------------------------------------ 2-hop reach
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_two_hop_reach_counts_distinct_and_excludes_self(spark):
+    from openreviewcrawler_spark.operators.rank import two_hop_reach
+
+    # 1 -> 2 -> {3, 4}; 1 -> 5 -> {3}; 3 only reachable once (distinct);
+    # 2 -> 5 -> 3 ; and a back-edge 2 -> 6 -> 1 checks self-exclusion
+    rows = [
+        (1, 2),
+        (2, 3),
+        (2, 4),
+        (1, 5),
+        (5, 3),
+        (2, 5),
+        (2, 6),
+        (6, 1),
+        (6, 2),
+    ]
+    out = {
+        r["src"]: r["n_reach"]
+        for r in two_hop_reach(_edges(spark, rows), cap=10).collect()
+    }
+    # 1: via 2 -> {3,4,5,6}, via 5 -> {3} => {3,4,5,6}
+    assert out[1] == 4
+    # 2: via 3(none), via 4(none), via 5 -> {3}, via 6 -> {1, 2} minus self
+    assert out[2] == 2  # {3, 1}
+    # 6: via 1 -> {2,5}, via 2 -> {3,4,5,6} minus self => {2,5,3,4}
+    assert out[6] == 4
+
+
+def test_two_hop_reach_drops_hub_mids(spark):
+    from openreviewcrawler_spark.operators.rank import two_hop_reach
+
+    # hub 9 has out-degree 3 > cap=2 -> all 2-hop paths through 9 vanish
+    rows = [(1, 9), (9, 2), (9, 3), (9, 4), (1, 8), (8, 2)]
+    out = {
+        r["src"]: r["n_reach"]
+        for r in two_hop_reach(_edges(spark, rows), cap=2).collect()
+    }
+    assert out == {1: 1}  # only via mid 8 -> {2}
+
+
+def test_two_hop_reach_plan_is_equi_join_only(spark):
+    from openreviewcrawler_spark.operators.rank import two_hop_reach
+
+    df = two_hop_reach(_edges(spark, [(1, 2), (2, 3)]), cap=5)
+    _assert_clean(_plan(df))
+
+
+# ----------------------------------------------------- embedding diversity
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+
+def test_pairwise_diversity_orthogonal_identical_antipodal(spark):
+    from openreviewcrawler_spark.operators.similarity import pairwise_diversity
+
+    rows = [
+        # label 0: orthogonal one-hots -> mean pairwise cos = 0
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.0, 1.0]),
+        # label 1: identical directions -> mean pairwise cos ~ 1
+        (3, 1, [3.0, 4.0]),
+        (4, 1, [6.0, 8.0]),
+        # label 2: antipodal -> mean pairwise cos = -1
+        (5, 2, [1.0, 0.0]),
+        (6, 2, [-1.0, 0.0]),
+        # label 3: singleton -> defined as 0
+        (7, 3, [5.0, 5.0]),
+    ]
+    out = {
+        r["label"]: r for r in pairwise_diversity(_vecs(spark, rows)).collect()
+    }
+    assert out[0]["mean_pairwise_cos"] == 0.0
+    assert 0.999998 <= out[1]["mean_pairwise_cos"] <= 1.0
+    assert out[2]["mean_pairwise_cos"] == -1.0
+    assert out[3]["mean_pairwise_cos"] == 0.0
+    assert out[1]["n"] == 2
+
+
+def test_pairwise_diversity_matches_bruteforce(spark):
+    """The sum-vector identity == the O(n^2) definition on a small set."""
+    import itertools
+    import math
+
+    from openreviewcrawler_spark.operators.similarity import pairwise_diversity
+
+    vecs = [
+        [1.0, 2.0, 3.0],
+        [-2.0, 0.5, 1.0],
+        [0.1, 0.1, 4.0],
+        [3.0, -1.0, 0.0],
+    ]
+    rows = [(i, 0, v) for i, v in enumerate(vecs)]
+    got = pairwise_diversity(_vecs(spark, rows)).collect()[0][
+        "mean_pairwise_cos"
+    ]
+
+    def unit(v):
+        # mirror the engine fold: float32 ingest, then double arithmetic
+        import numpy as np
+
+        v = [float(np.float32(x)) for x in v]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    us = [unit(v) for v in vecs]
+    pair = [
+        sum(a * b for a, b in zip(x, y))
+        for x, y in itertools.combinations(us, 2)
+    ]
+    want = sum(pair) / len(pair)
+    assert abs(got - want) < 1e-5
+
+
+def test_pairwise_diversity_plan_clean(spark):
+    from openreviewcrawler_spark.operators.similarity import pairwise_diversity
+
+    df = pairwise_diversity(_vecs(spark, [(1, 0, [1.0, 0.0])]))
+    _assert_clean(_plan(df))
+
+
+# -------------------------------------------------------- length anomaly
+
+
+def test_length_anomaly_flags_only_planted_outlier(spark):
+    from openreviewcrawler_spark.operators.anomaly import length_anomaly
+
+    rows = (
+        [("a", i, 100) for i in range(10)]
+        + [("a", 99, 10000)]  # the outlier
+        + [("b", i, 200 + i) for i in range(20, 30)]  # tight cluster
+        + [("c", 1, 777)]  # singleton host: never flags
+    )
+    df = spark.createDataFrame(rows, "host string, doc_id long, length long")
+    out = length_anomaly(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["host"], r["doc_id"], r["length"]) == ("a", 99, 10000)
+    assert r["n_host"] == 11
+    assert r["mean_len"] == (10 * 100 + 10000) // 11
+
+
+def test_length_anomaly_uniform_host_never_flags(spark):
+    from openreviewcrawler_spark.operators.anomaly import length_anomaly
+
+    rows = [("a", i, 500) for i in range(50)]
+    df = spark.createDataFrame(rows, "host string, doc_id long, length long")
+    assert length_anomaly(df).count() == 0
+
+
+def test_length_anomaly_plan_has_no_forced_broadcast(spark):
+    """The per-host stats table is corpus-derived — the join must not
+    carry a broadcast HINT (AQE may still pick one at runtime from real
+    sizes; what's banned is forcing it)."""
+    from openreviewcrawler_spark.operators.anomaly import length_anomaly
+
+    df = spark.createDataFrame(
+        [("a", 1, 10)], "host string, doc_id long, length long"
+    )
+    plan = length_anomaly(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower()
+    _assert_clean(_plan(length_anomaly(df)))
+
+
+# ------------------------------------------------------- sitemap coverage
+
+
+def test_sitemap_coverage_invariants(spark):
+    from openreviewcrawler_spark.catalog import q_crawl_sitemap_coverage
+
+    rows = q_crawl_sitemap_coverage(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_both"] <= min(r["n_sitemap"], r["n_fetched"])
+        assert r["n_orphan"] == r["n_fetched"] - r["n_both"]
+        assert 0 <= r["coverage_ppm"] <= 1000000
+        assert 0 <= r["orphan_ppm"] <= 1000000
+        assert r["n_stale"] <= r["n_both"]
+
+
+def test_sitemap_coverage_plan_single_pass(spark):
+    from openreviewcrawler_spark.catalog import q_crawl_sitemap_coverage
+
+    df = q_crawl_sitemap_coverage(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    _assert_clean(plan)
+    assert "Join" not in plan  # one scan, one groupBy — no join anywhere
+
+
+# --------------------------------------------------------- chunk overlap
+
+
+def test_chunk_overlap_closed_form_matches_bruteforce():
+    """k = 1 + ceil((n-W)/S) and emitted = (k-1)*W + (n-(k-1)*S) equal
+    the greedy sliding-window enumeration for every n in 1..500."""
+    from openreviewcrawler_spark.catalog import _CHUNK_S, _CHUNK_W
+
+    W, S = _CHUNK_W, _CHUNK_S
+    for n in range(1, 501):
+        k = 1 if n <= W else 1 + (n - W + S - 1) // S
+        emitted = (k - 1) * W + (n - (k - 1) * S)
+        # brute force: windows [i*S, i*S+W) until the end is covered
+        starts = [0]
+        while starts[-1] + W < n:
+            starts.append(starts[-1] + S)
+        want_emitted = sum(min(W, n - s) for s in starts)
+        assert k == len(starts), n
+        assert emitted == want_emitted, n
+        assert emitted - n == (k - 1) * (W - S), n  # overlap closed form
+
+
+def test_chunk_overlap_query_invariants(spark):
+    from openreviewcrawler_spark.catalog import q_traindata_chunk_overlap
+
+    rows = q_traindata_chunk_overlap(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_emitted"] >= r["n_tokens"]
+        assert r["n_chunks"] >= r["n_docs"]
+        assert (
+            r["overlap_ppm"]
+            == (r["n_emitted"] - r["n_tokens"]) * 1000000 // r["n_emitted"]
+        )
+    plan = _plan(q_traindata_chunk_overlap(spark, "/root/testdata/sf0.001"))
+    _assert_clean(plan)
+    assert "Generate" not in plan  # closed form — no explode
