@@ -7337,6 +7337,190 @@ from e group by source
 """
 
 
+def q_event_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-median spike detection (operators/events.daily_anomaly)
+    on the per-(type, day) event-volume series: day count > 2x the lower
+    median of the previous <=7 observed days. The series is bounded by
+    types x calendar span, so the window never sees the stream."""
+    from .operators.events import daily_anomaly
+
+    return daily_anomaly(
+        _t(spark, sf_dir, "events").select(
+            "event_type",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+    )
+
+
+def _sql_event_daily_anomaly() -> str:
+    from .operators.events import daily_anomaly_sql
+
+    return daily_anomaly_sql(
+        "select event_type, epoch_ms(ts) as ts_ms from events"
+    )
+
+
+#: synthetic IVF-ish cell histogram: 61 cells with power-law-ish sizes
+#: (cell hit count varies with the multiplier orbit) — the shard-plan
+#: input is always a (cell, n) rollup, one row per cell
+_SHARD_CELLS_CTE = (
+    "select (vec_id * 7919) % 61 as cell, count(*) as n"
+    " from embeddings group by 1"
+)
+
+
+def q_ann_index_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index shard plan (operators/similarity.index_shard_plan):
+    cells ranked by size dealt round-robin over 8 shards, per-shard
+    loads + global imbalance ppm. The ranking window runs over the
+    bounded CELL table (nlist rows), never the corpus."""
+    from .operators.similarity import index_shard_plan
+
+    cells = (
+        _t(spark, sf_dir, "embeddings")
+        .groupBy(((F.col("vec_id") * 7919) % 61).alias("cell"))
+        .agg(F.count("*").alias("n"))
+    )
+    return index_shard_plan(cells, n_shards=8)
+
+
+def _sql_ann_index_shard_plan() -> str:
+    from .operators.similarity import index_shard_plan_sql
+
+    return index_shard_plan_sql(_SHARD_CELLS_CTE, n_shards=8)
+
+
+def q_crawl_drain_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host frontier drain estimate: with politeness one-at-a-time
+    fetching, a host's backlog drains in n_urls * crawl_delay ms; hosts
+    whose drain exceeds the round budget (60 s) are the round's
+    stragglers and need either more rounds (backlog_rounds) or a
+    crawl-delay renegotiation. One groupBy on host; the delay derives
+    from the md5 host hash (the one cross-engine hash); integer-only."""
+    from .operators.textstats import hash32_col
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("source || '.example' as host")
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+    delay = (100 * (1 + hash32_col(F.col("host")) % 10)).cast("long")
+    d = hosts.withColumn("delay_ms", delay).withColumn(
+        "drain_ms", F.expr("n_urls * delay_ms")
+    )
+    return d.select(
+        "host",
+        "n_urls",
+        "delay_ms",
+        "drain_ms",
+        F.expr("cast((drain_ms + 59999) div 60000 as bigint)").alias(
+            "backlog_rounds"
+        ),
+        (F.col("drain_ms") > 60000).alias("is_bottleneck"),
+    )
+
+
+SQL_CRAWL_DRAIN_ESTIMATE = """
+with hosts as (
+  select source || '.example' as host, count(*)::BIGINT as n_urls
+  from documents group by 1
+),
+d as (
+  select host, n_urls,
+         (100 * (1 + ('0x' || substr(md5(host), 1, 8))::BIGINT % 10))::BIGINT
+           as delay_ms
+  from hosts
+)
+select host, n_urls, delay_ms,
+       (n_urls * delay_ms)::BIGINT as drain_ms,
+       ((n_urls * delay_ms + 59999) // 60000)::BIGINT as backlog_rounds,
+       (n_urls * delay_ms) > 60000 as is_bottleneck
+from d
+"""
+
+#: cross-source contamination plant: doc_id % 211 defines fingerprint
+#: groups that span sources, so some fingerprints occur in 2+ sources
+_OVERLAP_FP_EXPR = "cast(doc_id % 211 as varchar(10))"
+
+
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate overlap matrix: for every source pair, how
+    many document fingerprints they share — the contamination audit run
+    before mixing corpora (a CC snapshot that largely contains the
+    books source inflates that domain's effective epochs). Shape: the
+    distinct (fp, source) table is persisted ONCE and used as both
+    self-join sides (the r3 union/self-join lesson); per-fp fan-out is
+    bounded by the source vocabulary, never the corpus; totals attach
+    on the pair keys. Integer-only output."""
+    from .caching import track_persist
+    from .operators.textstats import hash32_col
+
+    fps = track_persist(
+        _t(spark, sf_dir, "documents")
+        .select(
+            hash32_col(F.expr(_OVERLAP_FP_EXPR)).alias("fp"), "source"
+        )
+        .distinct()
+    )
+    tot = fps.groupBy("source").agg(F.count("*").cast("long").alias("tot"))
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    out = (
+        pairs.join(tot.withColumnRenamed("source", "source_a"), "source_a")
+        .withColumnRenamed("tot", "tot_a")
+        .join(
+            tot.withColumnRenamed("source", "source_b").withColumnRenamed(
+                "tot", "tot_b"
+            ),
+            "source_b",
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "tot_a",
+        "tot_b",
+        F.expr(
+            "cast((n_shared * cast(1000000 as bigint))"
+            " div least(tot_a, tot_b) as bigint)"
+        ).alias("overlap_ppm"),
+    )
+
+
+SQL_CORPUS_SOURCE_OVERLAP = f"""
+with fps as (
+  select distinct
+         ('0x' || substr(md5({_OVERLAP_FP_EXPR}), 1, 8))::BIGINT as fp,
+         source
+  from documents
+),
+tot as (select source, count(*)::BIGINT as tot from fps group by source),
+pairs as (
+  select a.source as source_a, b.source as source_b,
+         count(*)::BIGINT as n_shared
+  from fps a join fps b using (fp)
+  where a.source < b.source
+  group by 1, 2
+)
+select source_a, source_b, n_shared, ta.tot as tot_a, tb.tot as tot_b,
+       ((n_shared * 1000000) // least(ta.tot, tb.tot))::BIGINT
+         as overlap_ppm
+from pairs
+join tot ta on pairs.source_a = ta.source
+join tot tb on pairs.source_b = tb.source
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -7653,6 +7837,18 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "traindata_chunk_overlap": QueryDef(
         q_traindata_chunk_overlap, SQL_TRAINDATA_CHUNK_OVERLAP
+    ),
+    "event_daily_anomaly": QueryDef(
+        q_event_daily_anomaly, _sql_event_daily_anomaly()
+    ),
+    "ann_index_shard_plan": QueryDef(
+        q_ann_index_shard_plan, _sql_ann_index_shard_plan()
+    ),
+    "crawl_drain_estimate": QueryDef(
+        q_crawl_drain_estimate, SQL_CRAWL_DRAIN_ESTIMATE
+    ),
+    "corpus_source_overlap": QueryDef(
+        q_corpus_source_overlap, SQL_CORPUS_SOURCE_OVERLAP
     ),
 }
 

@@ -242,3 +242,100 @@ select prev_type, next_type, n::BIGINT as n,
          as prob_ppm
 from pairs
 """
+
+
+def daily_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    count_col: str | None = None,
+    min_prior: int = 3,
+    day_ms: int = 86400000,
+) -> DataFrame:
+    """Trailing-median spike detection on the per-(type, day) volume
+    series: a day whose count exceeds 2x the LOWER MEDIAN of the
+    previous <=7 observed days is a spike — the volume alarm a crawl
+    control plane runs per host/status and an ingest plane per event
+    type (bot bursts, replay storms, scraper loops). Semantics are over
+    OBSERVED days: gap days contribute nothing to the window (a rate
+    per wall-clock day would need a calendar spine — different op).
+
+    Scale shape: ONE groupBy collapses the stream to (type, day) rows —
+    bounded by types x calendar span, NOT the corpus — so the trailing
+    window runs over that bounded series. Lower median (element
+    (n+1) div 2 of the sorted window) keeps everything BIGINT: exact,
+    no cross-engine float; a mean-based median would not be.
+
+    ``count_col``: pre-aggregated volume column; None counts rows.
+    """
+    day = F.expr(f"{ts_col} div cast({day_ms} as bigint)")
+    cnt = (
+        F.sum(count_col).cast("long")
+        if count_col
+        else F.count("*").cast("long")
+    )
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"), day.cast("long").alias("day")
+    ).agg(cnt.alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    arr = F.sort_array(F.collect_list("n").over(w))
+    scored = daily.withColumn("__arr", arr).select(
+        "event_type",
+        "day",
+        "n",
+        F.size("__arr").cast("long").alias("n_prior"),
+        # ANSI: element_at(arr, 0) raises — guard the empty first window
+        F.when(
+            F.size("__arr") > 0,
+            F.element_at(
+                "__arr", ((F.size("__arr") + 1) / 2).cast("int")
+            ),
+        ).alias("med"),
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "n",
+        "n_prior",
+        F.coalesce(F.col("med"), F.lit(0)).cast("long").alias("med"),
+        (
+            (F.col("n_prior") >= min_prior) & (F.col("n") > 2 * F.col("med"))
+        ).alias("is_spike"),
+    )
+
+
+def daily_anomaly_sql(
+    daily_cte: str, min_prior: int = 3, day_ms: int = 86400000
+) -> str:
+    """DuckDB twin of :func:`daily_anomaly`. ``daily_cte`` must select
+    (event_type, ts_ms) rows (one per event) — or pre-aggregated rows
+    with an ``n`` column when mirrored manually."""
+    return f"""
+with ev as ({daily_cte}),
+daily as (
+  select event_type, (ts_ms // {day_ms})::BIGINT as day,
+         count(*)::BIGINT as n
+  from ev group by 1, 2
+),
+scored as (
+  -- an EMPTY frame yields NULL (not []) in DuckDB: coalesce it so the
+  -- first observed day matches Spark's empty collect_list
+  select event_type, day, n,
+         list_sort(coalesce(list(n) over (
+           partition by event_type order by day
+           rows between 7 preceding and 1 preceding
+         ), [])) as arr
+  from daily
+)
+select event_type, day, n,
+       len(arr)::BIGINT as n_prior,
+       coalesce(arr[((len(arr) + 1) // 2)::INT], 0)::BIGINT as med,
+       (len(arr) >= {min_prior}
+        and n > 2 * coalesce(arr[((len(arr) + 1) // 2)::INT], 0))
+         as is_spike
+from scored
+"""

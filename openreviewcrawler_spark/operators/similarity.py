@@ -1115,3 +1115,65 @@ select label, n::BIGINT as n,
        else 0.0 end as mean_pairwise_cos
 from lab
 """
+
+
+def index_shard_plan(cell_counts: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Assign ANN index cells (IVF lists / LSH buckets) to serving
+    shards, balancing vector count: cells ranked by size descending are
+    dealt round-robin across shards — the classic LPT-lite plan that
+    bounds shard skew by the largest cell. The index-build step between
+    quantization and serving: a shard plan too skewed means one serving
+    node holds the hot cells.
+
+    Scale shape: the input is the CELL table (one row per cell —
+    bounded by the index's nlist parameter, e.g. 2^16 — never the
+    corpus), so the global ranking window is over a bounded relation;
+    the per-shard rollup is a groupBy on <= n_shards keys. Integer-only
+    output; ties in cell size break by cell id (total order).
+    """
+    w = Window.orderBy(F.desc("n"), F.asc("cell"))
+    assigned = cell_counts.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n").cast("long").alias("n"),
+    ).withColumn("shard", ((F.row_number().over(w) - 1) % n_shards).cast("long"))
+    loads = assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_vecs"),
+    )
+    ext = loads.agg(
+        F.max("n_vecs").alias("mx"), F.min("n_vecs").alias("mn")
+    )
+    out = loads.crossJoin(ext)  # 1-row totals side — the accepted shape
+    return out.select(
+        "shard",
+        "n_cells",
+        "n_vecs",
+        F.expr(
+            "cast(((mx - mn) * cast(1000000 as bigint)) div mx as bigint)"
+        ).alias("imbalance_ppm"),
+    )
+
+
+def index_shard_plan_sql(cell_counts_cte: str, n_shards: int = 8) -> str:
+    """DuckDB twin of :func:`index_shard_plan`. ``cell_counts_cte`` must
+    select (cell, n)."""
+    return f"""
+with cc as (
+  select cell::BIGINT as cell, n::BIGINT as n from ({cell_counts_cte})
+),
+assigned as (
+  select cell, n,
+         ((row_number() over (order by n desc, cell asc)) - 1)
+           % {n_shards} as shard
+  from cc
+),
+loads as (
+  select shard::BIGINT as shard, count(*)::BIGINT as n_cells,
+         sum(n)::BIGINT as n_vecs
+  from assigned group by shard
+),
+ext as (select max(n_vecs) as mx, min(n_vecs) as mn from loads)
+select shard, n_cells, n_vecs,
+       (((mx - mn) * 1000000) // mx)::BIGINT as imbalance_ppm
+from loads, ext
+"""

@@ -306,3 +306,110 @@ def test_chunk_overlap_query_invariants(spark):
     plan = _plan(q_traindata_chunk_overlap(spark, "/root/testdata/sf0.001"))
     _assert_clean(plan)
     assert "Generate" not in plan  # closed form — no explode
+
+
+# --------------------------------------------------------- daily anomaly
+
+
+def test_daily_anomaly_flags_planted_spike(spark):
+    from openreviewcrawler_spark.operators.events import daily_anomaly
+
+    day = 86400000
+    rows = []
+    eid = 0
+    # type "a": 4 quiet days of 2 events, then a 9-event spike day
+    for d in range(4):
+        for _ in range(2):
+            rows.append((eid, "a", d * day + eid))
+            eid += 1
+    for _ in range(9):
+        rows.append((eid, "a", 4 * day + eid))
+        eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts_ms long")
+    out = {r["day"]: r for r in daily_anomaly(ev.select("event_type", "ts_ms")).collect()}
+    assert out[0]["n_prior"] == 0 and out[0]["med"] == 0
+    assert not out[0]["is_spike"]  # no history yet
+    assert not out[3]["is_spike"]  # 2 <= 2 * 2
+    spike = out[4]
+    assert spike["n"] == 9 and spike["med"] == 2 and spike["n_prior"] == 4
+    assert spike["is_spike"]  # 9 > 2 * 2
+
+
+def test_daily_anomaly_lower_median_and_min_prior(spark):
+    from openreviewcrawler_spark.operators.events import daily_anomaly
+
+    day = 86400000
+    rows = []
+    eid = 0
+    # counts per day: 1, 4, 100 — day 2 has only 2 prior days (< min 3)
+    for d, cnt in enumerate([1, 4, 100]):
+        for _ in range(cnt):
+            rows.append((eid, "x", d * day + eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts_ms long")
+    out = {r["day"]: r for r in daily_anomaly(ev.select("event_type", "ts_ms")).collect()}
+    assert out[2]["med"] == 1  # lower median of [1, 4]
+    assert not out[2]["is_spike"]  # n_prior = 2 < min_prior
+
+
+# --------------------------------------------------------- shard plan
+
+
+def test_index_shard_plan_round_robin_and_imbalance(spark):
+    from openreviewcrawler_spark.operators.similarity import index_shard_plan
+
+    # 4 cells, 2 shards: sizes 10, 8, 5, 3 -> shard0 {10, 5}=15, shard1 {8, 3}=11
+    cells = spark.createDataFrame(
+        [(1, 10), (2, 8), (3, 5), (4, 3)], "cell long, n long"
+    )
+    out = {r["shard"]: r for r in index_shard_plan(cells, n_shards=2).collect()}
+    assert out[0]["n_vecs"] == 15 and out[1]["n_vecs"] == 11
+    assert out[0]["n_cells"] == 2 and out[1]["n_cells"] == 2
+    assert out[0]["imbalance_ppm"] == (15 - 11) * 1000000 // 15
+
+
+def test_index_shard_plan_ties_break_by_cell(spark):
+    from openreviewcrawler_spark.operators.similarity import index_shard_plan
+
+    cells = spark.createDataFrame(
+        [(7, 5), (3, 5), (9, 5)], "cell long, n long"
+    )
+    out = {r["shard"]: r for r in index_shard_plan(cells, n_shards=3).collect()}
+    # rank order by (n desc, cell asc): 3, 7, 9 -> shards 0, 1, 2
+    assert all(out[s]["n_vecs"] == 5 for s in (0, 1, 2))
+
+
+# --------------------------------------------------- drain / overlap audits
+
+
+def test_drain_estimate_invariants(spark):
+    from openreviewcrawler_spark.catalog import q_crawl_drain_estimate
+
+    rows = q_crawl_drain_estimate(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["drain_ms"] == r["n_urls"] * r["delay_ms"]
+        assert 100 <= r["delay_ms"] <= 1000
+        assert r["backlog_rounds"] == (r["drain_ms"] + 59999) // 60000
+        assert r["is_bottleneck"] == (r["drain_ms"] > 60000)
+
+
+def test_source_overlap_pairs_are_canonical_and_bounded(spark):
+    from openreviewcrawler_spark.catalog import q_corpus_source_overlap
+
+    rows = q_corpus_source_overlap(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]  # canonical orientation
+        key = (r["source_a"], r["source_b"])
+        assert key not in seen
+        seen.add(key)
+        assert r["n_shared"] <= min(r["tot_a"], r["tot_b"])
+        assert 0 <= r["overlap_ppm"] <= 1000000
+
+
+def test_source_overlap_plan_has_no_nested_loop(spark):
+    from openreviewcrawler_spark.catalog import q_corpus_source_overlap
+
+    _assert_clean(_plan(q_corpus_source_overlap(spark, "/root/testdata/sf0.001")))
