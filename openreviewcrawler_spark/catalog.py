@@ -7521,6 +7521,179 @@ join tot tb on pairs.source_b = tb.source
 """
 
 
+#: bot-plant: every 11th user's timestamps are rewritten to a perfect
+#: 1000 ms metronome (rank within user x 1000) — cv^2 = 0 exactly
+_BOT_EVENTS_CTE = """select user_id, event_id, event_type,
+  case when user_id % 11 = 0
+       then user_id * 100000 + rn * 1000
+       else ts_ms end as ts_ms
+from (
+  select user_id, event_id, event_type, epoch_ms(ts) as ts_ms,
+         row_number() over (partition by user_id order by event_id) as rn
+  from events
+)"""
+
+
+def q_event_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metronome-bot detection (operators/events.bot_detect): users whose
+    inter-arrival gaps have cv^2 < 0.1 — integer-moment test on exact
+    DECIMAL sums, one shuffle on the user key. The planted every-11th
+    metronome users (exact 1000 ms gaps) flag; bursty humans don't."""
+    from .operators.events import bot_detect
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.row_number().over(w).alias("rn"),
+    )
+    planted = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("user_id") % 11 == 0,
+            F.col("user_id") * 100000 + F.col("rn") * 1000,
+        )
+        .otherwise(F.col("ts_ms"))
+        .alias("ts_ms"),
+    )
+    return bot_detect(planted, min_events=10)
+
+
+def _sql_event_bot_detect() -> str:
+    from .operators.events import bot_detect_sql
+
+    return bot_detect_sql(_BOT_EVENTS_CTE, min_events=10)
+
+
+def q_mm_scene_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation plan (operators/multimodal.scene_cuts):
+    frame phashes change every 4 frames by construction, so cuts land
+    exactly on the 4-frame scene grid; bit_count(xor) > 8 is the simhash
+    verify recipe. The lag window, the running cut count and the
+    per-scene groupBy share ONE shuffle on video_id."""
+    from .operators.multimodal import scene_cuts
+    from .operators.textstats import hash32_col
+
+    videos = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 2)
+        .select(
+            F.col("doc_id").alias("video_id"),
+            (12 + F.col("doc_id") % 9).cast("int").alias("nf"),
+        )
+    )
+    frames = videos.select(
+        "video_id",
+        F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias("frame_idx"),
+    ).select(
+        "video_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        hash32_col(
+            F.concat(
+                F.lit("v"),
+                F.col("video_id").cast("string"),
+                F.lit("_"),
+                F.expr("cast(frame_idx div 4 as string)"),
+            )
+        ).alias("phash"),
+    )
+    return scene_cuts(frames, hamming_thr=8)
+
+
+def _sql_mm_scene_cut_plan() -> str:
+    from .operators.multimodal import scene_cuts_sql
+
+    frames_cte = """
+  select video_id, frame_idx,
+         ('0x' || substr(md5('v' || cast(video_id as varchar(20)) || '_'
+            || cast(frame_idx // 4 as varchar(20))), 1, 8))::BIGINT as phash
+  from (
+    select doc_id as video_id,
+           unnest(range(0, 12 + (doc_id % 9)::INT))::BIGINT as frame_idx
+    from documents where doc_id % 5 = 2
+  )"""
+    return scene_cuts_sql(frames_cte, hamming_thr=8)
+
+
+def q_warc_replay_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC replay locality audit: how many bytes of seeking a reader
+    pays when records are replayed in CRAWL-ARRIVAL order vs the CDX
+    (shard, offset)-sorted order — the measured argument for sorting CDX
+    before bulk re-parse (sorted replay is sequential by construction,
+    so seek_bytes IS the savings). Shape: per-shard prefix-sum window
+    assigns offsets, a second window over arrival order takes the |gap|
+    between consecutive reads, one groupBy rolls up — all three share
+    the shard-key shuffle. Integer-only output."""
+    recs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        (F.col("n_chars") + 200).cast("long").alias("len"),
+        ((F.col("doc_id") * 7919) % 999983).alias("arrival"),
+    )
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = recs.withColumn(
+        "off_b", F.coalesce(F.sum("len").over(w_off), F.lit(0))
+    )
+    w_arr = Window.partitionBy("shard").orderBy("arrival", "doc_id")
+    gaps = offs.withColumn(
+        "gap",
+        F.abs(F.col("off_b") - F.lag(F.col("off_b") + F.col("len")).over(w_arr)),
+    )
+    agg = gaps.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum("len").cast("long").alias("total_bytes"),
+        F.sum(F.coalesce(F.col("gap"), F.lit(0)))
+        .cast("long")
+        .alias("seek_bytes"),
+    )
+    return agg.select(
+        "shard",
+        "n_records",
+        "total_bytes",
+        "seek_bytes",
+        F.expr(
+            "cast((total_bytes * cast(1000000 as bigint))"
+            " div (total_bytes + seek_bytes) as bigint)"
+        ).alias("locality_ppm"),
+    )
+
+
+SQL_WARC_REPLAY_LOCALITY = """
+with recs as (
+  select doc_id, doc_id % 4 as shard,
+         (n_chars + 200)::BIGINT as len,
+         (doc_id * 7919) % 999983 as arrival
+  from documents
+),
+offs as (
+  select *, coalesce(sum(len) over (
+           partition by shard order by doc_id
+           rows between unbounded preceding and 1 preceding), 0) as off_b
+  from recs
+),
+gaps as (
+  select shard, len, off_b,
+         abs(off_b - lag(off_b + len) over (
+           partition by shard order by arrival, doc_id)) as gap
+  from offs
+)
+select shard::BIGINT as shard, count(*)::BIGINT as n_records,
+       sum(len)::BIGINT as total_bytes,
+       sum(coalesce(gap, 0))::BIGINT as seek_bytes,
+       ((sum(len) * 1000000) // (sum(len) + sum(coalesce(gap, 0))))::BIGINT
+         as locality_ppm
+from gaps group by shard
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -7849,6 +8022,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_source_overlap": QueryDef(
         q_corpus_source_overlap, SQL_CORPUS_SOURCE_OVERLAP
+    ),
+    "event_bot_detect": QueryDef(
+        q_event_bot_detect, _sql_event_bot_detect()
+    ),
+    "mm_scene_cut_plan": QueryDef(
+        q_mm_scene_cut_plan, _sql_mm_scene_cut_plan()
+    ),
+    "warc_replay_locality": QueryDef(
+        q_warc_replay_locality, SQL_WARC_REPLAY_LOCALITY
     ),
 }
 

@@ -339,3 +339,101 @@ select event_type, day, n,
          as is_spike
 from scored
 """
+
+
+def bot_detect(
+    events: DataFrame,
+    min_events: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Metronome-bot detection from inter-arrival regularity: a user
+    whose event gaps have a squared coefficient of variation below 0.1
+    (cv^2 = n*S2/S1^2 - 1 over the gap series) is a timer, not a human —
+    the per-user twin of the crawl plane's trap/politeness telemetry.
+    Humans are bursty (cv ~ 1, exponential-ish); schedulers are flat.
+
+    Scale shape: ONE shuffle on the user key — the lag window and the
+    per-user aggregate share the same partitioning; output is only the
+    flagged users. Float parity: S1/S2 are exact DECIMAL sums; the
+    cv^2 < 0.1 test is cross-multiplied to ``10*n*S2 < 11*S1^2`` and
+    evaluated on double casts with identical expression text in both
+    engines (per-row double arithmetic is bit-identical); the mean gap
+    output is floor(S1/n) — integer-only columns.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    g = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ts"),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("gap"),
+        (F.col(type_col) == F.lag(type_col).over(w))
+        .cast("int")
+        .alias("self_tr"),
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("gap").cast("decimal(19,0)")
+            * F.col("gap").cast("decimal(19,0)")
+        ).alias("s2"),
+        F.sum("self_tr").cast("long").alias("n_self"),
+    )
+    d = (
+        agg.withColumn("ngd", F.col("n_gaps").cast("double"))
+        .withColumn("s1d", F.col("s1").cast("double"))
+        .withColumn("s2d", F.col("s2").cast("double"))
+    )
+    flagged = d.filter(
+        (F.col("n_gaps") >= min_events)
+        & F.expr("10.0 * ngd * s2d < 11.0 * s1d * s1d")
+    )
+    return flagged.select(
+        "user_id",
+        "n_events",
+        "n_gaps",
+        F.expr("cast(floor(s1d / ngd) as bigint)").alias("gap_mean_ms"),
+        F.expr(
+            "cast((n_self * cast(1000000 as bigint))"
+            " div (n_events - 1) as bigint)"
+        ).alias("self_ppm"),
+    )
+
+
+def bot_detect_sql(events_cte: str, min_events: int = 10) -> str:
+    """DuckDB twin of :func:`bot_detect`. ``events_cte`` must select
+    (user_id, event_id, event_type, ts_ms)."""
+    return f"""
+with ev as ({events_cte}),
+g as (
+  select user_id, event_type,
+         ts_ms - lag(ts_ms) over (
+           partition by user_id order by ts_ms, event_id
+         ) as gap,
+         case when event_type = lag(event_type) over (
+           partition by user_id order by ts_ms, event_id
+         ) then 1 else 0 end as self_tr
+  from ev
+),
+agg as (
+  select user_id, count(*)::BIGINT as n_events,
+         count(gap)::BIGINT as n_gaps,
+         sum(gap::DECIMAL(38,0)) as s1,
+         sum(gap::DECIMAL(19,0) * gap::DECIMAL(19,0)) as s2,
+         sum(self_tr)::BIGINT as n_self
+  from g group by user_id
+),
+d as (
+  select *, n_gaps::DOUBLE as ngd, s1::DOUBLE as s1d, s2::DOUBLE as s2d
+  from agg
+)
+select user_id, n_events, n_gaps,
+       floor(s1d / ngd)::BIGINT as gap_mean_ms,
+       ((n_self * 1000000) // (n_events - 1))::BIGINT as self_ppm
+from d
+where n_gaps >= {min_events} and 10.0 * ngd * s2d < 11.0 * s1d * s1d
+"""

@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ASSET_SCHEMA = "asset_id long, kind string, payload binary, src_len long"
@@ -243,3 +243,70 @@ def plan_image_tiles(assets: DataFrame, tile_px: int = TILE_PX) -> DataFrame:
         F.least(x0 + tile_px, F.col("__w")).alias("x1"),
         F.least(y0 + tile_px, F.col("__h")).alias("y1"),
     )
+
+
+def scene_cuts(frames: DataFrame, hamming_thr: int = 8) -> DataFrame:
+    """Scene segmentation plan from per-frame perceptual hashes: a cut
+    wherever consecutive frames' hashes differ by more than
+    ``hamming_thr`` bits, scenes as (start_frame, n_frames) runs. The
+    video preprocessing step between frame sampling and per-scene
+    keyframe extraction — planned entirely from hash metadata (the
+    byte-level decode stays behind the documented multimodal stub).
+
+    Scale shape: ONE shuffle on video_id — the lag window, the running
+    cut-count (scene id) window and the per-scene groupBy all share the
+    same partitioning, so Spark reuses one exchange + one sort.
+    ``bit_count(xor)`` is pure codegen (the simhash verify recipe);
+    integer-only output.
+    """
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    cut = F.when(prev.isNull(), F.lit(1)).otherwise(
+        (
+            F.bit_count(F.col("phash").bitwiseXOR(prev)) > hamming_thr
+        ).cast("int")
+    )
+    marked = frames.select(
+        "video_id", "frame_idx", "phash", cut.alias("is_cut")
+    )
+    run = Window.partitionBy("video_id").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scened = marked.withColumn("scene_seq", F.sum("is_cut").over(run))
+    return (
+        scened.groupBy("video_id", F.col("scene_seq").cast("long").alias("scene_seq"))
+        .agg(
+            F.min("frame_idx").cast("long").alias("start_frame"),
+            F.count("*").cast("long").alias("n_frames"),
+        )
+    )
+
+
+def scene_cuts_sql(frames_cte: str, hamming_thr: int = 8) -> str:
+    """DuckDB twin of :func:`scene_cuts`. ``frames_cte`` must select
+    (video_id, frame_idx, phash)."""
+    return f"""
+with f as ({frames_cte}),
+marked as (
+  select video_id, frame_idx, phash,
+         case when lag(phash) over (
+                partition by video_id order by frame_idx) is null then 1
+              when bit_count(xor(phash, lag(phash) over (
+                partition by video_id order by frame_idx))) > {hamming_thr}
+                then 1
+              else 0 end as is_cut
+  from f
+),
+scened as (
+  select video_id, frame_idx, is_cut,
+         sum(is_cut) over (
+           partition by video_id order by frame_idx
+           rows between unbounded preceding and current row
+         ) as scene_seq
+  from marked
+)
+select video_id, scene_seq::BIGINT as scene_seq,
+       min(frame_idx)::BIGINT as start_frame,
+       count(*)::BIGINT as n_frames
+from scened group by video_id, scene_seq
+"""

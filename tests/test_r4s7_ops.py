@@ -413,3 +413,110 @@ def test_source_overlap_plan_has_no_nested_loop(spark):
     from openreviewcrawler_spark.catalog import q_corpus_source_overlap
 
     _assert_clean(_plan(q_corpus_source_overlap(spark, "/root/testdata/sf0.001")))
+
+
+# ----------------------------------------------------------- bot detect
+
+
+def test_bot_detect_flags_metronome_not_bursty(spark):
+    from openreviewcrawler_spark.operators.events import bot_detect
+
+    rows = []
+    # user 1: perfect 1000 ms metronome, 15 events -> flags
+    for i in range(15):
+        rows.append((1, i, "view", 1000 * (i + 1)))
+    # user 2: bursty (gaps 1, 1, 1, 5000, 1, 1, 5000, ...) -> cv^2 >> 0.1
+    t = 0
+    for i in range(15):
+        t += 1 if i % 4 else 5000
+        rows.append((2, 100 + i, "view", t))
+    # user 3: metronome but only 5 events -> below min_events
+    for i in range(5):
+        rows.append((3, 200 + i, "view", 1000 * (i + 1)))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_ms long"
+    )
+    out = {r["user_id"]: r for r in bot_detect(ev, min_events=10).collect()}
+    assert set(out) == {1}
+    assert out[1]["gap_mean_ms"] == 1000
+    assert out[1]["n_gaps"] == 14
+    assert out[1]["self_ppm"] == 1000000  # all transitions are view->view
+
+
+def test_bot_detect_plan_single_user_shuffle(spark):
+    from openreviewcrawler_spark.operators.events import bot_detect
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view", 100)],
+        "user_id long, event_id long, event_type string, ts_ms long",
+    )
+    _assert_clean(_plan(bot_detect(ev)))
+
+
+# ----------------------------------------------------------- scene cuts
+
+
+def test_scene_cuts_segments_on_hash_change(spark):
+    from openreviewcrawler_spark.operators.multimodal import scene_cuts
+
+    h1, h2 = 0b1111111111111111, 0  # hamming 16 > thr
+    h3 = h2 ^ 0b11  # hamming 2 <= thr from h2: same scene
+    rows = [
+        (1, 0, h1),
+        (1, 1, h1),
+        (1, 2, h2),  # cut
+        (1, 3, h3),  # NOT a cut (within threshold)
+        (1, 4, h1),  # cut
+        (2, 0, h2),  # separate video: its own scene 1
+    ]
+    frames = spark.createDataFrame(rows, "video_id long, frame_idx long, phash long")
+    out = {
+        (r["video_id"], r["scene_seq"]): r
+        for r in scene_cuts(frames, hamming_thr=8).collect()
+    }
+    assert out[(1, 1)]["start_frame"] == 0 and out[(1, 1)]["n_frames"] == 2
+    assert out[(1, 2)]["start_frame"] == 2 and out[(1, 2)]["n_frames"] == 2
+    assert out[(1, 3)]["start_frame"] == 4 and out[(1, 3)]["n_frames"] == 1
+    assert out[(2, 1)]["n_frames"] == 1
+    assert len(out) == 4
+
+
+def test_scene_cut_catalog_scenes_partition_the_frames(spark):
+    from collections import defaultdict
+
+    from openreviewcrawler_spark.catalog import q_mm_scene_cut_plan
+
+    rows = q_mm_scene_cut_plan(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    per_video = defaultdict(list)
+    for r in rows:
+        # hash changes only on the 4-frame grid (two adjacent scene
+        # hashes CAN coincidentally land within the hamming threshold
+        # and merge, so lengths are multiples of 4 up to the tail)
+        assert r["start_frame"] % 4 == 0
+        per_video[r["video_id"]].append(r)
+    for vid, scenes in per_video.items():
+        scenes.sort(key=lambda r: r["scene_seq"])
+        assert scenes[0]["start_frame"] == 0
+        total = sum(r["n_frames"] for r in scenes)
+        assert total == 12 + vid % 9  # scenes partition the frame range
+
+
+# ------------------------------------------------------ replay locality
+
+
+def test_warc_replay_locality_invariants(spark):
+    from openreviewcrawler_spark.catalog import q_warc_replay_locality
+
+    rows = q_warc_replay_locality(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["seek_bytes"] >= 0
+        assert (
+            r["locality_ppm"]
+            == r["total_bytes"]
+            * 1000000
+            // (r["total_bytes"] + r["seek_bytes"])
+        )
+    # random arrival order must pay real seeking somewhere
+    assert any(r["seek_bytes"] > 0 for r in rows)
