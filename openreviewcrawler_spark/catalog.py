@@ -7694,6 +7694,172 @@ from gaps group by shard
 """
 
 
+#: DGA-suspect host derivation — every 13th doc gets an md5-hex hostname
+#: (algorithmically-generated-domain stand-in) among the clean source
+#: hosts; the detector must run on the DISTINCT host table
+_DGA_HOST_EXPR = (
+    "case when doc_id % 13 = 0 then substr(md5({id}), 1, 12) || '.example'"
+    " else source || '.example' end"
+)
+
+
+def q_url_dga_suspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGA-suspect hostname heuristic WITHOUT entropy/log (the ln ban):
+    a registrable name that is long, digit-heavy and vowel-poor is a
+    generated domain — the frontier hygiene gate that keeps a crawler
+    from following malware-sinkhole link farms. Shape: distinct host
+    table first (hosts << urls), then pure codegen string counts via the
+    replace trick; integer/ppm output; no regex backslashes (the Hive
+    escaping trap)."""
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            _DGA_HOST_EXPR.format(id="cast(doc_id as varchar(30))")
+            + " as host"
+        )
+        .distinct()
+    )
+    d = hosts.selectExpr(
+        "host",
+        "split_part(host, '.', 1) as name",
+    ).selectExpr(
+        "host",
+        "cast(length(name) as bigint) as name_len",
+        "cast(length(name) - length(regexp_replace(name, '[0-9]', ''))"
+        " as bigint) as n_digits",
+        "cast((length(name) - length(regexp_replace(name, '[aeiou]', '')))"
+        " * cast(1000000 as bigint) div length(name) as bigint) as vowel_ppm",
+    )
+    return d.selectExpr(
+        "host",
+        "name_len",
+        "n_digits",
+        "vowel_ppm",
+        "name_len >= 10 and n_digits >= 3 and vowel_ppm < 300000"
+        " as is_suspect",
+    )
+
+
+SQL_URL_DGA_SUSPECT = f"""
+with hosts as (
+  select distinct
+    {_DGA_HOST_EXPR.format(id="cast(doc_id as varchar(30))")} as host
+  from documents
+),
+named as (select host, split_part(host, '.', 1) as name from hosts),
+d as (
+  select host,
+         length(name)::BIGINT as name_len,
+         (length(name) - length(regexp_replace(name, '[0-9]', '', 'g')))::BIGINT
+           as n_digits,
+         ((length(name) - length(regexp_replace(name, '[aeiou]', '', 'g')))
+          * 1000000 // length(name))::BIGINT as vowel_ppm
+  from named
+)
+select host, name_len, n_digits, vowel_ppm,
+       (name_len >= 10 and n_digits >= 3 and vowel_ppm < 300000)
+         as is_suspect
+from d
+"""
+
+
+def q_link_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink diversity spam score: a page whose outlinks concentrate
+    on very few destination hosts is a link farm / SEO doorway — the
+    per-page twin of the host-level mirror detector. Every 7th-residue-3
+    doc is planted to link 6 times into a 3-host spam cluster. Shape:
+    ONE explode emits all 6 synthetic outlinks (the union-embeds
+    lesson), per-(doc, host) distinct, one groupBy; diversity gate
+    n_hosts * 3 <= n_links is pure integers."""
+    docs = _t(spark, sf_dir, "documents")
+    links = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(j).cast("long") for j in range(6)])
+        ).alias("j"),
+    ).selectExpr(
+        "doc_id",
+        "case when doc_id % 7 = 3 then 'spam' || cast(doc_id % 3 as varchar(10))"
+        " else 'h' || cast((doc_id * 7 + j) % 50 as varchar(10)) end"
+        " as dst_host",
+    )
+    agg = links.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("dst_host").cast("long").alias("n_hosts"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_links",
+        "n_hosts",
+        F.expr(
+            "cast((n_hosts * cast(1000000 as bigint)) div n_links as bigint)"
+        ).alias("diversity_ppm"),
+        F.expr("n_hosts * 3 <= n_links").alias("is_spam"),
+    )
+
+
+SQL_LINK_SPAM_SCORE = """
+with links as (
+  select doc_id,
+         case when doc_id % 7 = 3
+              then 'spam' || cast(doc_id % 3 as varchar(10))
+              else 'h' || cast((doc_id * 7 + j) % 50 as varchar(10)) end
+           as dst_host
+  from documents, range(0, 6) as t(j)
+),
+agg as (
+  select doc_id, count(*)::BIGINT as n_links,
+         count(distinct dst_host)::BIGINT as n_hosts
+  from links group by doc_id
+)
+select doc_id, n_links, n_hosts,
+       ((n_hosts * 1000000) // n_links)::BIGINT as diversity_ppm,
+       n_hosts * 3 <= n_links as is_spam
+from agg
+"""
+
+
+def q_event_churn_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churned-user detection: users whose LAST event is more than 12
+    HOURS before the stream's horizon (global max ts) — the synthetic
+    events table spans 30 days with near-continuously-active users, so
+    the churn gate is hour-granular to actually select rows (a day-scale
+    threshold is trivially empty on this corpus; at production scale the
+    constant is a config). One groupBy on user_id; the horizon is a
+    1-row aggregate attached via the accepted single-row cross join.
+    Integer-only output (hours inactive)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    last = ev.groupBy("user_id").agg(F.max("ts_ms").alias("last_ms"))
+    horizon = ev.agg(F.max("ts_ms").alias("h_ms"))
+    hour = 3600000
+    j = last.crossJoin(horizon)
+    return (
+        j.withColumn(
+            "hours_inactive",
+            F.expr(f"(h_ms - last_ms) div cast({hour} as bigint)"),
+        )
+        .filter(F.col("hours_inactive") > 12)
+        .select(
+            "user_id",
+            F.col("hours_inactive").cast("long").alias("hours_inactive"),
+        )
+    )
+
+
+SQL_EVENT_CHURN_DETECT = """
+with ev as (select user_id, epoch_ms(ts) as ts_ms from events),
+last as (select user_id, max(ts_ms) as last_ms from ev group by user_id),
+horizon as (select max(ts_ms) as h_ms from ev)
+select user_id,
+       ((h_ms - last_ms) // 3600000)::BIGINT as hours_inactive
+from last, horizon
+where (h_ms - last_ms) // 3600000 > 12
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -8031,6 +8197,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "warc_replay_locality": QueryDef(
         q_warc_replay_locality, SQL_WARC_REPLAY_LOCALITY
+    ),
+    "url_dga_suspect": QueryDef(q_url_dga_suspect, SQL_URL_DGA_SUSPECT),
+    "link_spam_score": QueryDef(q_link_spam_score, SQL_LINK_SPAM_SCORE),
+    "event_churn_detect": QueryDef(
+        q_event_churn_detect, SQL_EVENT_CHURN_DETECT
     ),
 }
 
