@@ -7860,6 +7860,297 @@ where (h_ms - last_ms) // 3600000 > 12
 """
 
 
+def q_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram (operators/events.gap_histogram): the
+    per-user consecutive-gap distribution over a fixed dyadic bucket
+    ladder — human cadence vs scripted bursts vs batch replays. One
+    shuffle on the user key; gaps collapse map-side into <= 6 rows;
+    integer-only output from literals shared with the SQL twin."""
+    from .operators.events import gap_histogram
+
+    return gap_histogram(_events_ms(spark, sf_dir))
+
+
+def _sql_event_gap_histogram() -> str:
+    from .operators.events import gap_histogram_sql
+
+    return gap_histogram_sql(_EVENTS_MS_CTE)
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/events.last_touch_attribution):
+    every purchase attributed to the user's most recent STRICTLY-PRIOR
+    click via a running ignore-nulls last() over an explicit ROWS frame
+    ending 1 PRECEDING — one shuffle, no self-join, integer output."""
+    from .operators.events import last_touch_attribution
+
+    return last_touch_attribution(_events_ms(spark, sf_dir))
+
+
+def _sql_event_attribution() -> str:
+    from .operators.events import last_touch_attribution_sql
+
+    return last_touch_attribution_sql(_EVENTS_MS_CTE)
+
+
+#: classifier pair under audit: A = length gate, B = vocabulary-diversity
+#: gate (distinct/total >= 0.6 by integer cross-multiplication) — both
+#: pure integer predicates shared in spirit (not text: the split builtins
+#: differ) between engines
+_KAPPA_A_MIN_CHARS = 120
+
+
+def q_quality_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-classifier agreement (Cohen's kappa) between two document
+    quality gates — the audit that decides whether a cheap gate can
+    replace an expensive one in the cleaning ladder (kappa ~ 0: the
+    gates disagree beyond chance; kappa ~ 1: redundant). Shape: one scan
+    computes both integer predicates, ONE global aggregate with map-side
+    partials (4 exact BIGINT counts), then the kappa formula is pure
+    per-value double arithmetic over exact counts (< 2^53) with
+    floor-ppm projection (the round() tie trap) — bit-identical across
+    engines. Guard: pe = 1 (degenerate marginals) yields NULL kappa."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = docs.selectExpr(
+        f"case when n_chars >= {_KAPPA_A_MIN_CHARS} then 1 else 0 end as a",
+        "case when size(array_distinct(split(text, ' '))) * 10"
+        " >= size(split(text, ' ')) * 6 then 1 else 0 end as b",
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("a_pos"),
+        F.sum("b").cast("long").alias("b_pos"),
+        F.sum(F.expr("case when a = b then 1 else 0 end"))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return agg.selectExpr(
+        "n",
+        "a_pos",
+        "b_pos",
+        "n_agree",
+        *_KAPPA_PROJ,
+    )
+
+
+#: kappa projection — IDENTICAL text in Spark and DuckDB (per-value double
+#: arithmetic over exact BIGINT counts is bit-identical; floor is exact)
+_KAPPA_PROJ = [
+    "cast(floor(cast(n_agree as double) / cast(n as double) * 1000000.0)"
+    " as bigint) as po_ppm",
+    "cast(floor((cast(a_pos as double) * cast(b_pos as double)"
+    " + cast(n - a_pos as double) * cast(n - b_pos as double))"
+    " / (cast(n as double) * cast(n as double)) * 1000000.0)"
+    " as bigint) as pe_ppm",
+    "cast(floor(case when cast(a_pos as double) * cast(b_pos as double)"
+    " + cast(n - a_pos as double) * cast(n - b_pos as double)"
+    " = cast(n as double) * cast(n as double) then null else"
+    " (cast(n_agree as double) / cast(n as double)"
+    "  - (cast(a_pos as double) * cast(b_pos as double)"
+    "     + cast(n - a_pos as double) * cast(n - b_pos as double))"
+    "    / (cast(n as double) * cast(n as double)))"
+    " / (1.0 - (cast(a_pos as double) * cast(b_pos as double)"
+    "           + cast(n - a_pos as double) * cast(n - b_pos as double))"
+    "          / (cast(n as double) * cast(n as double)))"
+    " end * 1000000.0) as bigint) as kappa_ppm",
+]
+
+
+SQL_QUALITY_LABEL_AGREEMENT = f"""
+with flags as (
+  select case when n_chars >= {_KAPPA_A_MIN_CHARS} then 1 else 0 end as a,
+         case when len(list_distinct(string_split(text, ' '))) * 10
+                   >= len(string_split(text, ' ')) * 6
+              then 1 else 0 end as b
+  from documents
+),
+agg as (
+  select count(*)::BIGINT as n, sum(a)::BIGINT as a_pos,
+         sum(b)::BIGINT as b_pos,
+         sum(case when a = b then 1 else 0 end)::BIGINT as n_agree
+  from flags
+)
+select n, a_pos, b_pos, n_agree, {', '.join(_KAPPA_PROJ)}
+from agg
+"""
+
+
+#: synthetic frontier-URL derivation for the path-depth audit: host from
+#: doc residue, depth = doc_id % 6 path segments, every 4th doc carries a
+#: query string
+_PATHURL_EXPR = (
+    "'https://h' || cast(doc_id % 7 as varchar(10)) || '.example'"
+    " || repeat('/s', cast(doc_id % 6 as int))"
+    " || case when doc_id % 4 = 0 then '?q=1' else '' end"
+)
+
+
+def q_url_path_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier shape audit: per-host URL path-depth distribution and
+    query-string share — deep-path mass is the breadth/depth budget
+    signal complementing crawl_trap_detect, and query share sizes the
+    DUST-rule payoff. Shape: depth via the replace trick on the
+    query-stripped URL (pure codegen), one groupBy on host; integer/ppm
+    output."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.selectExpr(f"{_PATHURL_EXPR} as url")
+    d = urls.selectExpr(
+        "split_part(split_part(url, '?', 1), '/', 3) as host",
+        "length(split_part(url, '?', 1))"
+        " - length(replace(split_part(url, '?', 1), '/', '')) - 2 as depth",
+        "case when contains(url, '?') then 1 else 0 end as has_q",
+    )
+    return (
+        d.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.sum("depth").cast("long").alias("sum_depth"),
+            F.sum("has_q").cast("long").alias("n_query"),
+        )
+        .selectExpr(
+            "host",
+            "n_urls",
+            "max_depth",
+            "cast((sum_depth * cast(1000000 as bigint)) div n_urls as bigint)"
+            " as mean_depth_ppm",
+            "cast((n_query * cast(1000000 as bigint)) div n_urls as bigint)"
+            " as query_ppm",
+        )
+    )
+
+
+SQL_URL_PATH_DEPTH_STATS = f"""
+with urls as (select {_PATHURL_EXPR} as url from documents),
+d as (
+  select split_part(split_part(url, '?', 1), '/', 3) as host,
+         length(split_part(url, '?', 1))
+           - length(replace(split_part(url, '?', 1), '/', '')) - 2 as depth,
+         case when contains(url, '?') then 1 else 0 end as has_q
+  from urls
+),
+agg as (
+  select host, count(*)::BIGINT as n_urls, max(depth)::BIGINT as max_depth,
+         sum(depth)::BIGINT as sum_depth, sum(has_q)::BIGINT as n_query
+  from d group by host
+)
+select host, n_urls, max_depth,
+       ((sum_depth * 1000000) // n_urls)::BIGINT as mean_depth_ppm,
+       ((n_query * 1000000) // n_urls)::BIGINT as query_ppm
+from agg
+"""
+
+
+def q_traindata_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the one-page corpus summary a dataset
+    release ships — doc and unique-doc counts, exact-dup share, token
+    mass, mean tokens, dominant language. Shape: tokens and the md5
+    fingerprint compute in one scan; a (source, fp) pre-aggregate makes
+    the dup share a SECOND map-side rollup (no join back to the corpus);
+    the dominant language attaches via a row_number over the BOUNDED
+    (source x lang) rollup, joined on the tiny source key. Integer/ppm
+    only."""
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "source",
+        "lang",
+        "md5(text) as fp",
+        "cast(size(split(text, ' ')) as bigint) as n_tokens",
+    )
+    by_fp = docs.groupBy("source", "fp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_tokens").cast("long").alias("tok"),
+    )
+    card = by_fp.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(F.expr("case when n > 1 then n - 1 else 0 end"))
+        .cast("long")
+        .alias("n_dup"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+    )
+    by_lang = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("nl")
+    )
+    wl = Window.partitionBy("source").orderBy(F.desc("nl"), F.asc("lang"))
+    top = (
+        by_lang.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("nl").cast("long").alias("top_lang_n"),
+        )
+    )
+    return card.join(top, "source").selectExpr(
+        "source",
+        "n_docs",
+        "n_unique",
+        "cast((n_dup * cast(1000000 as bigint)) div n_docs as bigint)"
+        " as dup_ppm",
+        "total_tokens",
+        "cast((total_tokens * cast(1000000 as bigint)) div n_docs as bigint)"
+        " as mean_tokens_ppm",
+        "top_lang",
+        "cast((top_lang_n * cast(1000000 as bigint)) div n_docs as bigint)"
+        " as top_lang_ppm",
+    )
+
+
+SQL_TRAINDATA_DATASET_CARD = """
+with docs as (
+  select source, lang, md5(text) as fp,
+         len(string_split(text, ' '))::BIGINT as n_tokens
+  from documents
+),
+by_fp as (
+  select source, fp, count(*)::BIGINT as n, sum(n_tokens)::BIGINT as tok
+  from docs group by source, fp
+),
+card as (
+  select source, sum(n)::BIGINT as n_docs, count(*)::BIGINT as n_unique,
+         sum(case when n > 1 then n - 1 else 0 end)::BIGINT as n_dup,
+         sum(tok)::BIGINT as total_tokens
+  from by_fp group by source
+),
+by_lang as (
+  select source, lang, count(*) as nl from docs group by source, lang
+),
+top as (
+  select source, lang as top_lang, nl::BIGINT as top_lang_n
+  from (
+    select *, row_number() over (
+      partition by source order by nl desc, lang asc
+    ) as r
+    from by_lang
+  ) where r = 1
+)
+select c.source, n_docs, n_unique,
+       ((n_dup * 1000000) // n_docs)::BIGINT as dup_ppm,
+       total_tokens,
+       ((total_tokens * 1000000) // n_docs)::BIGINT as mean_tokens_ppm,
+       top_lang,
+       ((top_lang_n * 1000000) // n_docs)::BIGINT as top_lang_ppm
+from card c join top t on c.source = t.source
+"""
+
+
+def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/similarity.pq_encode):
+    m=4 subspaces x k=4 codes, nearest squared-L2 codebook entry per
+    subvector + floor-projected reconstruction error — the compressed
+    storage tier of the ANN family (brute/IVF/LSH already in-catalog).
+    One explode, broadcast m*k codebook, fine-grained window."""
+    from .operators.similarity import pq_encode
+
+    return pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_pq_encode() -> str:
+    from .operators.similarity import pq_encode_sql
+
+    return pq_encode_sql("select vec_id, embedding from embeddings")
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -8202,6 +8493,24 @@ CATALOG: dict[str, QueryDef] = {
     "link_spam_score": QueryDef(q_link_spam_score, SQL_LINK_SPAM_SCORE),
     "event_churn_detect": QueryDef(
         q_event_churn_detect, SQL_EVENT_CHURN_DETECT
+    ),
+    "event_gap_histogram": QueryDef(
+        q_event_gap_histogram, _sql_event_gap_histogram()
+    ),
+    "event_attribution": QueryDef(
+        q_event_attribution, _sql_event_attribution()
+    ),
+    "quality_label_agreement": QueryDef(
+        q_quality_label_agreement, SQL_QUALITY_LABEL_AGREEMENT
+    ),
+    "url_path_depth_stats": QueryDef(
+        q_url_path_depth_stats, SQL_URL_PATH_DEPTH_STATS
+    ),
+    "traindata_dataset_card": QueryDef(
+        q_traindata_dataset_card, SQL_TRAINDATA_DATASET_CARD
+    ),
+    "embedding_pq_encode": QueryDef(
+        q_embedding_pq_encode, _sql_embedding_pq_encode()
     ),
 }
 

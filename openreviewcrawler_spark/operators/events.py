@@ -437,3 +437,164 @@ select user_id, n_events, n_gaps,
 from d
 where n_gaps >= {min_events} and 10.0 * ngd * s2d < 11.0 * s1d * s1d
 """
+
+
+#: dyadic gap-bucket ladder (upper bounds in ms; the last bucket is open).
+#: Shared as data so the Spark CASE and the SQL CASE are generated from the
+#: SAME literals and can never drift.
+GAP_BUCKETS_MS = (
+    (1_000, "lt_1s"),
+    (10_000, "1s_10s"),
+    (60_000, "10s_1m"),
+    (600_000, "1m_10m"),
+    (3_600_000, "10m_1h"),
+)
+GAP_BUCKET_OPEN = "ge_1h"
+
+
+def _gap_bucket_case(col: str) -> str:
+    """Engine-shared CASE ladder text ({col} is the gap-ms expression)."""
+    arms = " ".join(
+        f"when {col} < {ub} then '{name}'" for ub, name in GAP_BUCKETS_MS
+    )
+    return f"case {arms} else '{GAP_BUCKET_OPEN}' end"
+
+
+def gap_histogram(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-event gap histogram: the distribution of per-user
+    consecutive-event gaps over a fixed dyadic bucket ladder — the
+    latency fingerprint that separates human browse cadence (seconds to
+    minutes) from scripted bursts (sub-second) and batch replays
+    (hour+). The streaming politeness tier consumes the same buckets as
+    its delay prior.
+
+    Scale shape: ONE shuffle on the user key for the lag window, then
+    the gap rows collapse map-side into at most len(GAP_BUCKETS_MS)+1
+    output rows. Integer-only output (bounds, counts, share ppm); the
+    (ts, id) tie-break makes the gap multiset total and
+    engine-independent."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gaps = (
+        events.withColumn("__gap", F.col(ts_col) - F.lag(ts_col).over(w))
+        .filter(F.col("__gap").isNotNull())
+        .selectExpr(f"{_gap_bucket_case('__gap')} as bucket", "__gap as gap")
+    )
+    agg = gaps.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("gap").cast("long").alias("min_gap_ms"),
+        F.max("gap").cast("long").alias("max_gap_ms"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn(
+        "total", F.sum("n").over(wt)
+    ).selectExpr(
+        "bucket",
+        "n",
+        "min_gap_ms",
+        "max_gap_ms",
+        "cast((n * cast(1000000 as bigint)) div total as bigint) as share_ppm",
+    )
+
+
+def gap_histogram_sql(events_cte: str) -> str:
+    """DuckDB twin of :func:`gap_histogram`. ``events_cte`` must select
+    (user_id, event_id, ts_ms)."""
+    case = _gap_bucket_case("gap")
+    return f"""
+with ev as ({events_cte}),
+g as (
+  select ts_ms - lag(ts_ms) over (
+           partition by user_id order by ts_ms, event_id
+         ) as gap
+  from ev
+),
+b as (select {case} as bucket, gap from g where gap is not null),
+agg as (
+  select bucket, count(*)::BIGINT as n,
+         min(gap)::BIGINT as min_gap_ms, max(gap)::BIGINT as max_gap_ms
+  from b group by bucket
+)
+select bucket, n, min_gap_ms, max_gap_ms,
+       ((n * 1000000) // (sum(n) over ()))::BIGINT as share_ppm
+from agg
+"""
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent PRIOR touch event by the same user (strictly-before by the
+    (ts, id) total order) and the touch->conversion latency. The
+    training-data twin asks "which crawl seed produced this document";
+    the marketing twin is the classic last-click report.
+
+    Scale shape: ONE shuffle on the user key; the attributed touch rides
+    a running ``last(..., ignorenulls)`` over an explicit ROWS frame
+    ending 1 PRECEDING (so a conversion can never attribute to itself
+    even if a touch shares its timestamp), evaluated in the same sort
+    the window established — no self-join, no per-user collect. Output
+    is integer-only."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_id = F.when(F.col(type_col) == touch_type, F.col(id_col))
+    touch_ts = F.when(F.col(type_col) == touch_type, F.col(ts_col))
+    out = (
+        events.withColumn("touch_event_id", F.last(touch_id, True).over(w))
+        .withColumn("touch_ts_ms", F.last(touch_ts, True).over(w))
+        .filter(
+            (F.col(type_col) == convert_type)
+            & F.col("touch_event_id").isNotNull()
+        )
+    )
+    return out.select(
+        F.col(id_col).cast("long").alias("convert_event_id"),
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col("touch_event_id").cast("long").alias("touch_event_id"),
+        (F.col(ts_col) - F.col("touch_ts_ms")).cast("long").alias("gap_ms"),
+    )
+
+
+def last_touch_attribution_sql(
+    events_cte: str,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+) -> str:
+    """DuckDB twin of :func:`last_touch_attribution`. ``events_cte`` must
+    select (user_id, event_id, event_type, ts_ms)."""
+    return f"""
+with ev as ({events_cte}),
+t as (
+  select user_id, event_id, event_type, ts_ms,
+         last_value(case when event_type = '{touch_type}' then event_id end
+                    ignore nulls) over (
+           partition by user_id order by ts_ms, event_id
+           rows between unbounded preceding and 1 preceding
+         ) as touch_event_id,
+         last_value(case when event_type = '{touch_type}' then ts_ms end
+                    ignore nulls) over (
+           partition by user_id order by ts_ms, event_id
+           rows between unbounded preceding and 1 preceding
+         ) as touch_ts_ms
+  from ev
+)
+select event_id::BIGINT as convert_event_id, user_id::BIGINT as user_id,
+       touch_event_id::BIGINT as touch_event_id,
+       (ts_ms - touch_ts_ms)::BIGINT as gap_ms
+from t
+where event_type = '{convert_type}' and touch_event_id is not null
+"""

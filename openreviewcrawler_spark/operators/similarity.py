@@ -1177,3 +1177,118 @@ select shard, n_cells, n_vecs,
        (((mx - mn) * 1000000) // mx)::BIGINT as imbalance_ppm
 from loads, ext
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces per vector
+PQ_K = 4  # codebook entries per subspace
+
+
+def pq_encode(vectors: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """(vec_id, sub_id, code, err2) — product-quantization assignment:
+    each vector splits into ``m`` contiguous subvectors and every
+    subvector maps to its nearest (squared-L2) entry of that subspace's
+    ``k``-row codebook. The compressed-storage path of a billion-vector
+    ANN index: m log2(k) bits per vector instead of 4*dim bytes, with
+    ``err2`` the per-subspace reconstruction error the recall model
+    consumes. Codebook seeding follows the IVF convention (first ``k``
+    vectors by vec_id — training iterations belong to ``ivf_centroids``).
+
+    Scale shape: ONE explode emits all m subvectors per row (the
+    union-embeds lesson); the codebook is m*k rows built from a k-row
+    TakeOrdered and broadcast, so assignment is a map-side join + a
+    row_number over the fine-grained (vec_id, sub_id) key — no shuffle
+    of the corpus beyond that window's, no per-row Python.
+
+    Float parity: the squared-L2 fold is index-ordered with non-negative
+    summands (0.0-init F.aggregate == DuckDB's no-init list_reduce) and
+    per-row double arithmetic is bit-identical; err2 is floor-projected
+    (the round() tie trap). Ties on err2 break by code asc."""
+    v = _as_double(vectors)
+    slices = [
+        F.struct(
+            F.lit(j).cast("long").alias("sub_id"),
+            F.expr(
+                f"slice(e, {j} * (size(e) div {m}) + 1, size(e) div {m})"
+            ).alias("sv"),
+        )
+        for j in range(m)
+    ]
+    sub = v.select(
+        "vec_id", F.explode(F.array(*slices)).alias("s")
+    ).select("vec_id", "s.sub_id", F.col("s.sv").alias("sv"))
+
+    seeds = v.orderBy("vec_id").limit(k).select("vec_id", "e")
+    wseed = Window.orderBy("vec_id")
+    coded = seeds.withColumn(
+        "code", (F.row_number().over(wseed) - 1).cast("long")
+    )
+    cb = coded.select(
+        "code", F.explode(F.array(*slices)).alias("s")
+    ).select("code", "s.sub_id", F.col("s.sv").alias("cv"))
+
+    scored = sub.join(F.broadcast(cb), "sub_id").withColumn(
+        "err2",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.asc("err2"), F.asc("code")
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "vec_id",
+            "sub_id",
+            "code",
+            (F.floor(F.col("err2") * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
+                "err2"
+            ),
+        )
+    )
+
+
+def pq_encode_sql(vectors_cte: str, m: int = PQ_M, k: int = PQ_K) -> str:
+    """DuckDB twin of :func:`pq_encode`. ``vectors_cte`` must select
+    (vec_id, embedding)."""
+    return f"""
+with raw as ({vectors_cte}),
+v as (select vec_id, embedding::DOUBLE[] as e from raw),
+sub as (
+  select vec_id, j as sub_id,
+         list_slice(e, j * (len(e) // {m}) + 1, (j + 1) * (len(e) // {m})) as sv
+  from v, range(0, {m}) as t(j)
+),
+seeds as (
+  select row_number() over (order by vec_id) - 1 as code, e
+  from (select * from v order by vec_id limit {k})
+),
+cb as (
+  select code, j as sub_id,
+         list_slice(e, j * (len(e) // {m}) + 1, (j + 1) * (len(e) // {m})) as cv
+  from seeds, range(0, {m}) as t(j)
+),
+scored as (
+  select vec_id, s.sub_id, code,
+         list_reduce(list_transform(range(1, len(sv) + 1),
+                                    i -> (sv[i] - cv[i]) * (sv[i] - cv[i])),
+                     (x, y) -> x + y) as err2
+  from sub s join cb on s.sub_id = cb.sub_id
+),
+ranked as (
+  select *, row_number() over (
+    partition by vec_id, sub_id order by err2 asc, code asc
+  ) as r
+  from scored
+)
+select vec_id, sub_id::BIGINT as sub_id, code::BIGINT as code,
+       floor(err2 * 1000000.0) / 1000000.0 as err2
+from ranked where r = 1
+"""
