@@ -8041,7 +8041,7 @@ from agg
 """
 
 
-def q_traindata_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_traindata_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card: the one-page corpus summary a dataset
     release ships — doc and unique-doc counts, exact-dup share, token
     mass, mean tokens, dominant language. Shape: tokens and the md5
@@ -8096,7 +8096,7 @@ def q_traindata_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TRAINDATA_DATASET_CARD = """
+SQL_TRAINDATA_SOURCE_CARD = """
 with docs as (
   select source, lang, md5(text) as fp,
          len(string_split(text, ' '))::BIGINT as n_tokens
@@ -8341,8 +8341,8 @@ CATALOG: dict[str, QueryDef] = {
     "traindata_length_buckets": QueryDef(
         q_traindata_length_buckets, SQL_TRAINDATA_LENGTH_BUCKETS
     ),
-    "traindata_dataset_card": QueryDef(
-        q_traindata_dataset_card, SQL_TRAINDATA_DATASET_CARD
+    "traindata_source_card": QueryDef(
+        q_traindata_source_card, SQL_TRAINDATA_SOURCE_CARD
     ),
     "graph_label_propagation": QueryDef(
         q_graph_label_propagation, _sql_graph_label_propagation()

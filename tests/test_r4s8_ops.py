@@ -287,9 +287,9 @@ def test_path_depth_derivation(spark):
 def test_dataset_card_totals_and_top_lang(spark):
     from pyspark.sql import functions as F
 
-    from openreviewcrawler_spark.catalog import q_traindata_dataset_card
+    from openreviewcrawler_spark.catalog import q_traindata_source_card
 
-    rows = {r["source"]: r for r in q_traindata_dataset_card(spark, SF).collect()}
+    rows = {r["source"]: r for r in q_traindata_source_card(spark, SF).collect()}
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     per_src = {
         r["source"]: r["c"]
@@ -304,9 +304,9 @@ def test_dataset_card_totals_and_top_lang(spark):
 
 
 def test_dataset_card_no_corpus_broadcast(spark):
-    from openreviewcrawler_spark.catalog import q_traindata_dataset_card
+    from openreviewcrawler_spark.catalog import q_traindata_source_card
 
-    plan = _plan(q_traindata_dataset_card(spark, SF))
+    plan = _plan(q_traindata_source_card(spark, SF))
     _assert_clean(plan)
 
 
