@@ -8151,6 +8151,211 @@ def _sql_embedding_pq_encode() -> str:
     return pq_encode_sql("select vec_id, embedding from embeddings")
 
 
+#: revisit change observations: _CHANGE_SNAPS synthetic snapshots per URL;
+#: a URL "changed" at snapshot s with per-doc propensity (doc_id % 4)/10 —
+#: the predicate text is shared verbatim between engines (pure integer)
+_CHANGE_SNAPS = 4
+_CHANGE_EXPR = (
+    "case when (doc_id * 37 + snap * 13) % 10 < doc_id % 4 then 1 else 0 end"
+)
+#: Cho/Garcia-Molina-style interval ladder over the observed change rate
+_RECRAWL_BUCKET = (
+    "case when change_ppm >= 250000 then 6"
+    " when change_ppm >= 100000 then 24"
+    " when change_ppm > 0 then 168 else 720 end"
+)
+
+
+def q_crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host content change-rate estimate -> recrawl-interval plan:
+    the freshness side of the recrawl scheduler (crawl_recrawl_due decides
+    WHO is due; this decides each host's REVISIT CADENCE from observed
+    snapshot-over-snapshot change fractions, the Cho/Garcia-Molina
+    frequency-allocation input). Shape: one scan, a bounded
+    _CHANGE_SNAPS-way explode (never corpus x corpus), one groupBy on
+    host with map-side partials; integer/ppm output plus a CASE interval
+    ladder — no floats anywhere."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(HOST_EXPR).alias("host")
+    )
+    obs = docs.withColumn(
+        "snap", F.explode(F.sequence(F.lit(1), F.lit(_CHANGE_SNAPS)))
+    ).withColumn("changed", F.expr(_CHANGE_EXPR))
+    agg = obs.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("changed").cast("long").alias("n_changed"),
+    )
+    return agg.selectExpr(
+        "host",
+        "n_obs",
+        "n_changed",
+        "cast((n_changed * cast(1000000 as bigint)) div n_obs as bigint)"
+        " as change_ppm",
+    ).selectExpr(
+        "host",
+        "n_obs",
+        "n_changed",
+        "change_ppm",
+        f"cast({_RECRAWL_BUCKET} as bigint) as recrawl_hours",
+    )
+
+
+SQL_CRAWL_CHANGE_RATE = f"""
+with obs as (
+  select {HOST_EXPR} as host, doc_id,
+         unnest(generate_series(1, {_CHANGE_SNAPS})) as snap
+  from documents
+),
+c as (select host, {_CHANGE_EXPR} as changed from obs),
+agg as (
+  select host, count(*)::BIGINT as n_obs, sum(changed)::BIGINT as n_changed
+  from c group by host
+),
+r as (
+  select host, n_obs, n_changed,
+         ((n_changed * 1000000) // n_obs)::BIGINT as change_ppm
+  from agg
+)
+select host, n_obs, n_changed, change_ppm,
+       ({_RECRAWL_BUCKET})::BIGINT as recrawl_hours
+from r
+"""
+
+
+#: synthetic query-param stream: one (host, param, value) row per doc; the
+#: 'sid' param carries a per-occurrence-unique value (a session id), 'page'
+#: and 'ref' are low-cardinality — shared expression text
+_PARAM_NAME_EXPR = (
+    "case cast(doc_id % 3 as int) when 0 then 'sid'"
+    " when 1 then 'page' else 'ref' end"
+)
+_PARAM_VAL_EXPR = (
+    "case cast(doc_id % 3 as int)"
+    " when 0 then cast(doc_id as varchar(30))"
+    " when 1 then cast(doc_id % 5 as varchar(30))"
+    " else cast(doc_id % 50 as varchar(30)) end"
+)
+
+
+def q_url_session_param_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-id query-param detection: per-(host, param) distinct-value /
+    occurrence ratio — a param whose value is (near-)unique per occurrence
+    is a session token, and stripping it is the highest-payoff DUST rule
+    (complements crawl_dust_rules, which needs the rule; this MINES it).
+    Shape: one scan derives (host, param, value), ONE groupBy computes
+    count + count(distinct value) (partial aggregation applies; the
+    distinct expands to at most one extra exchange on the same key);
+    suspect gate by integer cross-multiplication (>= 0.9 ratio, n >= 5)."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        f"{HOST_EXPR} as host",
+        f"{_PARAM_NAME_EXPR} as param",
+        f"{_PARAM_VAL_EXPR} as pval",
+    )
+    return (
+        d.groupBy("host", "param")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("pval").cast("long").alias("n_values"),
+        )
+        .selectExpr(
+            "host",
+            "param",
+            "n_urls",
+            "n_values",
+            "cast((n_values * cast(1000000 as bigint)) div n_urls as bigint)"
+            " as card_ppm",
+            "cast(case when n_values * 10 >= n_urls * 9 and n_urls >= 5"
+            " then 1 else 0 end as bigint) as session_suspect",
+        )
+    )
+
+
+SQL_URL_SESSION_PARAM_DETECT = f"""
+with d as (
+  select {HOST_EXPR} as host,
+         {_PARAM_NAME_EXPR} as param,
+         {_PARAM_VAL_EXPR} as pval
+  from documents
+),
+agg as (
+  select host, param, count(*)::BIGINT as n_urls,
+         count(distinct pval)::BIGINT as n_values
+  from d group by host, param
+)
+select host, param, n_urls, n_values,
+       ((n_values * 1000000) // n_urls)::BIGINT as card_ppm,
+       (case when n_values * 10 >= n_urls * 9 and n_urls >= 5
+             then 1 else 0 end)::BIGINT as session_suspect
+from agg
+"""
+
+
+def q_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift (market-basket affinity over the
+    event log): for each type pair, P(user does both) / (P(a) * P(b)) —
+    the signal behind "users who error also churn" dashboards. Shape: the
+    distinct (user, type) table is persisted ONCE and used as both
+    self-join sides (the r3 union/self-join lesson); per-user fan-out is
+    bounded by the TYPE VOCABULARY (choose-2 of ~5), never the event
+    count; the per-type totals and the single-row user count attach by
+    broadcast (provably bounded dims). lift in exact integer ppm by
+    cross-multiplication — no doubles."""
+    from .caching import track_persist
+
+    ev = _t(spark, sf_dir, "events")
+    ut = track_persist(ev.select("user_id", "event_type").distinct())
+    nt = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n_t"))
+    nu = ut.select("user_id").distinct().agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    na = nt.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    nb = nt.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            "cast((n_both * n_users * cast(1000000 as bigint))"
+            " div (n_a * n_b) as bigint) as lift_ppm",
+        )
+    )
+
+
+SQL_EVENT_TYPE_AFFINITY = """
+with ut as (select distinct user_id, event_type from events),
+nt as (select event_type, count(*)::BIGINT as n_t from ut group by 1),
+nu as (select count(distinct user_id)::BIGINT as n_users from ut),
+pairs as (
+  select a.event_type as type_a, b.event_type as type_b,
+         count(*)::BIGINT as n_both
+  from ut a join ut b
+    on a.user_id = b.user_id and a.event_type < b.event_type
+  group by 1, 2
+)
+select type_a, type_b, ta.n_t as n_a, tb.n_t as n_b, n_both,
+       ((n_both * n_users * 1000000) // (ta.n_t * tb.n_t))::BIGINT as lift_ppm
+from pairs
+join nt ta on pairs.type_a = ta.event_type
+join nt tb on pairs.type_b = tb.event_type
+cross join nu
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -8511,6 +8716,14 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "embedding_pq_encode": QueryDef(
         q_embedding_pq_encode, _sql_embedding_pq_encode()
+    ),
+    # --- session-9 additions (tail slots, r5-window queue) ---
+    "crawl_change_rate": QueryDef(q_crawl_change_rate, SQL_CRAWL_CHANGE_RATE),
+    "url_session_param_detect": QueryDef(
+        q_url_session_param_detect, SQL_URL_SESSION_PARAM_DETECT
+    ),
+    "event_type_affinity": QueryDef(
+        q_event_type_affinity, SQL_EVENT_TYPE_AFFINITY
     ),
 }
 
