@@ -8356,6 +8356,194 @@ cross join nu
 """
 
 
+#: RFM tier ladders — shared text; recency/freq are BIGINT, msum is the
+#: exact DECIMAL(18,4) per-user sum (decimal-vs-integer comparison is exact
+#: in both engines)
+_RFM_R = "case when recency_days <= 0 then 3 when recency_days <= 1 then 2 else 1 end"
+_RFM_F = "case when freq >= 70 then 3 when freq >= 55 then 2 else 1 end"
+_RFM_M = "case when msum >= 3600 then 3 when msum >= 2800 then 2 else 1 end"
+_RFM_SEG = (
+    f"concat('R', cast({_RFM_R} as varchar(2)),"
+    f" 'F', cast({_RFM_F} as varchar(2)),"
+    f" 'M', cast({_RFM_M} as varchar(2)))"
+)
+
+
+def q_event_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic retention OLAP cube: each user lands in one of 27 tiers and
+    the output is the segment rollup a lifecycle dashboard reads. Shape:
+    ONE groupBy on user computes all three facets (map-side partials);
+    the corpus-max timestamp attaches as the accepted 1-row broadcast;
+    the 27-row segment rollup is a second bounded aggregate. Float
+    parity: monetary sums as DECIMAL(18,4) (exact, associative), tiers
+    compare decimal to integer literals, and the emitted cents are
+    floor(decimal * 100) — never a double."""
+    from .caching import track_persist
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    # persisted ONCE: per_user feeds both the global-max derivation and the
+    # tier projection — without the pin the aggregation job runs twice
+    # (the r3 self-reference re-run lesson)
+    per_user = track_persist(
+        ev.groupBy("user_id").agg(
+            F.max("ts_ms").alias("last_ms"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("v").alias("msum"),
+        )
+    )
+    gmax = per_user.agg(F.max("last_ms").alias("gmax_ms"))
+    tiers = per_user.crossJoin(F.broadcast(gmax)).selectExpr(
+        "cast((gmax_ms - last_ms) div 86400000 as bigint) as recency_days",
+        "freq",
+        "msum",
+    )
+    seg = tiers.selectExpr(
+        f"{_RFM_SEG} as segment",
+        "freq",
+        "cast(floor(msum * 100) as bigint) as u_cents",
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("freq").cast("long").alias("n_events"),
+        F.sum("u_cents").cast("long").alias("value_cents"),
+    )
+
+
+SQL_EVENT_RFM_SEGMENTS = f"""
+with ev as (
+  select user_id, epoch_ms(ts) as ts_ms, value::DECIMAL(18,4) as v
+  from events
+),
+per_user as (
+  select user_id, max(ts_ms) as last_ms, count(*)::BIGINT as freq,
+         sum(v) as msum
+  from ev group by user_id
+),
+gmax as (select max(last_ms) as gmax_ms from per_user),
+tiers as (
+  select ((gmax_ms - last_ms) // 86400000)::BIGINT as recency_days,
+         freq, msum
+  from per_user cross join gmax
+),
+seg as (
+  select {_RFM_SEG} as segment, freq,
+         cast(floor(msum * 100) as bigint) as u_cents
+  from tiers
+)
+select segment, count(*)::BIGINT as n_users, sum(freq)::BIGINT as n_events,
+       sum(u_cents)::BIGINT as value_cents
+from seg group by segment
+"""
+
+
+def q_event_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: sessionize (30-min gap), take each
+    session's first three event types in order, and rank the most common
+    openings — the "how do sessions start" product query. Shape: the gap
+    flag, the running session id (explicit ROWS frame) and the in-session
+    row_number all sort under ONE hash exchange on user_id
+    (HashPartitioning(user) satisfies the (user, sess) clustering); the
+    path pivot is a max-CASE groupBy (concat_ws skips NULLs identically
+    in both engines — short sessions keep short paths); the final global
+    window ranks the |types|^3-BOUNDED path rollup, never event rows."""
+    ev = _events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts_ms", "event_id")
+    first3 = sess.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 3
+    )
+    paths = first3.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return counts.withColumn(
+        "rank", F.row_number().over(wr).cast("long")
+    ).filter(F.col("rank") <= 10)
+
+
+SQL_EVENT_SESSION_PATH_TOPK = f"""
+with e as ({_EVENTS_MS_CTE}),
+g as (
+  select user_id, event_id, event_type, ts_ms,
+         ts_ms - lag(ts_ms) over (
+           partition by user_id order by ts_ms, event_id
+         ) as gap
+  from e
+),
+flagged as (
+  select *, case when gap is null or gap > 1800000 then 1 else 0 end
+    as new_sess
+  from g
+),
+s as (
+  select *, sum(new_sess) over (
+    partition by user_id order by ts_ms, event_id
+    rows between unbounded preceding and current row
+  ) as sess_id
+  from flagged
+),
+f as (
+  select *, row_number() over (
+    partition by user_id, sess_id order by ts_ms, event_id
+  ) as rn
+  from s
+),
+p as (
+  select user_id, sess_id,
+         concat_ws('>',
+           max(case when rn = 1 then event_type end),
+           max(case when rn = 2 then event_type end),
+           max(case when rn = 3 then event_type end)) as path
+  from f where rn <= 3 group by user_id, sess_id
+),
+c as (select path, count(*)::BIGINT as n_sessions from p group by path),
+r as (
+  select *, row_number() over (order by n_sessions desc, path asc) as rank
+  from c
+)
+select path, n_sessions, rank::BIGINT as rank from r where rank <= 10
+"""
+
+
+def q_embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-sketch ANN (operators/similarity.binary_hamming_topk):
+    64 sign bits in two BIGINT words, bit_count(xor) Hamming prefilter,
+    exact-cosine rerank of the 8 survivors — the 16-bytes-per-vector
+    retrieval tier between LSH banding and PQ storage."""
+    from .operators.similarity import binary_hamming_topk
+
+    return binary_hamming_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_hamming_topk() -> str:
+    from .operators.similarity import binary_hamming_topk_sql
+
+    return binary_hamming_topk_sql()
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -8724,6 +8912,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_type_affinity": QueryDef(
         q_event_type_affinity, SQL_EVENT_TYPE_AFFINITY
+    ),
+    "event_rfm_segments": QueryDef(
+        q_event_rfm_segments, SQL_EVENT_RFM_SEGMENTS
+    ),
+    "event_session_path_topk": QueryDef(
+        q_event_session_path_topk, SQL_EVENT_SESSION_PATH_TOPK
+    ),
+    "embedding_hamming_topk": QueryDef(
+        q_embedding_hamming_topk, _sql_embedding_hamming_topk()
     ),
 }
 

@@ -1292,3 +1292,169 @@ select vec_id, sub_id::BIGINT as sub_id, code::BIGINT as code,
        floor(err2 * 1000000.0) / 1000000.0 as err2
 from ranked where r = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# binary sign-sketch tier: 64-bit signature + Hamming prefilter + exact rerank
+# ---------------------------------------------------------------------------
+
+HAM_QUERY_MOD = 50  # vec_id % HAM_QUERY_MOD == 0 selects the query set
+HAM_PREFILTER = 8  # Hamming-nearest candidates kept per query before rerank
+HAM_K = 3  # final exact-cosine top-k
+
+
+def _sign_word_terms(lo: int, hi: int, elem_fmt: str) -> str:
+    """Sum-of-CASE text packing sign bits [lo, hi] (1-based dims) into one
+    BIGINT word: bit (i - lo) set iff component i >= 0. ``elem_fmt`` is the
+    engine's 1-based array access spelled with ``{i}`` (Spark
+    ``element_at(e, {i})``, DuckDB ``e[{i}]``) — the generated VALUES are
+    identical even though the accessor text differs."""
+    terms = [
+        f"(case when {elem_fmt.format(i=i)} >= 0 then"
+        f" cast({1 << (i - lo)} as bigint) else cast(0 as bigint) end)"
+        for i in range(lo, hi + 1)
+    ]
+    return " + ".join(terms)
+
+
+def binary_hamming_topk(
+    vectors: DataFrame,
+    query_mod: int = HAM_QUERY_MOD,
+    prefilter: int = HAM_PREFILTER,
+    k: int = HAM_K,
+    dim: int = MAX_DIM,
+) -> DataFrame:
+    """(query_id, cand_id, rank, hamming, cos_mil) — the binarized storage
+    tier of the ANN family: 4*dim-byte float vectors compress to dim sign
+    bits (two BIGINT words here), candidate retrieval is Hamming distance
+    over the words (``bit_count(xor)`` — pure codegen'd integer ops, the
+    same verify recipe as dedup_simhash), and only the ``prefilter``
+    Hamming-nearest survivors pay the exact-cosine rerank. At 10^10
+    vectors the signature table is 16 bytes/row where the float corpus is
+    256 — the scan that feeds the prefilter reads ~6% of the bytes.
+
+    Scale shape: the signature table builds in ONE projection over the
+    corpus scan (no fold — the bit-pack is a generated 64-term integer
+    sum, fully inside whole-stage codegen); the query side is bounded by
+    ``query_mod`` and broadcasts; per-query fan-out after the prefilter is
+    ``prefilter`` rows. cos_mil is floor(cos * 1000) — the tie-free
+    projection (round() is not cross-engine stable on tie digits)."""
+    v = _as_double(vectors)
+    half = dim // 2
+    w0 = _sign_word_terms(1, half, "element_at(e, {i})")
+    w1 = _sign_word_terms(half + 1, dim, "element_at(e, {i})")
+    sig = v.selectExpr(
+        "vec_id",
+        "e",
+        "norm",
+        f"cast({w0} as bigint) as b0",
+        f"cast({w1} as bigint) as b1",
+    )
+    q = sig.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    ham = sig.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            F.bit_count(F.col("qb0").bitwiseXOR(F.col("b0")))
+            + F.bit_count(F.col("qb1").bitwiseXOR(F.col("b1")))
+        )
+        .cast("long")
+        .alias("hamming"),
+        "qe",
+        "qnorm",
+        "e",
+        "norm",
+    )
+    wpre = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("cand_id")
+    )
+    survivors = ham.withColumn("pr", F.row_number().over(wpre)).filter(
+        F.col("pr") <= prefilter
+    )
+    rer = survivors.select(
+        "query_id",
+        "cand_id",
+        "hamming",
+        _cos("qe", "e", "qnorm", "norm").alias("cos_raw"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("cand_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+        .selectExpr(
+            "query_id",
+            "cand_id",
+            "rank",
+            "hamming",
+            "cast(floor(cos_raw * 1000) as bigint) as cos_mil",
+        )
+    )
+
+
+def binary_hamming_topk_sql(
+    query_mod: int = HAM_QUERY_MOD,
+    prefilter: int = HAM_PREFILTER,
+    k: int = HAM_K,
+    dim: int = MAX_DIM,
+) -> str:
+    """DuckDB twin of :func:`binary_hamming_topk` over the ``embeddings``
+    view — same generated sign-word values (1-based ``e[i]`` accessor),
+    ``bit_count(xor(...))`` for the Hamming terms (DuckDB ``^`` is POWER,
+    never use it for xor), same tie-breaks and floor projection."""
+    half = dim // 2
+    w0 = _sign_word_terms(1, half, "e[{i}]")
+    w1 = _sign_word_terms(half + 1, dim, "e[{i}]")
+    dot = (
+        "list_reduce(list_transform(range(1, len(qe) + 1),"
+        " i -> qe[i] * ce[i]), (x, y) -> x + y)"
+    )
+    norm = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+    return f"""
+with v as (
+  select vec_id, embedding::DOUBLE[] as e,
+         {norm.format(a='embedding::DOUBLE[]')} as nrm
+  from embeddings
+),
+sig as (
+  select vec_id, e, nrm, ({w0})::BIGINT as b0, ({w1})::BIGINT as b1 from v
+),
+q as (
+  select vec_id as query_id, e as qe, nrm as qnrm, b0 as qb0, b1 as qb1
+  from sig where vec_id % {query_mod} = 0
+),
+ham as (
+  select query_id, c.vec_id as cand_id,
+         (bit_count(xor(qb0, c.b0)) + bit_count(xor(qb1, c.b1)))::BIGINT
+           as hamming,
+         qe, qnrm, c.e as ce, c.nrm as cnrm
+  from q join sig c on c.vec_id <> q.query_id
+),
+pre as (
+  select *, row_number() over (
+    partition by query_id order by hamming asc, cand_id asc
+  ) as pr
+  from ham
+),
+rer as (
+  select query_id, cand_id, hamming,
+         {dot} / (qnrm * cnrm) as cos_raw
+  from pre where pr <= {prefilter}
+),
+rk as (
+  select *, row_number() over (
+    partition by query_id order by cos_raw desc, cand_id asc
+  ) as rank
+  from rer
+)
+select query_id, cand_id, rank::BIGINT as rank, hamming,
+       cast(floor(cos_raw * 1000) as bigint) as cos_mil
+from rk where rank <= {k}
+"""
