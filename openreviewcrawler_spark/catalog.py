@@ -8544,6 +8544,436 @@ def _sql_embedding_hamming_topk() -> str:
     return binary_hamming_topk_sql()
 
 
+# ---------------------------------------------------------------------------
+# session-10: PQ ADC search, engagement stickiness, session concurrency peak,
+# classifier calibration, BPE merge mining, WARC compaction planning
+# ---------------------------------------------------------------------------
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (operators/similarity.pq_adc_topk):
+    float query vs m*log2(k)-bit database codes via the classic ADC
+    lookup-table sum — the query half of the PQ tier whose storage half is
+    embedding_pq_encode. Bounded broadcast LUT, fixed-order per-row double
+    distance sum (bit-identical cross-engine), two-phase top-k."""
+    from .operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_ann_pq_adc_topk() -> str:
+    from .operators.similarity import pq_adc_topk_sql
+
+    return pq_adc_topk_sql("select vec_id, embedding from embeddings")
+
+
+def q_event_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every product
+    dashboard tracks: distinct users active on day d over distinct users
+    active in the trailing 7-day window [d-6, d]. Shape: the distinct
+    (user, day) table is persisted ONCE (it feeds both aggregates); the
+    trailing window is NOT a range join (a broadcast inequality join goes
+    nested-loop) — each (user, day) row instead EMITS its 7 target days
+    via one explode(sequence(0, 6)), so WAU is a plain equi-groupBy with
+    map-side partials and fan-out exactly 7 at any corpus size. Days
+    beyond the observed horizon drop on the inner join with the DAU
+    table. Integer ppm output — no doubles."""
+    from .caching import track_persist
+
+    ud = track_persist(
+        _events_ms(spark, sf_dir)
+        .selectExpr("user_id", "ts_ms div 86400000 as day")
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).selectExpr("user_id", "day + off as wday")
+    wau = contrib.groupBy("wday").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .selectExpr(
+            "day",
+            "dau",
+            "wau",
+            "cast((dau * cast(1000000 as bigint)) div wau as bigint)"
+            " as stickiness_ppm",
+        )
+    )
+
+
+SQL_EVENT_STICKINESS = """
+with e as (select user_id, epoch_ms(ts) // 86400000 as day from events),
+ud as (select distinct user_id, day from e),
+dau as (select day, count(*)::BIGINT as dau from ud group by day),
+contrib as (select user_id, day + off as wday from ud, range(0, 7) as t(off)),
+wau as (
+  select wday, count(distinct user_id)::BIGINT as wau
+  from contrib group by wday
+)
+select day::BIGINT as day, dau, wau,
+       ((dau * 1000000) // wau)::BIGINT as stickiness_ppm
+from dau join wau on dau.day = wau.wday
+"""
+
+
+def q_event_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    behind connection pools and autoscaling: sessionize (30-min gap),
+    clamp each session to the days it spans, sweep +1/-1 boundary deltas
+    in time order and take the daily max of the running sum. Shape: ONE
+    explode emits both deltas per session-day (the union-embeds lesson;
+    day spans via sequence — Spark-inclusive, mirrored as range(d0, d1+1)
+    in DuckDB); the delta table persists once and the running sum is
+    TWO-PHASE — a within-(day, hour) window plus broadcast per-hour
+    offsets from the <=25-row-per-day hour rollup — so no task ever sorts
+    a full day (hour is monotone in ts, so local-rank + offset equals the
+    per-day prefix sum exactly). The daily MAX is invariant to tie order
+    among equal (ts, delta) rows: +1s sort before -1s, and within a +1
+    block the prefix is monotone. Closed intervals: a session ending at
+    the same ms another starts counts both."""
+    from .caching import track_persist
+
+    ev = _events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800000), 1).otherwise(0)
+    )
+    sess_rows = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = sess_rows.groupBy("user_id", "sess_id").agg(
+        F.min("ts_ms").alias("st"), F.max("ts_ms").alias("en")
+    )
+    spanned = sessions.select(
+        "user_id",
+        "sess_id",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.expr("st div 86400000"), F.expr("en div 86400000")
+            )
+        ).alias("day"),
+    )
+    deltas = track_persist(
+        spanned.select(
+            "user_id",
+            "sess_id",
+            "day",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.expr("greatest(st, day * 86400000)").alias("ts"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.expr(
+                            "least(en, day * 86400000 + 86399999) + 1"
+                        ).alias("ts"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("d"),
+        ).select(
+            "user_id",
+            "sess_id",
+            "day",
+            F.col("d.ts").alias("ts"),
+            F.col("d.delta").alias("delta"),
+        )
+    )
+    hourly = deltas.withColumn(
+        "hour", F.expr("(ts - day * 86400000) div 3600000")
+    )
+    wh = (
+        Window.partitionBy("day", "hour")
+        .orderBy(
+            F.asc("ts"), F.desc("delta"), F.asc("user_id"), F.asc("sess_id")
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = hourly.withColumn("rs", F.sum("delta").over(wh))
+    ht = hourly.groupBy("day", "hour").agg(F.sum("delta").alias("hs"))
+    wo = (
+        Window.partitionBy("day")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = ht.withColumn(
+        "off", F.coalesce(F.sum("hs").over(wo), F.lit(0))
+    ).select("day", "hour", "off")
+    running = local.join(F.broadcast(offsets), ["day", "hour"]).withColumn(
+        "running", F.col("off") + F.col("rs")
+    )
+    return running.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+        F.max("running").cast("long").alias("peak"),
+    )
+
+
+SQL_EVENT_CONCURRENCY_PEAK = f"""
+with e as ({_EVENTS_MS_CTE}),
+g as (
+  select user_id, event_id, ts_ms,
+         ts_ms - lag(ts_ms) over (
+           partition by user_id order by ts_ms, event_id
+         ) as gap
+  from e
+),
+flagged as (
+  select *, case when gap is null or gap > 1800000 then 1 else 0 end
+    as new_sess
+  from g
+),
+s as (
+  select *, sum(new_sess) over (
+    partition by user_id order by ts_ms, event_id
+    rows between unbounded preceding and current row
+  ) as sess_id
+  from flagged
+),
+sess as (
+  select user_id, sess_id, min(ts_ms) as st, max(ts_ms) as en
+  from s group by user_id, sess_id
+),
+spanned as (
+  select user_id, sess_id, st, en,
+         unnest(range(st // 86400000, en // 86400000 + 1)) as day
+  from sess
+),
+del as (
+  select user_id, sess_id, day, greatest(st, day * 86400000) as ts,
+         1 as delta
+  from spanned
+  union all
+  select user_id, sess_id, day,
+         least(en, day * 86400000 + 86399999) + 1 as ts, -1 as delta
+  from spanned
+),
+run as (
+  select day, delta, sum(delta) over (
+    partition by day
+    order by ts asc, delta desc, user_id asc, sess_id asc
+    rows between unbounded preceding and current row
+  ) as running
+  from del
+)
+select day::BIGINT as day,
+       sum(case when delta = 1 then 1 else 0 end)::BIGINT as n_sessions,
+       max(running)::BIGINT as peak
+from run group by day
+"""
+
+
+#: calibration bands = integer deciles of the OBSERVED mean-weight range
+#: ((avgw - mn) * 10) div (mx - mn + 1), 0..9 — hashed-n-gram scores smear
+#: toward the corpus mean (measured spread ~4% of W_SCALE), so absolute
+#: banding would collapse to one band; all integer (no float banding ties)
+_CALIB_N_BANDS = 10
+
+
+def q_quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability audit of the hashed-n-gram quality classifier: band
+    documents into integer deciles of the observed mean-token-weight
+    range and report the empirical target-domain rate per band — the
+    calibration curve that says whether a higher DSIR-style score
+    actually means 'more English'. A monotone rate ladder validates
+    threshold-based selection; a flat one means the classifier is noise
+    at that granularity. Shape: reuses hashgram_weights/hashgram_scores
+    (bounded N_BUCKETS broadcast, one token-explode groupBy); the range
+    endpoints are the accepted 1-row broadcast; the rollup is bounded by
+    _CALIB_N_BANDS. All-integer: range-relative banding by div (float
+    banding has cross-engine ties), rate in exact ppm, per-band mean
+    weight by integer division."""
+    from .caching import track_persist
+    from .operators.classifier import hashgram_scores, hashgram_weights
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    )
+    weights = hashgram_weights(docs, "is_en")
+    flags = docs.select("doc_id", F.col("is_en").cast("long").alias("is_t"))
+    # persisted ONCE: the doc-score table feeds both the range endpoints
+    # and the banding projection (the r3 self-reference re-run lesson)
+    scored = track_persist(
+        hashgram_scores(docs, weights)
+        .join(flags, "doc_id")
+        .selectExpr("score div n_toks as avgw", "is_t")
+    )
+    rng = scored.agg(
+        F.min("avgw").alias("mn"), F.max("avgw").alias("mx")
+    )
+    banded = scored.crossJoin(F.broadcast(rng)).selectExpr(
+        f"cast(((avgw - mn) * {_CALIB_N_BANDS}) div (mx - mn + 1) as bigint)"
+        " as band",
+        "avgw",
+        "is_t",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_t").cast("long").alias("n_target"),
+            F.sum("avgw").cast("long").alias("sum_avgw"),
+        )
+        .selectExpr(
+            "band",
+            "n_docs",
+            "n_target",
+            "cast((n_target * cast(1000000 as bigint)) div n_docs as bigint)"
+            " as target_rate_ppm",
+            "cast(sum_avgw div n_docs as bigint) as mean_avgw",
+        )
+    )
+
+
+def _sql_quality_score_calibration() -> str:
+    from .operators.classifier import N_BUCKETS, W_SCALE
+
+    return f"""
+with tok as (
+  select doc_id, (case when lang = 'en' then 1 else 0 end) as is_t,
+         unnest({_SQL_TOKENS}) as token
+  from documents
+),
+b as (select doc_id, is_t, ({_H32.format(x='token')} % {N_BUCKETS})::INT as bucket
+      from tok),
+w as (select bucket, ((sum(is_t) * {W_SCALE}) // count(*))::BIGINT as w
+      from b group by bucket),
+doc as (
+  select b.doc_id, max(b.is_t) as is_t, count(*)::BIGINT as n_toks,
+         sum(w.w)::BIGINT as score
+  from b join w on b.bucket = w.bucket
+  group by b.doc_id
+),
+scored as (select score // n_toks as avgw, is_t from doc),
+rng as (select min(avgw) as mn, max(avgw) as mx from scored),
+banded as (
+  select (((avgw - mn) * {_CALIB_N_BANDS}) // (mx - mn + 1))::BIGINT as band,
+         avgw, is_t
+  from scored cross join rng
+)
+select band, count(*)::BIGINT as n_docs, sum(is_t)::BIGINT as n_target,
+       ((sum(is_t) * 1000000) // count(*))::BIGINT as target_rate_ppm,
+       (sum(avgw) // count(*))::BIGINT as mean_avgw
+from banded group by band
+"""
+
+
+BPE_TOP_K = 20
+
+
+def q_vocab_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates — the first iteration of byte-pair-encoding
+    vocabulary training (Sennrich et al. 2016): count every ADJACENT token
+    pair in the corpus and rank the most frequent (the pair a BPE trainer
+    would merge next). Shape: pairs build from SLICES zipped together so
+    the lambda touches only its arguments (the lambda-capture re-inline
+    trap — element_at(split(...), i+1) inside a transform re-runs the
+    split per element); the top-K is TakeOrderedAndProject (per-partition
+    partial top-K, no global sort) and the rank window runs over K rows."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.selectExpr("split(text, ' ') as arr").selectExpr(
+        "explode(zip_with(slice(arr, 1, size(arr) - 1),"
+        " slice(arr, 2, size(arr) - 1),"
+        " (a, b) -> concat(a, ' ', b))) as pair"
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").cast("long").alias("cnt"))
+    topk = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_TOP_K)
+    wr = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return topk.select(
+        F.row_number().over(wr).cast("long").alias("rank"), "pair", "cnt"
+    )
+
+
+SQL_VOCAB_BPE_MERGE_TOPK = f"""
+with a as (select {_SQL_TOKENS} as arr from documents),
+p as (
+  select unnest(list_transform(range(1, len(arr)),
+                               i -> arr[i] || ' ' || arr[i + 1])) as pair
+  from a
+),
+c as (select pair, count(*)::BIGINT as cnt from p group by pair),
+top as (select pair, cnt from c order by cnt desc, pair limit {BPE_TOP_K})
+select row_number() over (order by cnt desc, pair)::BIGINT as rank, pair, cnt
+from top
+"""
+
+
+#: target archive payload bytes for WARC compaction (synthetic corpus is
+#: ~150 KB text + 512 B/record headers -> ~6 archives at the test SFs)
+WARC_COMPACT_TARGET = 65536
+WARC_HEADER_BYTES = 512
+
+
+def q_warc_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan for a sharded WARC archive: lay records
+    out in (host, doc) order — preserving the replay locality that
+    warc_replay_locality audits — and cut archive boundaries every
+    WARC_COMPACT_TARGET cumulative bytes (the Iceberg
+    rewrite-data-files / bin-pack analog for raw crawl archives). Shape:
+    the global byte offset is packing.prefix_sum_scalable — ONE counting
+    job + per-partition offsets, never a global window funnel — and the
+    archive id is a pure projection (offset div target), so the plan
+    costs one shuffle at any corpus size. Per-archive rollup reports
+    record count, payload bytes and host span (locality: contiguous
+    (host, doc) order keeps hosts-per-archive minimal)."""
+    from .operators.packing import prefix_sum_scalable
+
+    recs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat('h', cast(doc_id % 7 as string)) as host",
+        f"n_chars + {WARC_HEADER_BYTES} as rbytes",
+    )
+    placed = prefix_sum_scalable(recs, "rbytes", ["host", "doc_id"], "start_off")
+    return (
+        placed.selectExpr(
+            f"cast(start_off div {WARC_COMPACT_TARGET} as bigint) as archive_id",
+            "host",
+            "rbytes",
+        )
+        .groupBy("archive_id")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.sum("rbytes").cast("long").alias("total_bytes"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+    )
+
+
+SQL_WARC_COMPACTION_PLAN = f"""
+with recs as (
+  select doc_id, 'h' || cast(doc_id % 7 as varchar(10)) as host,
+         n_chars + {WARC_HEADER_BYTES} as rbytes
+  from documents
+),
+placed as (
+  select host, rbytes,
+         coalesce(sum(rbytes) over (
+           order by host, doc_id
+           rows between unbounded preceding and 1 preceding
+         ), 0) as start_off
+  from recs
+)
+select (start_off // {WARC_COMPACT_TARGET})::BIGINT as archive_id,
+       count(*)::BIGINT as n_records,
+       sum(rbytes)::BIGINT as total_bytes,
+       count(distinct host)::BIGINT as n_hosts
+from placed group by archive_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -8921,6 +9351,21 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "embedding_hamming_topk": QueryDef(
         q_embedding_hamming_topk, _sql_embedding_hamming_topk()
+    ),
+    # --- session-10 additions (tail slots, r5-window queue) ---
+    "ann_pq_adc_topk": QueryDef(q_ann_pq_adc_topk, _sql_ann_pq_adc_topk()),
+    "event_stickiness": QueryDef(q_event_stickiness, SQL_EVENT_STICKINESS),
+    "event_concurrency_peak": QueryDef(
+        q_event_concurrency_peak, SQL_EVENT_CONCURRENCY_PEAK
+    ),
+    "quality_score_calibration": QueryDef(
+        q_quality_score_calibration, _sql_quality_score_calibration()
+    ),
+    "vocab_bpe_merge_topk": QueryDef(
+        q_vocab_bpe_merge_topk, SQL_VOCAB_BPE_MERGE_TOPK
+    ),
+    "warc_compaction_plan": QueryDef(
+        q_warc_compaction_plan, SQL_WARC_COMPACTION_PLAN
     ),
 }
 

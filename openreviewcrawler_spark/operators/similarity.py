@@ -1208,7 +1208,21 @@ def pq_encode(vectors: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     per-row double arithmetic is bit-identical; err2 is floor-projected
     (the round() tie trap). Ties on err2 break by code asc."""
     v = _as_double(vectors)
-    slices = [
+    scored = _pq_assign(v, m, k)
+    return scored.select(
+        "vec_id",
+        "sub_id",
+        "code",
+        (F.floor(F.col("err2") * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
+            "err2"
+        ),
+    )
+
+
+def _pq_slices(m: int) -> list[Column]:
+    """The m contiguous-subvector structs of column ``e`` (shared by the
+    corpus explode, the codebook explode and the query-side split)."""
+    return [
         F.struct(
             F.lit(j).cast("long").alias("sub_id"),
             F.expr(
@@ -1217,19 +1231,29 @@ def pq_encode(vectors: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
         )
         for j in range(m)
     ]
-    sub = v.select(
-        "vec_id", F.explode(F.array(*slices)).alias("s")
-    ).select("vec_id", "s.sub_id", F.col("s.sv").alias("sv"))
 
+
+def _pq_codebook(v: DataFrame, m: int, k: int) -> DataFrame:
+    """(code, sub_id, cv) — the m*k-row PQ codebook (IVF seed convention:
+    first ``k`` vectors by vec_id). Bounded by model geometry, broadcast-able
+    by construction."""
     seeds = v.orderBy("vec_id").limit(k).select("vec_id", "e")
     wseed = Window.orderBy("vec_id")
     coded = seeds.withColumn(
         "code", (F.row_number().over(wseed) - 1).cast("long")
     )
-    cb = coded.select(
-        "code", F.explode(F.array(*slices)).alias("s")
+    return coded.select(
+        "code", F.explode(F.array(*_pq_slices(m))).alias("s")
     ).select("code", "s.sub_id", F.col("s.sv").alias("cv"))
 
+
+def _pq_assign(v: DataFrame, m: int, k: int) -> DataFrame:
+    """(vec_id, sub_id, code, err2) — nearest-codebook-entry assignment with
+    the raw (unprojected) squared-L2 error; ties break by code asc."""
+    sub = v.select(
+        "vec_id", F.explode(F.array(*_pq_slices(m))).alias("s")
+    ).select("vec_id", "s.sub_id", F.col("s.sv").alias("sv"))
+    cb = _pq_codebook(v, m, k)
     scored = sub.join(F.broadcast(cb), "sub_id").withColumn(
         "err2",
         F.aggregate(
@@ -1244,14 +1268,7 @@ def pq_encode(vectors: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     return (
         scored.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
-        .select(
-            "vec_id",
-            "sub_id",
-            "code",
-            (F.floor(F.col("err2") * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
-                "err2"
-            ),
-        )
+        .select("vec_id", "sub_id", "code", "err2")
     )
 
 
@@ -1456,5 +1473,187 @@ rk as (
 )
 select query_id, cand_id, rank::BIGINT as rank, hamming,
        cast(floor(cos_raw * 1000) as bigint) as cos_mil
+from rk where rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) search: the query path of the PQ storage tier
+# ---------------------------------------------------------------------------
+
+ADC_K = 3  # final top-k per query
+
+
+def _adc_sum_expr(m: int) -> str:
+    """The fixed-order per-row double sum over the m pivoted subspace
+    distances — shared verbatim between engines (left-assoc + is
+    bit-identical per row; a groupBy sum over doubles would not be)."""
+    return " + ".join(f"d{j}" for j in range(m))
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    query_mod: int = HAM_QUERY_MOD,
+    k: int = ADC_K,
+) -> DataFrame:
+    """(query_id, cand_id, rank, adc) — asymmetric-distance search over the
+    PQ codes of :func:`pq_encode`: the query stays a float vector, the
+    database is m log2(n_codes)-bit codes, and distance is the classic ADC
+    lookup-table sum d(q, x) = sum_j ||q_j - c_{j, code_j(x)}||^2 (Jegou et
+    al. 2011, IEEE TPAMI "Product quantization for nearest neighbor
+    search"). This is the search half of the compressed tier —
+    ``pq_encode`` built the storage, this answers queries against it
+    without ever touching the float corpus.
+
+    Scale shape: the LUT is (n_queries * m * n_codes) rows — bounded by
+    the query batch and the model geometry, never the corpus — built by
+    joining the query subvectors against the broadcast codebook, then
+    itself broadcast against the code table, so the corpus-side work is a
+    map-side join + one groupBy on (query, vec). The per-(query, vec)
+    pivot has exactly m rows; the final distance is a FIXED-ORDER per-row
+    double sum (d0 + d1 + ...), bit-identical across engines where an
+    aggregated float sum would not be. Top-k is the two-phase
+    per-partition prune of ``outlier_topk`` (top-k is a semilattice;
+    partitioning-invariant). With n_codes=4, m=4 there are only 256
+    distinct ADC values per query — ties are everywhere, broken by
+    cand_id asc. adc is floor-projected (the round() tie trap)."""
+    v = _as_double(vectors)
+    codes = _pq_assign(v, m, n_codes).select("vec_id", "sub_id", "code")
+    cb = _pq_codebook(v, m, n_codes)
+    qsub = (
+        v.filter(F.col("vec_id") % query_mod == 0)
+        .select(F.col("vec_id").alias("query_id"), "e")
+        .select(
+            "query_id", F.explode(F.array(*_pq_slices(m))).alias("s")
+        )
+        .select("query_id", "s.sub_id", F.col("s.sv").alias("qv"))
+    )
+    lut = qsub.join(cb, "sub_id").withColumn(
+        "d",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    ).select("query_id", "sub_id", "code", "d")
+    pairs = codes.join(F.broadcast(lut), ["sub_id", "code"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    piv = pairs.groupBy("query_id", "vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub_id") == j, F.col("d"))).alias(f"d{j}")
+            for j in range(m)
+        ]
+    )
+    scored = piv.selectExpr(
+        "query_id",
+        "vec_id as cand_id",
+        f"{_adc_sum_expr(m)} as adc_raw",
+    )
+    part = scored.withColumn("__part", F.spark_partition_id())
+    w1 = Window.partitionBy("query_id", "__part").orderBy(
+        F.asc("adc_raw"), F.asc("cand_id")
+    )
+    pruned = (
+        part.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__part")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_raw"), F.asc("cand_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            "rank",
+            (F.floor(F.col("adc_raw") * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
+                "adc"
+            ),
+        )
+    )
+
+
+def pq_adc_topk_sql(
+    vectors_cte: str,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    query_mod: int = HAM_QUERY_MOD,
+    k: int = ADC_K,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk`. ``vectors_cte`` must select
+    (vec_id, embedding). Same codebook seeds, same index-ordered folds,
+    same fixed-order distance sum and tie-breaks."""
+    sq_fold = (
+        "list_reduce(list_transform(range(1, len({a}) + 1),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    piv_cols = ",\n         ".join(
+        f"max(case when sub_id = {j} then d end) as d{j}" for j in range(m)
+    )
+    return f"""
+with raw as ({vectors_cte}),
+v as (select vec_id, embedding::DOUBLE[] as e from raw),
+sub as (
+  select vec_id, j as sub_id,
+         list_slice(e, j * (len(e) // {m}) + 1, (j + 1) * (len(e) // {m})) as sv
+  from v, range(0, {m}) as t(j)
+),
+seeds as (
+  select row_number() over (order by vec_id) - 1 as code, e
+  from (select * from v order by vec_id limit {n_codes})
+),
+cb as (
+  select code, j as sub_id,
+         list_slice(e, j * (len(e) // {m}) + 1, (j + 1) * (len(e) // {m})) as cv
+  from seeds, range(0, {m}) as t(j)
+),
+assign_scored as (
+  select vec_id, s.sub_id, code,
+         {sq_fold.format(a='sv', b='cv')} as err2
+  from sub s join cb on s.sub_id = cb.sub_id
+),
+codes as (
+  select vec_id, sub_id, code from (
+    select *, row_number() over (
+      partition by vec_id, sub_id order by err2 asc, code asc
+    ) as r
+    from assign_scored
+  ) where r = 1
+),
+qsub as (
+  select vec_id as query_id, sub_id, sv as qv
+  from sub where vec_id % {query_mod} = 0
+),
+lut as (
+  select query_id, q.sub_id, code,
+         {sq_fold.format(a='qv', b='cv')} as d
+  from qsub q join cb on q.sub_id = cb.sub_id
+),
+pairs as (
+  select query_id, vec_id, c.sub_id, d
+  from codes c join lut l on c.sub_id = l.sub_id and c.code = l.code
+  where c.vec_id <> l.query_id
+),
+piv as (
+  select query_id, vec_id as cand_id,
+         {piv_cols}
+  from pairs group by query_id, vec_id
+),
+scored as (
+  select query_id, cand_id, {_adc_sum_expr(m)} as adc_raw from piv
+),
+rk as (
+  select *, row_number() over (
+    partition by query_id order by adc_raw asc, cand_id asc
+  ) as rank
+  from scored
+)
+select query_id, cand_id, rank::BIGINT as rank,
+       floor(adc_raw * 1000000.0) / 1000000.0 as adc
 from rk where rank <= {k}
 """
