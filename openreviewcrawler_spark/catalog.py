@@ -8974,6 +8974,236 @@ from placed group by archive_id
 """
 
 
+#: frontier aging: discovered_round = doc_id % 12, current round 12,
+#: AGE_BOOST priority points per round waited — starvation-free admission
+_AGE_BOOST = 8
+_AGE_ROUNDS = 12
+
+
+def q_crawl_aging_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Starvation-free frontier admission: effective priority = raw
+    priority + AGE_BOOST per round spent waiting, so a low-priority URL
+    discovered early eventually outranks fresh high-priority ones (the
+    classic aging fix for priority-queue starvation — without it a busy
+    frontier never pops its tail). Output per discovered-round: how many
+    URLs the aged policy admits and how many of those are RESCUES (rows
+    the raw-priority policy would have left starving). Shape: BOTH
+    admissions run through scheduler.priority_admit's histogram-threshold
+    pop (no global sort — O(score-domain) histogram + boundary-class
+    tie-break); the frontier projection is persisted ONCE and feeds the
+    four scans the two admissions make; the rescue check is an equi-join
+    of two <=budget-row admitted sets."""
+    from .caching import track_persist
+    from .operators.scheduler import priority_admit
+
+    frontier = track_persist(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            ((F.col("doc_id") * 13) % 97).alias("priority"),
+            (F.col("doc_id") % _AGE_ROUNDS).cast("long").alias("disc_round"),
+        )
+    )
+    aged = frontier.withColumn(
+        "eff",
+        F.col("priority")
+        + F.lit(_AGE_BOOST) * (F.lit(_AGE_ROUNDS) - F.col("disc_round")),
+    )
+    admit_aged = priority_admit(
+        aged, budget=_PRIO_BUDGET, priority_col="eff", id_col="doc_id"
+    )
+    admit_raw = priority_admit(
+        frontier, budget=_PRIO_BUDGET, priority_col="priority", id_col="doc_id"
+    ).select("doc_id", F.lit(1).alias("__raw"))
+    return (
+        admit_aged.join(admit_raw, "doc_id", "left")
+        .groupBy("disc_round")
+        .agg(
+            F.count("*").cast("long").alias("n_admitted"),
+            F.sum(F.when(F.col("__raw").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rescued"),
+        )
+    )
+
+
+SQL_CRAWL_AGING_ADMIT = f"""
+with f as (
+  select doc_id, (doc_id * 13) % 97 as priority,
+         (doc_id % {_AGE_ROUNDS})::BIGINT as disc_round
+  from documents
+),
+aged as (
+  select *, priority + {_AGE_BOOST} * ({_AGE_ROUNDS} - disc_round) as eff
+  from f
+),
+ra as (
+  select *, row_number() over (order by eff desc, doc_id asc) as rn from aged
+),
+admit_aged as (select * from ra where rn <= {_PRIO_BUDGET}),
+rr as (
+  select doc_id, row_number() over (
+    order by priority desc, doc_id asc
+  ) as rn from f
+),
+admit_raw as (select doc_id from rr where rn <= {_PRIO_BUDGET})
+select disc_round, count(*)::BIGINT as n_admitted,
+       sum(case when r.doc_id is null then 1 else 0 end)::BIGINT as n_rescued
+from admit_aged a left join admit_raw r on a.doc_id = r.doc_id
+group by disc_round
+"""
+
+
+def q_event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dwell time — how long users linger on each step
+    before their next action (the engagement metric behind "views hold
+    attention, errors bounce"): dwell = lead(ts) - ts within the user's
+    stream, attributed to the CURRENT event's type, session-bounded (gaps
+    > 30 min are session ends, not dwells — dropped). One shuffle on
+    user_id for the lead window, then a bounded per-type rollup. Median
+    interpolates identically in both engines (BIGINT ms inputs -> the
+    .0/.5 midpoints are exact doubles); mean by integer division."""
+    ev = _events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    dw = ev.withColumn("dwell", F.lead("ts_ms").over(w) - F.col("ts_ms")).filter(
+        F.col("dwell").isNotNull() & (F.col("dwell") <= 1800000)
+    )
+    return dw.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_dwells"),
+        F.median("dwell").alias("median_dwell_ms"),
+        F.expr("sum(dwell) div count(*)").cast("long").alias("mean_dwell_ms"),
+        F.max("dwell").cast("long").alias("max_dwell_ms"),
+    )
+
+
+SQL_EVENT_DWELL_TIME = f"""
+with e as ({_EVENTS_MS_CTE}),
+d as (
+  select event_type,
+         lead(ts_ms) over (
+           partition by user_id order by ts_ms, event_id
+         ) - ts_ms as dwell
+  from e
+)
+select event_type, count(*)::BIGINT as n_dwells,
+       median(dwell) as median_dwell_ms,
+       (sum(dwell) // count(*))::BIGINT as mean_dwell_ms,
+       max(dwell)::BIGINT as max_dwell_ms
+from d where dwell is not null and dwell <= 1800000
+group by event_type
+"""
+
+
+def q_event_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: observed count vs the
+    independence expectation from the marginals, as integer lift ppm —
+    the load-shaping signal a crawler/ingest scheduler reads to place
+    heavy batch work in the traffic trough. Shape: ONE groupBy builds the
+    |types| x 24 cell table, persisted once; ALL marginals (per-type,
+    per-hour, grand total) derive from that bounded rollup — the event
+    log is scanned exactly once — and attach by broadcast. lift_ppm =
+    n * total * 1e6 div (type_total * hour_total), exact
+    cross-multiplication (no doubles)."""
+    from .caching import track_persist
+
+    ev = _events_ms(spark, sf_dir).selectExpr(
+        "event_type", "(ts_ms div 3600000) % 24 as hour"
+    )
+    cells = track_persist(
+        ev.groupBy("event_type", "hour").agg(
+            F.count("*").cast("long").alias("n")
+        )
+    )
+    nt = cells.groupBy("event_type").agg(F.sum("n").cast("long").alias("n_type"))
+    nh = cells.groupBy("hour").agg(F.sum("n").cast("long").alias("n_hour"))
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        cells.join(F.broadcast(nt), "event_type")
+        .join(F.broadcast(nh), "hour")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "event_type",
+            "hour",
+            "n",
+            "cast((n * total * cast(1000000 as bigint))"
+            " div (n_type * n_hour) as bigint) as lift_ppm",
+        )
+    )
+
+
+SQL_EVENT_HOURLY_SEASONALITY = f"""
+with e as (
+  select event_type, (epoch_ms(ts) // 3600000) % 24 as hour from events
+),
+cells as (
+  select event_type, hour, count(*)::BIGINT as n from e group by 1, 2
+),
+nt as (select event_type, sum(n)::BIGINT as n_type from cells group by 1),
+nh as (select hour, sum(n)::BIGINT as n_hour from cells group by 1),
+tot as (select sum(n)::BIGINT as total from cells)
+select event_type, hour::BIGINT as hour, n,
+       ((n * total * 1000000) // (n_type * n_hour))::BIGINT as lift_ppm
+from cells
+join nt using (event_type)
+join nh using (hour)
+cross join tot
+"""
+
+
+def q_traindata_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-savings forecast of exact dedup, per source — the number a
+    100 TB ingest pipeline quotes before running the expensive near-dup
+    tiers: bytes that vanish if every md5-identical document keeps only
+    its min-doc_id copy. Shape: one md5 projection, one groupBy for the
+    keeper table, one shuffle equi-join on the hash (the dedup_exact
+    plan), then a bounded per-source rollup; savings in exact integer
+    ppm. Complements dedup_cluster_stats (cluster geometry) and
+    quality_vs_dup_audit (quality correlation) with the byte ledger."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars", F.md5("text").alias("h")
+    )
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    j = d.join(keep, "h").withColumn(
+        "is_dup", (F.col("doc_id") != F.col("keeper")).cast("long")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup"),
+            F.sum("n_chars").cast("long").alias("bytes_total"),
+            F.sum(F.col("is_dup") * F.col("n_chars"))
+            .cast("long")
+            .alias("bytes_dup"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_dup",
+            "bytes_total",
+            "bytes_dup",
+            "cast((bytes_dup * cast(1000000 as bigint))"
+            " div bytes_total as bigint) as savings_ppm",
+        )
+    )
+
+
+SQL_TRAINDATA_DEDUP_SAVINGS = """
+with d as (select source, doc_id, n_chars, md5(text) as h from documents),
+keep as (select h, min(doc_id) as keeper from d group by h),
+j as (
+  select source, n_chars,
+         (case when doc_id <> keeper then 1 else 0 end)::BIGINT as is_dup
+  from d join keep using (h)
+)
+select source, count(*)::BIGINT as n_docs, sum(is_dup)::BIGINT as n_dup,
+       sum(n_chars)::BIGINT as bytes_total,
+       sum(is_dup * n_chars)::BIGINT as bytes_dup,
+       ((sum(is_dup * n_chars) * 1000000) // sum(n_chars))::BIGINT
+         as savings_ppm
+from j group by source
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -9366,6 +9596,14 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "warc_compaction_plan": QueryDef(
         q_warc_compaction_plan, SQL_WARC_COMPACTION_PLAN
+    ),
+    "crawl_aging_admit": QueryDef(q_crawl_aging_admit, SQL_CRAWL_AGING_ADMIT),
+    "event_dwell_time": QueryDef(q_event_dwell_time, SQL_EVENT_DWELL_TIME),
+    "event_hourly_seasonality": QueryDef(
+        q_event_hourly_seasonality, SQL_EVENT_HOURLY_SEASONALITY
+    ),
+    "traindata_dedup_savings": QueryDef(
+        q_traindata_dedup_savings, SQL_TRAINDATA_DEDUP_SAVINGS
     ),
 }
 
