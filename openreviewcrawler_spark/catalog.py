@@ -9204,6 +9204,193 @@ from j group by source
 """
 
 
+#: A/B variant from the stringified props field (the props_extract parse),
+#: metric = the event value as exact DECIMAL cents
+_AB_VARIANT_EXPR = "regexp_extract(props, '([0-9]+)', 1)"
+
+
+def q_event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event type: split events into variants
+    by the parity of the props key, compare mean event value, report the
+    B-over-A lift — the analysis every experimentation platform runs on
+    the event log. Shape: one groupBy on (type, variant) with map-side
+    partials, then a max-CASE pivot over the 2-variant axis (bounded);
+    the metric sums as DECIMAL(18,4) (exact, associative — the float
+    parity recipe), means and lift are integer cents/ppm division. No
+    per-row Python, no doubles anywhere."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        f"cast({_AB_VARIANT_EXPR} as bigint) % 2 as variant",
+        "cast(value as decimal(18,4)) as v",
+    )
+    cells = ev.groupBy("event_type", "variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("cast(floor(sum(v) * 100) as bigint)").alias("sum_cents"),
+    )
+    piv = cells.groupBy("event_type").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("sum_cents"))).alias("s_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("sum_cents"))).alias("s_b"),
+    )
+    return piv.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "cast(s_a div n_a as bigint) as mean_a_cents",
+        "cast(s_b div n_b as bigint) as mean_b_cents",
+        "cast(((s_b div n_b) * cast(1000000 as bigint))"
+        " div (s_a div n_a) as bigint) as lift_ppm",
+    )
+
+
+SQL_EVENT_AB_TEST = f"""
+with ev as (
+  select event_type,
+         ({_AB_VARIANT_EXPR})::BIGINT % 2 as variant,
+         value::DECIMAL(18,4) as v
+  from events
+),
+cells as (
+  select event_type, variant, count(*)::BIGINT as n,
+         cast(floor(sum(v) * 100) as bigint) as sum_cents
+  from ev group by 1, 2
+),
+piv as (
+  select event_type,
+         max(case when variant = 0 then n end) as n_a,
+         max(case when variant = 1 then n end) as n_b,
+         max(case when variant = 0 then sum_cents end) as s_a,
+         max(case when variant = 1 then sum_cents end) as s_b
+  from cells group by event_type
+)
+select event_type, n_a, n_b,
+       (s_a // n_a)::BIGINT as mean_a_cents,
+       (s_b // n_b)::BIGINT as mean_b_cents,
+       (((s_b // n_b) * 1000000) // (s_a // n_a))::BIGINT as lift_ppm
+from piv
+"""
+
+
+#: URL synthesis with numeric path ids for template mining: entity segment
+#: by doc class, the doc id as the varying segment, optional /page/<n> tail
+_TEMPLATE_URL_EXPR = (
+    "'https://h' || cast(doc_id % 7 as varchar(10)) || '.example/'"
+    " || (case doc_id % 3 when 0 then 'post' when 1 then 'item'"
+    "     else 'user' end)"
+    " || '/' || cast(doc_id as varchar(30))"
+    " || (case when doc_id % 5 = 0 then"
+    "      '/page/' || cast(doc_id % 13 as varchar(10)) else '' end)"
+)
+TEMPLATE_TOP_K = 15
+
+
+def q_url_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining: collapse numeric path segments to a
+    placeholder and rank the biggest templates per host — the
+    crawl-space analysis that finds parameterized page families
+    (/item/12345 -> /item/{n}), complementing crawl_dust_rules (spelling
+    variants) and url_session_param_detect (query params) with PATH
+    structure. A template owning millions of URLs is a pagination/listing
+    family to budget-cap, not crawl exhaustively. Shape: one regexp
+    projection (digit runs -> {n}; DuckDB needs the 'g' flag — its
+    regexp_replace is first-match-only by default, Spark's is global),
+    one groupBy on (host, template), TakeOrderedAndProject top-K + a
+    K-row rank window."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.selectExpr(f"{_TEMPLATE_URL_EXPR} as url").selectExpr(
+        "split_part(url, '/', 3) as host",
+        "regexp_replace(substr(url, length(split_part(url, '/', 3)) + 9),"
+        " '[0-9]+', '{n}') as template",
+    )
+    counts = t.groupBy("host", "template").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    topk = counts.orderBy(
+        F.desc("n_urls"), F.asc("host"), F.asc("template")
+    ).limit(TEMPLATE_TOP_K)
+    wr = Window.orderBy(F.desc("n_urls"), F.asc("host"), F.asc("template"))
+    return topk.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "host",
+        "template",
+        "n_urls",
+    )
+
+
+SQL_URL_TEMPLATE_MINE = f"""
+with u as (select {_TEMPLATE_URL_EXPR} as url from documents),
+t as (
+  select split_part(url, '/', 3) as host,
+         regexp_replace(substr(url, length(split_part(url, '/', 3)) + 9),
+                        '[0-9]+', '{{n}}', 'g') as template
+  from u
+),
+c as (
+  select host, template, count(*)::BIGINT as n_urls
+  from t group by host, template
+),
+top as (
+  select * from c order by n_urls desc, host, template
+  limit {TEMPLATE_TOP_K}
+)
+select row_number() over (order by n_urls desc, host, template)::BIGINT
+         as rank,
+       host, template, n_urls
+from top
+"""
+
+
+def q_crawl_host_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness makespan forecast per host: with one connection per host
+    and a fixed crawl-delay, draining a host's queue takes
+    n_urls * delay — the LOWER BOUND on round wall-clock is the max over
+    hosts, and that bottleneck host is what the scheduler should shed
+    load from (or negotiate a lower delay for). Complements
+    crawl_hostload_binpack (which packs hosts onto fetchers) with the
+    per-host serial floor no packing can beat. Shape: one groupBy over
+    the frontier, delay derived from the bounded host id, the bottleneck
+    flag via a window over the <=7-row host rollup. Integer ms."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.selectExpr(
+        "doc_id % 7 as host_id",
+        "250 * (1 + doc_id % 7) as delay_ms",
+    )
+    per_host = f.groupBy("host_id", "delay_ms").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    w = Window.partitionBy()
+    return (
+        per_host.selectExpr(
+            "cast(host_id as bigint) as host_id",
+            "cast(delay_ms as bigint) as delay_ms",
+            "n_urls",
+            "cast(n_urls * delay_ms as bigint) as makespan_ms",
+        )
+        .withColumn(
+            "is_bottleneck",
+            (F.col("makespan_ms") == F.max("makespan_ms").over(w)).cast("long"),
+        )
+    )
+
+
+SQL_CRAWL_HOST_MAKESPAN = """
+with f as (
+  select doc_id % 7 as host_id, 250 * (1 + doc_id % 7) as delay_ms
+  from documents
+),
+per_host as (
+  select host_id, delay_ms, count(*)::BIGINT as n_urls
+  from f group by host_id, delay_ms
+)
+select host_id::BIGINT as host_id, delay_ms::BIGINT as delay_ms, n_urls,
+       (n_urls * delay_ms)::BIGINT as makespan_ms,
+       (case when n_urls * delay_ms = max(n_urls * delay_ms) over ()
+             then 1 else 0 end)::BIGINT as is_bottleneck
+from per_host
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -9604,6 +9791,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "traindata_dedup_savings": QueryDef(
         q_traindata_dedup_savings, SQL_TRAINDATA_DEDUP_SAVINGS
+    ),
+    "event_ab_test": QueryDef(q_event_ab_test, SQL_EVENT_AB_TEST),
+    "url_template_mine": QueryDef(q_url_template_mine, SQL_URL_TEMPLATE_MINE),
+    "crawl_host_makespan": QueryDef(
+        q_crawl_host_makespan, SQL_CRAWL_HOST_MAKESPAN
     ),
 }
 
