@@ -9391,6 +9391,229 @@ from per_host
 """
 
 
+_FRONTIER_PARTS = 32
+
+
+def q_crawl_frontier_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-hash frontier partition audit — the north-star layout made
+    inspectable: the frontier partitions by hash(host) so one host's
+    queue lives in one task (politeness needs per-host serialization),
+    and THIS entry reports what that layout actually does to load: per
+    partition, host count, URL count and load share. A partition holding
+    2x the mean is the signal to salt its hot hosts
+    (crawl_politeness_admit_salted) or rebalance the ring
+    (crawl_shard_assign). Shape: one md5-hash projection (the
+    cross-engine 32-bit kit), ONE groupBy, share via a window over the
+    <=_FRONTIER_PARTS-row rollup. Integer ppm."""
+    from .operators.textstats import hash32_col
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.expr(_DOMAIN_HOST_EXPR).alias("host")
+    )
+    parts = hosts.select(
+        "host",
+        F.pmod(hash32_col(F.col("host")), F.lit(_FRONTIER_PARTS))
+        .cast("long")
+        .alias("partition_id"),
+    )
+    agg = parts.groupBy("partition_id").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_urls").over(wt)).selectExpr(
+        "partition_id",
+        "n_hosts",
+        "n_urls",
+        "cast((n_urls * cast(1000000 as bigint)) div __tot as bigint)"
+        " as share_ppm",
+    )
+
+
+def _sql_crawl_frontier_partition_plan() -> str:
+    return f"""
+with hosts as (select {_DOMAIN_HOST_EXPR} as host from documents),
+parts as (
+  select host, ({_H32.format(x='host')} % {_FRONTIER_PARTS})::BIGINT
+           as partition_id
+  from hosts
+),
+agg as (
+  select partition_id, count(distinct host)::BIGINT as n_hosts,
+         count(*)::BIGINT as n_urls
+  from parts group by partition_id
+)
+select partition_id, n_hosts, n_urls,
+       ((n_urls * 1000000) // (sum(n_urls) over ()))::BIGINT as share_ppm
+from agg
+"""
+
+
+def q_crawl_politeness_violation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Politeness violation audit under a BROKEN sharding: two fetcher
+    shards schedule the same host independently (url parity split — the
+    exact mistake host->single-fetcher pinning exists to prevent, see
+    crawl_shard_assign), the merged per-host timeline is checked for
+    consecutive fetches closer than the host's crawl-delay. The output
+    quantifies WHY the ring pins hosts: every host shows ~n/2 violations
+    with min gap 0 (both shards fire rank-k at the same offset). The
+    audit machinery itself is the reusable part — run over a real merged
+    schedule it must report zeros. Shape: rank windows per (host, shard),
+    one lag window per host, bounded per-host rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.selectExpr(
+        "'u' || cast(doc_id as string) as url",
+        "'h' || cast(doc_id % 7 as string) as host",
+        "((doc_id % 7) + 1) * 100 as delay_ms",
+        "doc_id % 2 as shard",
+    )
+    ws = Window.partitionBy("host", "shard").orderBy(F.asc("url"))
+    sched = f.withColumn(
+        "scheduled_ms",
+        ((F.row_number().over(ws) - 1).cast("long") * F.col("delay_ms")),
+    )
+    wm = Window.partitionBy("host").orderBy(F.asc("scheduled_ms"), F.asc("url"))
+    merged = sched.withColumn(
+        "gap", F.col("scheduled_ms") - F.lag("scheduled_ms").over(wm)
+    )
+    return merged.groupBy("host", "delay_ms").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(
+            F.when(F.col("gap").isNotNull() & (F.col("gap") < F.col("delay_ms")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.min("gap").cast("long").alias("min_gap_ms"),
+    ).selectExpr("host", "cast(delay_ms as bigint) as delay_ms", "n_fetches",
+                 "n_violations", "min_gap_ms")
+
+
+SQL_CRAWL_POLITENESS_VIOLATION_AUDIT = """
+with f as (
+  select 'u' || cast(doc_id as varchar(30)) as url,
+         'h' || cast(doc_id % 7 as varchar(10)) as host,
+         ((doc_id % 7) + 1) * 100 as delay_ms,
+         doc_id % 2 as shard
+  from documents
+),
+sched as (
+  select url, host, delay_ms,
+         (row_number() over (partition by host, shard order by url asc) - 1)
+           * delay_ms as scheduled_ms
+  from f
+),
+merged as (
+  select host, delay_ms, scheduled_ms,
+         scheduled_ms - lag(scheduled_ms) over (
+           partition by host order by scheduled_ms asc, url asc
+         ) as gap
+  from sched
+)
+select host, delay_ms::BIGINT as delay_ms, count(*)::BIGINT as n_fetches,
+       sum(case when gap is not null and gap < delay_ms then 1 else 0
+           end)::BIGINT as n_violations,
+       min(gap)::BIGINT as min_gap_ms
+from merged group by host, delay_ms
+"""
+
+
+#: session-duration dyadic ladder (ms bounds) — shared CASE text
+_SESS_DUR_CASE = (
+    "case when {d} = 0 then 0"
+    " when {d} <= 60000 then 1"
+    " when {d} <= 300000 then 2"
+    " when {d} <= 900000 then 3"
+    " when {d} <= 3600000 then 4"
+    " else 5 end"
+)
+
+
+def q_event_session_duration_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-duration histogram over the 30-min-gap sessionization:
+    singleton / <=1 min / <=5 / <=15 / <=60 / longer — the engagement
+    depth distribution behind bounce-rate dashboards, and the batch twin
+    of the streaming session_window tier (streaming/sessionize.py). One
+    user-key shuffle builds sessions; durations collapse map-side into
+    <=6 rows; integer ppm."""
+    ev = _events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    sess_rows = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800000), 1).otherwise(0)
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dur = sess_rows.groupBy("user_id", "sess_id").agg(
+        (F.max("ts_ms") - F.min("ts_ms")).alias("dur_ms"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    b = dur.selectExpr(
+        f"cast({_SESS_DUR_CASE.format(d='dur_ms')} as bigint) as bucket",
+        "dur_ms",
+        "n_events",
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("dur_ms").cast("long").alias("max_dur_ms"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_sessions").over(wt)).selectExpr(
+        "bucket",
+        "n_sessions",
+        "n_events",
+        "max_dur_ms",
+        "cast((n_sessions * cast(1000000 as bigint)) div __tot as bigint)"
+        " as share_ppm",
+    )
+
+
+SQL_EVENT_SESSION_DURATION_HISTOGRAM = f"""
+with e as ({_EVENTS_MS_CTE}),
+g as (
+  select user_id, event_id, ts_ms,
+         ts_ms - lag(ts_ms) over (
+           partition by user_id order by ts_ms, event_id
+         ) as gap
+  from e
+),
+s as (
+  select *, sum(case when gap is null or gap > 1800000 then 1 else 0 end)
+    over (partition by user_id order by ts_ms, event_id
+          rows between unbounded preceding and current row) as sess_id
+  from g
+),
+dur as (
+  select user_id, sess_id, max(ts_ms) - min(ts_ms) as dur_ms,
+         count(*)::BIGINT as n_events
+  from s group by user_id, sess_id
+),
+b as (
+  select ({_SESS_DUR_CASE.format(d='dur_ms')})::BIGINT as bucket,
+         dur_ms, n_events
+  from dur
+),
+agg as (
+  select bucket, count(*)::BIGINT as n_sessions,
+         sum(n_events)::BIGINT as n_events,
+         max(dur_ms)::BIGINT as max_dur_ms
+  from b group by bucket
+)
+select bucket, n_sessions, n_events, max_dur_ms,
+       ((n_sessions * 1000000) // (sum(n_sessions) over ()))::BIGINT
+         as share_ppm
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -9796,6 +10019,17 @@ CATALOG: dict[str, QueryDef] = {
     "url_template_mine": QueryDef(q_url_template_mine, SQL_URL_TEMPLATE_MINE),
     "crawl_host_makespan": QueryDef(
         q_crawl_host_makespan, SQL_CRAWL_HOST_MAKESPAN
+    ),
+    "crawl_frontier_partition_plan": QueryDef(
+        q_crawl_frontier_partition_plan, _sql_crawl_frontier_partition_plan()
+    ),
+    "crawl_politeness_violation_audit": QueryDef(
+        q_crawl_politeness_violation_audit,
+        SQL_CRAWL_POLITENESS_VIOLATION_AUDIT,
+    ),
+    "event_session_duration_histogram": QueryDef(
+        q_event_session_duration_histogram,
+        SQL_EVENT_SESSION_DURATION_HISTOGRAM,
     ),
 }
 
