@@ -9614,6 +9614,173 @@ from agg
 """
 
 
+def q_event_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting per day: new users (first ever appearance) vs
+    returning — the acquisition/retention split every growth dashboard
+    leads with. Shape: the distinct (user, day) table is persisted ONCE;
+    first-seen is one groupBy on user; the new-flag attaches by equi-join
+    on (user, first_day == day) — no window over the corpus; the daily
+    rollup is bounded by the horizon. Integer ppm."""
+    from .caching import track_persist
+
+    ud = track_persist(
+        _events_ms(spark, sf_dir)
+        .selectExpr("user_id", "ts_ms div 86400000 as day")
+        .distinct()
+    )
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    flagged = ud.join(first, "user_id").withColumn(
+        "is_new", (F.col("day") == F.col("first_day")).cast("long")
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum(1 - F.col("is_new")).cast("long").alias("n_returning"),
+        )
+        .selectExpr(
+            "day",
+            "n_new",
+            "n_returning",
+            "cast((n_returning * cast(1000000 as bigint))"
+            " div (n_new + n_returning) as bigint) as returning_ppm",
+        )
+    )
+
+
+SQL_EVENT_NEW_VS_RETURNING = """
+with e as (select user_id, epoch_ms(ts) // 86400000 as day from events),
+ud as (select distinct user_id, day from e),
+first as (select user_id, min(day) as first_day from ud group by user_id),
+flagged as (
+  select day, (case when day = first_day then 1 else 0 end)::BIGINT as is_new
+  from ud join first using (user_id)
+)
+select day::BIGINT as day, sum(is_new)::BIGINT as n_new,
+       sum(1 - is_new)::BIGINT as n_returning,
+       ((sum(1 - is_new) * 1000000) // count(*))::BIGINT as returning_ppm
+from flagged group by day
+"""
+
+
+def q_link_host_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink concentration per source host: the Gini coefficient of each
+    host's outbound-link distribution over destination hosts — a host
+    whose links all point at one or two destinations is a nav-template /
+    affiliate-farm shape (complements link_spam_score's volume signal and
+    graph_cocitation's overlap signal with a DISTRIBUTION signal). Exact
+    without ln (the r4 lesson): per-group Gini is rational arithmetic
+    over DECIMAL sums, ranks from a row_number window bounded by the
+    destination-host vocabulary per source (never the corpus), one
+    double division + round at the end. Input: the host_graph_collapse
+    edge synthesis."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 997).alias("ps"),
+        ((F.col("doc_id") * 13 + 5) % 997).alias("pd"),
+    ).filter(F.col("ps") != F.col("pd"))
+    hosted = edges.select(
+        F.floor(F.col("ps") / F.lit(20)).cast("long").alias("src_host"),
+        F.floor(F.col("pd") / F.lit(20)).cast("long").alias("dst_host"),
+    ).filter(F.col("src_host") != F.col("dst_host"))
+    loads = hosted.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("n_links")
+    )
+    wr = Window.partitionBy("src_host").orderBy(
+        F.asc("n_links"), F.asc("dst_host")
+    )
+    ranked = loads.withColumn("rnk", F.row_number().over(wr))
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = ranked.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("n_dst"),
+        F.sum(F.col("n_links").cast("decimal(38,0)")).alias("tot"),
+        F.sum(dec(F.col("rnk")) * dec(F.col("n_links"))).alias("iwx"),
+    )
+    num = F.lit(2) * F.col("iwx") - (F.col("n_dst") + 1) * F.col("tot")
+    den = F.col("n_dst") * F.col("tot")
+    return agg.select(
+        "src_host",
+        "n_dst",
+        F.col("tot").cast("long").alias("n_links"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    )
+
+
+SQL_LINK_HOST_CONCENTRATION = """
+with e as (
+  select doc_id % 997 as ps, (doc_id * 13 + 5) % 997 as pd
+  from documents
+  where doc_id % 997 <> (doc_id * 13 + 5) % 997
+),
+hosted as (
+  select (ps // 20)::BIGINT as src_host, (pd // 20)::BIGINT as dst_host
+  from e where ps // 20 <> pd // 20
+),
+loads as (
+  select src_host, dst_host, count(*)::BIGINT as n_links
+  from hosted group by src_host, dst_host
+),
+ranked as (
+  select *, row_number() over (
+    partition by src_host order by n_links asc, dst_host asc
+  ) as rnk
+  from loads
+)
+select src_host, count(*)::BIGINT as n_dst,
+       cast(sum(n_links::DECIMAL(38,0)) as BIGINT) as n_links,
+       round(cast(2 * sum(rnk::DECIMAL(19,0) * n_links::DECIMAL(19,0))
+                  - (count(*) + 1) * sum(n_links::DECIMAL(38,0)) as DOUBLE)
+             / cast(count(*) * sum(n_links::DECIMAL(38,0)) as DOUBLE), 6)
+         as gini
+from ranked group by src_host
+"""
+
+
+def q_mm_modality_mix_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dataset card: per modality (the image/audio/video cycle
+    of multimodal.assets_from_documents) — asset count, payload bytes,
+    byte share and mean asset size. The one-table summary a multimodal
+    training mix quotes next to traindata_dataset_card's text card. One
+    groupBy; the share window runs over 3 rows; integer ppm and
+    integer-division means."""
+    from .operators.multimodal import assets_from_documents
+
+    assets = assets_from_documents(_t(spark, sf_dir, "documents"))
+    agg = assets.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("src_len").cast("long").alias("total_bytes"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("total_bytes").over(wt)).selectExpr(
+        "kind",
+        "n_assets",
+        "total_bytes",
+        "cast(total_bytes div n_assets as bigint) as mean_bytes",
+        "cast((total_bytes * cast(1000000 as bigint)) div __tot as bigint)"
+        " as byte_share_ppm",
+    )
+
+
+SQL_MM_MODALITY_MIX_CARD = """
+with a as (
+  select (case doc_id % 3 when 0 then 'image' when 1 then 'audio'
+          else 'video' end) as kind,
+         length(text)::BIGINT as src_len
+  from documents
+),
+agg as (
+  select kind, count(*)::BIGINT as n_assets, sum(src_len)::BIGINT
+           as total_bytes
+  from a group by kind
+)
+select kind, n_assets, total_bytes,
+       (total_bytes // n_assets)::BIGINT as mean_bytes,
+       ((total_bytes * 1000000) // (sum(total_bytes) over ()))::BIGINT
+         as byte_share_ppm
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -10030,6 +10197,15 @@ CATALOG: dict[str, QueryDef] = {
     "event_session_duration_histogram": QueryDef(
         q_event_session_duration_histogram,
         SQL_EVENT_SESSION_DURATION_HISTOGRAM,
+    ),
+    "event_new_vs_returning": QueryDef(
+        q_event_new_vs_returning, SQL_EVENT_NEW_VS_RETURNING
+    ),
+    "link_host_concentration": QueryDef(
+        q_link_host_concentration, SQL_LINK_HOST_CONCENTRATION
+    ),
+    "mm_modality_mix_card": QueryDef(
+        q_mm_modality_mix_card, SQL_MM_MODALITY_MIX_CARD
     ),
 }
 
