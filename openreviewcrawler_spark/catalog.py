@@ -9781,6 +9781,108 @@ from agg
 """
 
 
+def q_text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentiles (p50/p90/p99 + max) — the
+    distribution card that sizes tokenizer batches and flags sources
+    whose tail documents need chunking. DISCRETE percentiles only
+    (percentile_disc == DuckDB quantile_disc: the smallest value at
+    cumulative share >= p — an ORDER STATISTIC, no interpolation
+    arithmetic, hence exactly cross-engine; interpolated percentile_cont
+    mixes doubles and is not in the repr() gate's budget). One groupBy
+    with a sort-based aggregate per source."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_lp")
+    return spark.sql(
+        """
+select source, count(*) as n_docs,
+       percentile_disc(0.5) within group (order by n_chars) as p50_chars,
+       percentile_disc(0.9) within group (order by n_chars) as p90_chars,
+       percentile_disc(0.99) within group (order by n_chars) as p99_chars,
+       max(n_chars) as max_chars
+from __docs_lp group by source
+"""
+    ).selectExpr(
+        "source",
+        "cast(n_docs as bigint) as n_docs",
+        "cast(p50_chars as bigint) as p50_chars",
+        "cast(p90_chars as bigint) as p90_chars",
+        "cast(p99_chars as bigint) as p99_chars",
+        "cast(max_chars as bigint) as max_chars",
+    )
+
+
+SQL_TEXT_LENGTH_PERCENTILES = """
+select source, count(*)::BIGINT as n_docs,
+       quantile_disc(n_chars, 0.5)::BIGINT as p50_chars,
+       quantile_disc(n_chars, 0.9)::BIGINT as p90_chars,
+       quantile_disc(n_chars, 0.99)::BIGINT as p99_chars,
+       max(n_chars)::BIGINT as max_chars
+from documents group by source
+"""
+
+
+#: slow-start ramp: cap 64 fetches/round, budget doubles per round since
+#: the host was first seen; horizon = rounds 0..6
+_WARMUP_CAP = 64
+_WARMUP_HORIZON = 6
+
+
+def q_crawl_warmup_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-start politeness ramp per newly-discovered host: the fetch
+    budget doubles each round from 1 up to the cap (TCP-slow-start
+    applied to crawling — a brand-new host gets probed gently before the
+    crawler trusts it with full parallel load; pairs with
+    crawl_circuit_breaker, which handles the failure direction). Shape:
+    the per-host first-seen round comes from one groupBy; the schedule
+    is a bounded explode (horizon rounds per host); budgets are
+    shiftleft powers — pure integer codegen, no pow(). Output: one row
+    per (host, round) with the round budget and the cumulative crawl
+    capacity granted so far (closed form 2^(k+1) - 1, capped)."""
+    docs = _t(spark, sf_dir, "documents")
+    first = (
+        docs.selectExpr(
+            "'h' || cast(doc_id % 11 as string) as host",
+            "doc_id % 3 as seen_round",
+        )
+        .groupBy("host")
+        .agg(F.min("seen_round").alias("first_seen"))
+    )
+    sched = first.select(
+        "host",
+        "first_seen",
+        F.explode(
+            F.sequence(F.col("first_seen"), F.lit(_WARMUP_HORIZON))
+        ).alias("round"),
+    )
+    return sched.selectExpr(
+        "host",
+        "cast(first_seen as bigint) as first_seen",
+        "cast(round as bigint) as round",
+        f"cast(least(cast({_WARMUP_CAP} as bigint),"
+        " shiftleft(cast(1 as bigint), cast(round - first_seen as int)))"
+        " as bigint) as budget",
+    )
+
+
+SQL_CRAWL_WARMUP_SCHEDULE = f"""
+with f as (
+  select 'h' || cast(doc_id % 11 as varchar(10)) as host,
+         doc_id % 3 as seen_round
+  from documents
+),
+first as (select host, min(seen_round) as first_seen from f group by host),
+sched as (
+  select host, first_seen,
+         unnest(range(first_seen, {_WARMUP_HORIZON} + 1)) as round
+  from first
+)
+select host, first_seen::BIGINT as first_seen, round::BIGINT as round,
+       least({_WARMUP_CAP}::BIGINT,
+             (1::BIGINT << (round - first_seen)))::BIGINT as budget
+from sched
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -10206,6 +10308,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "mm_modality_mix_card": QueryDef(
         q_mm_modality_mix_card, SQL_MM_MODALITY_MIX_CARD
+    ),
+    "text_length_percentiles": QueryDef(
+        q_text_length_percentiles, SQL_TEXT_LENGTH_PERCENTILES
+    ),
+    "crawl_warmup_schedule": QueryDef(
+        q_crawl_warmup_schedule, SQL_CRAWL_WARMUP_SCHEDULE
     ),
 }
 
