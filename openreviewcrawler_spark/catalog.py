@@ -9883,6 +9883,115 @@ from sched
 """
 
 
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value percentiles (p50/p90/p99 + max) via DISCRETE
+    order statistics — the tail-latency/basket-size readout. Same
+    repr-safety argument as text_length_percentiles: percentile_disc
+    RETURNS an existing input double (no interpolation arithmetic), so
+    Spark and DuckDB emit bit-identical values even on a double metric
+    column."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_vp")
+    return spark.sql(
+        """
+select event_type, count(*) as n,
+       percentile_disc(0.5) within group (order by value) as p50_value,
+       percentile_disc(0.9) within group (order by value) as p90_value,
+       percentile_disc(0.99) within group (order by value) as p99_value,
+       max(value) as max_value
+from __events_vp group by event_type
+"""
+    ).selectExpr(
+        "event_type",
+        "cast(n as bigint) as n",
+        "p50_value",
+        "p90_value",
+        "p99_value",
+        "max_value",
+    )
+
+
+SQL_EVENT_VALUE_PERCENTILES = """
+select event_type, count(*)::BIGINT as n,
+       quantile_disc(value, 0.5) as p50_value,
+       quantile_disc(value, 0.9) as p90_value,
+       quantile_disc(value, 0.99) as p99_value,
+       max(value) as max_value
+from events group by event_type
+"""
+
+
+#: context-length sweep grid (tokens per training sequence)
+_CTX_GRID = (128, 256, 512)
+
+
+def q_traindata_context_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length capacity sweep: for each candidate training context
+    W, how the corpus splits into sequences — docs that fit whole, total
+    chunks at ceil(n_tok / W), and the padding tax of the last partial
+    chunk per doc (k*W - n_tok) in exact ppm of capacity. The
+    sizing table a pretraining run reads to pick W before committing to
+    a packing layout (traindata_pack_sequences then packs at the chosen
+    W; traindata_chunk_overlap prices the OVERLAP variant). Shape: one
+    tokenize projection, a 3-value grid explode (bounded fan-out), one
+    groupBy on W. Closed forms only — no per-chunk explode."""
+    from .operators.textstats import tokens_col
+
+    grid = ", ".join(str(w) for w in _CTX_GRID)
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok")
+    )
+    g = d.select(
+        "n_tok", F.explode(F.expr(f"array({grid})")).alias("w0")
+    ).selectExpr("n_tok", "cast(w0 as long) as w")
+    c = g.selectExpr(
+        "w",
+        "n_tok",
+        "case when n_tok <= w then 1 else 0 end as fits",
+        "(n_tok + w - 1) div w as k",
+    ).selectExpr("w", "n_tok", "fits", "k", "k * w - n_tok as pad")
+    return (
+        c.groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("fits").cast("long").alias("n_fit_whole"),
+            F.sum("k").cast("long").alias("n_chunks"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("pad").cast("long").alias("pad_tokens"),
+        )
+        .selectExpr(
+            "w",
+            "n_docs",
+            "n_fit_whole",
+            "n_chunks",
+            "n_tokens",
+            "pad_tokens",
+            "cast((pad_tokens * cast(1000000 as bigint))"
+            " div (n_chunks * w) as bigint) as pad_ppm",
+        )
+    )
+
+
+def _sql_traindata_context_sweep() -> str:
+    grid = ", ".join(str(w) for w in _CTX_GRID)
+    return f"""
+with d as (select len({_SQL_TOKENS})::BIGINT as n_tok from documents),
+g as (select n_tok, w::BIGINT as w from d, unnest([{grid}]) as t(w)),
+c as (
+  select w, n_tok,
+         case when n_tok <= w then 1 else 0 end as fits,
+         (n_tok + w - 1) // w as k
+  from g
+),
+p as (select w, n_tok, fits, k, k * w - n_tok as pad from c)
+select w, count(*)::BIGINT as n_docs, sum(fits)::BIGINT as n_fit_whole,
+       sum(k)::BIGINT as n_chunks, sum(n_tok)::BIGINT as n_tokens,
+       sum(pad)::BIGINT as pad_tokens,
+       ((sum(pad) * 1000000) // (sum(k) * w))::BIGINT as pad_ppm
+from p group by w
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -10314,6 +10423,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_warmup_schedule": QueryDef(
         q_crawl_warmup_schedule, SQL_CRAWL_WARMUP_SCHEDULE
+    ),
+    "event_value_percentiles": QueryDef(
+        q_event_value_percentiles, SQL_EVENT_VALUE_PERCENTILES
+    ),
+    "traindata_context_sweep": QueryDef(
+        q_traindata_context_sweep, _sql_traindata_context_sweep()
     ),
 }
 
