@@ -9992,6 +9992,133 @@ from p group by w
 """
 
 
+#: per-host URL synthesis with real duplication: url id cycles mod 997,
+#: host = url id mod 5 (host is a function of the url, so per-host distinct
+#: counts are exact integers independent of SF)
+_HOST_HLL_URL = "'u' || cast((doc_id % 997) as varchar(10))"
+_HOST_HLL_HOST = "'h' || cast((doc_id % 997) % 5 as varchar(10))"
+
+
+def q_host_url_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-URL cardinality by GROUPED HyperLogLog
+    (operators/sketch.hll_estimate_by_group) joined against the exact
+    count — the audit row for running per-host seen-set accounting as
+    O(groups * m) sketch state instead of a count(distinct) shuffle per
+    host. Raw estimator + n_zero only (the low-fill linear-counting
+    correction needs ln — applied driver-side, the module's documented
+    contract); the exact side here is the audit baseline the production
+    path drops. Registers shuffle at most m rows per (host, partition)."""
+    from .operators.sketch import hll_estimate_by_group
+
+    urls = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_HOST_HLL_HOST} as host", f"{_HOST_HLL_URL} as url"
+    )
+    est = hll_estimate_by_group(urls, "host", "url")
+    exact = urls.groupBy("host").agg(
+        F.countDistinct("url").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "host")
+
+
+def _sql_host_url_cardinality_hll() -> str:
+    from .operators.sketch import hll_group_oracle_sql
+
+    inner = hll_group_oracle_sql(_HOST_HLL_HOST, _HOST_HLL_URL, "documents")
+    return f"""
+with est as ({inner}),
+exact as (
+  select {_HOST_HLL_HOST} as host,
+         count(distinct {_HOST_HLL_URL})::BIGINT as exact_distinct
+  from documents group by 1
+)
+select est.grp as host, m, n_zero, harmonic_scaled, est_distinct,
+       exact_distinct
+from est join exact on est.grp = exact.host
+"""
+
+
+_SIG_MIN_COUNT = 5
+_SIG_TOP_K = 5
+
+
+def q_text_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature terms per source — the ln-free tf-idf analog: for each
+    source, the tokens most over-represented vs the corpus (integer lift
+    = local share / corpus share by exact cross-multiplication), minimum
+    corpus support _SIG_MIN_COUNT, top _SIG_TOP_K per source. The
+    domain-fingerprint table a mixture designer reads ("what IS this
+    source"). Shape: one token-explode groupBy to the (token, source)
+    rollup; per-token totals attach by shuffle equi-join (vocabulary-
+    sized, NOT broadcast — the oov-vocab lesson caps broadcasts at
+    constants, and a corpus vocabulary is not one); per-source totals
+    and the 1-row grand total broadcast (bounded dims); the rank window
+    partitions by source over vocabulary-bounded candidate lists."""
+    from .operators.textstats import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ts = (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token", "source")
+        .agg(F.count("*").cast("long").alias("n_ts"))
+    )
+    nt = ts.groupBy("token").agg(F.sum("n_ts").cast("long").alias("n_t"))
+    ns = ts.groupBy("source").agg(F.sum("n_ts").cast("long").alias("n_s"))
+    tot = ts.agg(F.sum("n_ts").cast("long").alias("n_all"))
+    scored = (
+        ts.join(nt, "token")
+        .filter(F.col("n_t") >= _SIG_MIN_COUNT)
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "token",
+            "n_ts",
+            "n_t",
+            "cast((n_ts * n_all * cast(1000000 as bigint))"
+            " div (n_t * n_s) as bigint) as lift_ppm",
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.desc("lift_ppm"), F.desc("n_ts"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _SIG_TOP_K)
+        .select("source", "rank", "token", "n_ts", "n_t", "lift_ppm")
+    )
+
+
+SQL_TEXT_SOURCE_SIGNATURE_TERMS = f"""
+with tok as (
+  select source, unnest({_SQL_TOKENS}) as token from documents
+),
+ts as (
+  select token, source, count(*)::BIGINT as n_ts
+  from tok group by token, source
+),
+nt as (select token, sum(n_ts)::BIGINT as n_t from ts group by token),
+ns as (select source, sum(n_ts)::BIGINT as n_s from ts group by source),
+tot as (select sum(n_ts)::BIGINT as n_all from ts),
+scored as (
+  select source, ts.token, n_ts, n_t,
+         ((n_ts * n_all * 1000000) // (n_t * n_s))::BIGINT as lift_ppm
+  from ts
+  join nt on ts.token = nt.token
+  join ns using (source)
+  cross join tot
+  where n_t >= {_SIG_MIN_COUNT}
+),
+rk as (
+  select *, row_number() over (
+    partition by source order by lift_ppm desc, n_ts desc, token asc
+  ) as rank
+  from scored
+)
+select source, rank::BIGINT as rank, token, n_ts, n_t, lift_ppm
+from rk where rank <= {_SIG_TOP_K}
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -10429,6 +10556,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "traindata_context_sweep": QueryDef(
         q_traindata_context_sweep, _sql_traindata_context_sweep()
+    ),
+    "host_url_cardinality_hll": QueryDef(
+        q_host_url_cardinality_hll, _sql_host_url_cardinality_hll()
+    ),
+    "text_source_signature_terms": QueryDef(
+        q_text_source_signature_terms, SQL_TEXT_SOURCE_SIGNATURE_TERMS
     ),
 }
 

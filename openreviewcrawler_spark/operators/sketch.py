@@ -137,6 +137,81 @@ from agg
 """
 
 
+def hll_estimate_by_group(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Per-group HLL summary: ``(group, m, n_zero, harmonic_scaled,
+    est_distinct)`` — one sketch per group, registers keyed (group,
+    bucket), so the shuffle carries at most m rows per group per input
+    partition and the estimate table is O(groups). The grouped variant of
+    :func:`hll_estimate_df`, same raw estimator + n_zero emission (the
+    low-fill linear-counting correction needs ln — not in the
+    cross-engine budget — so callers apply it driver-side)."""
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+    )
+    wordy = hashed.select(
+        "grp",
+        F.pmod("h32", F.lit(HLL_M)).cast("int").alias("bucket"),
+        F.expr(f"h32 div {HLL_M}").alias("w"),
+    )
+    regs = (
+        wordy.select(
+            "grp", "bucket", F.expr(rho_case_sql("w")).cast("int").alias("rho")
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    scaled_term = F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - rho)")
+    agg = regs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_hit"),
+        F.sum(scaled_term).cast("long").alias("hit_sum"),
+    )
+    harmonic = (
+        F.col("hit_sum") + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(1 << HLL_RHO_MAX)
+    ).cast("long")
+    numer = float(HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_RHO_MAX))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.lit(HLL_M).cast("long").alias("m"),
+        (F.lit(HLL_M).cast("long") - F.col("n_hit")).alias("n_zero"),
+        harmonic.alias("harmonic_scaled"),
+        F.round(F.lit(numer) / harmonic.cast("double"), 4).alias("est_distinct"),
+    )
+
+
+def hll_group_oracle_sql(group_sql: str, key_sql: str, from_sql: str) -> str:
+    """DuckDB twin of :func:`hll_estimate_by_group` — same generated rho
+    CASE, same integer harmonic sum, grouped."""
+    numer = repr(HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_RHO_MAX))
+    return f"""
+with h as (
+  select {group_sql} as grp,
+         ('0x' || substr(md5({key_sql}), 1, 8))::BIGINT as h32
+  from {from_sql}
+), wr as (
+  select grp, (h32 % {HLL_M})::INT as bucket, h32 // {HLL_M} as w from h
+), reg as (
+  select grp, bucket, max({rho_case_sql('w')})::INT as rho
+  from wr group by grp, bucket
+), agg as (
+  select grp, count(*)::BIGINT as n_hit,
+         sum((1::BIGINT << ({HLL_RHO_MAX} - rho)))::BIGINT as hit_sum
+  from reg group by grp
+)
+select grp, {HLL_M}::BIGINT as m,
+       ({HLL_M} - n_hit)::BIGINT as n_zero,
+       (hit_sum + ({HLL_M} - n_hit) * {1 << HLL_RHO_MAX})::BIGINT
+         as harmonic_scaled,
+       round({numer} / (hit_sum + ({HLL_M} - n_hit)
+                        * {1 << HLL_RHO_MAX})::DOUBLE, 4) as est_distinct
+from agg
+"""
+
+
 # --- Count-min heavy hitters ------------------------------------------------
 
 #: sketch geometry: d hash rows x w buckets. d*w = 256 counter cells — the
