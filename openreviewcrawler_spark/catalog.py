@@ -10119,6 +10119,132 @@ from rk where rank <= {_SIG_TOP_K}
 """
 
 
+#: discovery-channel synthesis: how each page entered the frontier
+_CHANNEL_EXPR = (
+    "case doc_id % 4 when 0 then 'seed' when 1 then 'sitemap'"
+    " when 2 then 'outlink' else 'recrawl' end"
+)
+
+
+def q_crawl_discovery_channel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-channel yield audit: for each way a page can enter the
+    frontier (seed list / sitemap / outlink expansion / recrawl), how
+    much content it contributes and how much of that content is
+    DUPLICATE — the signal that reweights discovery budgets (outlink
+    loops re-find mirrored pages; sitemaps tend to yield canonical
+    ones). Shape: one md5 keeper groupBy (the dedup_exact plan), one
+    equi-join back, one bounded per-channel rollup; integer ppm."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_CHANNEL_EXPR} as channel",
+        "doc_id",
+        "n_chars",
+        "md5(text) as h",
+    )
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    j = d.join(keep, "h").withColumn(
+        "is_dup", (F.col("doc_id") != F.col("keeper")).cast("long")
+    )
+    agg = j.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.sum("n_chars").cast("long").alias("bytes_total"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("bytes_total").over(wt)).selectExpr(
+        "channel",
+        "n_pages",
+        "n_dup",
+        "cast((n_dup * cast(1000000 as bigint)) div n_pages as bigint)"
+        " as dup_ppm",
+        "bytes_total",
+        "cast(bytes_total div n_pages as bigint) as mean_bytes",
+        "cast((bytes_total * cast(1000000 as bigint)) div __tot as bigint)"
+        " as byte_share_ppm",
+    )
+
+
+SQL_CRAWL_DISCOVERY_CHANNEL_AUDIT = f"""
+with d as (
+  select {_CHANNEL_EXPR} as channel, doc_id, n_chars, md5(text) as h
+  from documents
+),
+keep as (select h, min(doc_id) as keeper from d group by h),
+j as (
+  select channel, n_chars,
+         (case when doc_id <> keeper then 1 else 0 end)::BIGINT as is_dup
+  from d join keep using (h)
+),
+agg as (
+  select channel, count(*)::BIGINT as n_pages, sum(is_dup)::BIGINT as n_dup,
+         sum(n_chars)::BIGINT as bytes_total
+  from j group by channel
+)
+select channel, n_pages, n_dup,
+       ((n_dup * 1000000) // n_pages)::BIGINT as dup_ppm,
+       bytes_total,
+       (bytes_total // n_pages)::BIGINT as mean_bytes,
+       ((bytes_total * 1000000) // (sum(bytes_total) over ()))::BIGINT
+         as byte_share_ppm
+from agg
+"""
+
+
+#: IDN synthesis: every 13th page lives on a punycode ('xn--') host
+_IDN_HOST_EXPR = (
+    "(case when doc_id % 13 = 0 then 'xn--frg-' else '' end)"
+    " || 'site' || cast(doc_id % 9 as varchar(10)) || '.'"
+    " || (case doc_id % 3 when 0 then 'com' when 1 then 'org' else 'net' end)"
+)
+
+
+def q_url_idn_punycode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punycode / IDN exposure audit per TLD: how much of the frontier
+    lives on 'xn--' (internationalized) hosts — the homograph-phishing
+    and canonicalization-risk surface a crawler tracks next to
+    url_dga_suspect (IDN lookalikes are the other spoofing axis). Pure
+    string predicates (starts_with), one groupBy per TLD + distinct-host
+    counts; integer ppm."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_IDN_HOST_EXPR} as host"
+    ).selectExpr(
+        "host",
+        "split_part(host, '.', 2) as tld",
+        "case when host like 'xn--%' then 1 else 0 end as is_idn",
+    )
+    return d.groupBy("tld").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("is_idn").cast("long").alias("n_idn_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.countDistinct(F.when(F.col("is_idn") == 1, F.col("host")))
+        .cast("long")
+        .alias("n_idn_hosts"),
+    ).selectExpr(
+        "tld",
+        "n_urls",
+        "n_idn_urls",
+        "cast((n_idn_urls * cast(1000000 as bigint)) div n_urls as bigint)"
+        " as idn_ppm",
+        "n_hosts",
+        "n_idn_hosts",
+    )
+
+
+SQL_URL_IDN_PUNYCODE_AUDIT = f"""
+with d as (
+  select host, split_part(host, '.', 2) as tld,
+         case when host like 'xn--%' then 1 else 0 end as is_idn
+  from (select {_IDN_HOST_EXPR} as host from documents)
+)
+select tld, count(*)::BIGINT as n_urls,
+       sum(is_idn)::BIGINT as n_idn_urls,
+       ((sum(is_idn) * 1000000) // count(*))::BIGINT as idn_ppm,
+       count(distinct host)::BIGINT as n_hosts,
+       count(distinct case when is_idn = 1 then host end)::BIGINT
+         as n_idn_hosts
+from d group by tld
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -10562,6 +10688,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_source_signature_terms": QueryDef(
         q_text_source_signature_terms, SQL_TEXT_SOURCE_SIGNATURE_TERMS
+    ),
+    "crawl_discovery_channel_audit": QueryDef(
+        q_crawl_discovery_channel_audit, SQL_CRAWL_DISCOVERY_CHANNEL_AUDIT
+    ),
+    "url_idn_punycode_audit": QueryDef(
+        q_url_idn_punycode_audit, SQL_URL_IDN_PUNYCODE_AUDIT
     ),
 }
 
