@@ -10245,6 +10245,143 @@ from d group by tld
 """
 
 
+def q_traindata_mix_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing plan: turn the τ=2 temperature allocation
+    (traindata_domain_mix) into per-source ACTIONS — upsample factor (in
+    exact ppm, = repeat rate for the dataloader) when the target exceeds
+    the available docs, downsample keep-rate otherwise. The executable
+    half of mixture design: domain_mix says what the mix SHOULD be, this
+    says what to do to each source to get there. Shape: the bounded
+    per-source mix table from domain_mix plus one integer projection;
+    sqrt-only floats (IEEE-exact), factors in integer ppm."""
+    from .operators.mixing import domain_mix
+
+    mix = domain_mix(_t(spark, sf_dir, "documents"), budget=100000)
+    return mix.selectExpr(
+        "source",
+        "n_docs",
+        "target_docs",
+        "case when target_docs > n_docs then 'upsample'"
+        " when target_docs < n_docs then 'downsample'"
+        " else 'keep' end as action",
+        "cast((target_docs * cast(1000000 as bigint)) div n_docs as bigint)"
+        " as factor_ppm",
+        "cast((target_docs + n_docs - 1) div n_docs as bigint) as epochs_needed",
+    )
+
+
+SQL_TRAINDATA_MIX_REBALANCE_PLAN = """
+with counts as (
+  select source, count(*)::BIGINT as n_docs from documents group by source
+),
+z as (
+  select sum(cast(sqrt(n_docs) as decimal(28,12)))::DOUBLE as z from counts
+),
+mix as (
+  select source, n_docs,
+         floor(sqrt(n_docs) / z * 100000.0)::BIGINT as target_docs
+  from counts, z
+)
+select source, n_docs, target_docs,
+       case when target_docs > n_docs then 'upsample'
+            when target_docs < n_docs then 'downsample'
+            else 'keep' end as action,
+       ((target_docs * 1000000) // n_docs)::BIGINT as factor_ppm,
+       ((target_docs + n_docs - 1) // n_docs)::BIGINT as epochs_needed
+from mix
+"""
+
+
+#: two robots.txt epochs per host (LF bodies; CRLF robustness is
+#: robots_parse's fixture). Epoch 2: every 3rd host drops /a, every
+#: 3rd+1 adds a rule, every 3rd+2 bumps crawl-delay.
+_ROBOTS_OLD_BODY = (
+    "'User-agent: *' || chr(10) || 'Disallow: /a' || chr(10)"
+    " || 'Disallow: /p' || cast(doc_id % 5 as varchar(10)) || chr(10)"
+    " || 'Crawl-delay: ' || cast(doc_id % 5 + 1 as varchar(10))"
+)
+_ROBOTS_NEW_BODY = (
+    "'User-agent: *' || chr(10)"
+    " || (case when doc_id % 3 = 0 then '' else 'Disallow: /a' || chr(10) end)"
+    " || 'Disallow: /p' || cast(doc_id % 5 as varchar(10)) || chr(10)"
+    " || (case when doc_id % 3 = 1 then"
+    "      'Disallow: /q' || cast(doc_id % 7 as varchar(10)) || chr(10)"
+    "     else '' end)"
+    " || 'Crawl-delay: '"
+    " || cast(doc_id % 5 + 1 + (case when doc_id % 3 = 2 then 1 else 0 end)"
+    "         as varchar(10))"
+)
+_ROBOTS_DIS_RE = "Disallow: ([^\n]*)"
+_ROBOTS_DELAY_RE = "Crawl-delay: ([0-9]+)"
+
+
+def q_robots_rules_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt change detection between two fetch epochs: per host,
+    rules added/removed and crawl-delay changes — the trigger for
+    re-filtering a host's queued frontier (a new Disallow invalidates
+    admitted URLs; a delay bump reshapes its schedule). Diff at the
+    directive level via regexp_extract_all on both bodies + array_except
+    counts — pure JVM column expressions, output all scalar (the r3
+    driver-canonicalizer lesson: never emit array columns). One row per
+    host; bodies are O(KB) dimension data."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "'h' || cast(doc_id as string) as host",
+        f"{_ROBOTS_OLD_BODY} as old_body",
+        f"{_ROBOTS_NEW_BODY} as new_body",
+    )
+    ex = d.select(
+        "host",
+        F.regexp_extract_all("old_body", F.lit(_ROBOTS_DIS_RE), 1).alias("ro"),
+        F.regexp_extract_all("new_body", F.lit(_ROBOTS_DIS_RE), 1).alias("rn"),
+        F.regexp_extract("old_body", _ROBOTS_DELAY_RE, 1)
+        .cast("long")
+        .alias("delay_old"),
+        F.regexp_extract("new_body", _ROBOTS_DELAY_RE, 1)
+        .cast("long")
+        .alias("delay_new"),
+    )
+    return ex.selectExpr(
+        "host",
+        "cast(size(ro) as bigint) as n_rules_old",
+        "cast(size(rn) as bigint) as n_rules_new",
+        "cast(size(array_except(rn, ro)) as bigint) as n_added",
+        "cast(size(array_except(ro, rn)) as bigint) as n_removed",
+        "delay_old",
+        "delay_new",
+        "cast(case when delay_old <> delay_new then 1 else 0 end as bigint)"
+        " as delay_changed",
+    )
+
+
+SQL_ROBOTS_RULES_DIFF = f"""
+with d as (
+  select 'h' || cast(doc_id as varchar(30)) as host,
+         {_ROBOTS_OLD_BODY} as old_body,
+         {_ROBOTS_NEW_BODY} as new_body
+  from documents
+),
+ex as (
+  select host,
+         regexp_extract_all(old_body, 'Disallow: ([^\n]*)', 1) as ro,
+         regexp_extract_all(new_body, 'Disallow: ([^\n]*)', 1) as rn,
+         regexp_extract(old_body, 'Crawl-delay: ([0-9]+)', 1)::BIGINT
+           as delay_old,
+         regexp_extract(new_body, 'Crawl-delay: ([0-9]+)', 1)::BIGINT
+           as delay_new
+  from d
+)
+select host, len(ro)::BIGINT as n_rules_old, len(rn)::BIGINT as n_rules_new,
+       len(list_filter(rn, x -> not list_contains(ro, x)))::BIGINT
+         as n_added,
+       len(list_filter(ro, x -> not list_contains(rn, x)))::BIGINT
+         as n_removed,
+       delay_old, delay_new,
+       (case when delay_old <> delay_new then 1 else 0 end)::BIGINT
+         as delay_changed
+from ex
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -10695,6 +10832,10 @@ CATALOG: dict[str, QueryDef] = {
     "url_idn_punycode_audit": QueryDef(
         q_url_idn_punycode_audit, SQL_URL_IDN_PUNYCODE_AUDIT
     ),
+    "traindata_mix_rebalance_plan": QueryDef(
+        q_traindata_mix_rebalance_plan, SQL_TRAINDATA_MIX_REBALANCE_PLAN
+    ),
+    "robots_rules_diff": QueryDef(q_robots_rules_diff, SQL_ROBOTS_RULES_DIFF),
 }
 
 
