@@ -10382,6 +10382,151 @@ from ex
 """
 
 
+def q_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity audit for embedding near-dup removal: ONE
+    banded candidate-pair pass scored at cos >= 0.90, rolled up into the
+    pair counts a 0.90 / 0.95 / 0.99 cutoff would each remove plus the
+    distinct vectors touched at the production 0.95 cutoff — the
+    elbow-curve row that justifies (or indicts) the chosen threshold
+    before a 10^10-doc dedup run commits to it. Reuses
+    dedup.embedding_near_pairs (hyperplane-LSH bands, hot-bucket cap,
+    exact-cosine verify); thresholds compare on the shared round(cos, 3)
+    projection, so the buckets are engine-identical. Single-row output."""
+    pairs = dedup.embedding_near_pairs(_vecset(spark, sf_dir), threshold=0.90)
+    from .caching import track_persist
+
+    p = track_persist(pairs)
+    counts = p.agg(
+        F.count("*").cast("long").alias("n_pairs_90"),
+        F.sum((F.col("cos") >= 0.95).cast("long")).cast("long").alias(
+            "n_pairs_95"
+        ),
+        F.sum((F.col("cos") >= 0.99).cast("long")).cast("long").alias(
+            "n_pairs_99"
+        ),
+    )
+    vecs95 = (
+        p.filter(F.col("cos") >= 0.95)
+        .select(F.explode(F.array("vec_a", "vec_b")).alias("v"))
+        .agg(F.countDistinct("v").cast("long").alias("n_vecs_95"))
+    )
+    return counts.crossJoin(F.broadcast(vecs95))
+
+
+SQL_DEDUP_THRESHOLD_SENSITIVITY = f"""
+with vecset as ({VECSET_SQL}),
+v as (
+  select vec_id, embedding::DOUBLE[] as e,
+         {_SQL_NORM.format(a='embedding::DOUBLE[]')} as nrm
+  from vecset
+),
+{_sql_lsh_bands_cte('v')},
+hot as (
+  select band, bval from bands group by 1, 2
+  having count(*) > {similarity.MAX_VEC_BUCKET}
+),
+kept as (
+  select b.* from bands b
+  where not exists (select 1 from hot h where h.band = b.band and h.bval = b.bval)
+),
+cand as (
+  select distinct l.vec_id as vec_a, r.vec_id as vec_b
+  from kept l join kept r
+    on l.band = r.band and l.bval = r.bval and l.vec_id < r.vec_id
+),
+scored as (
+  select vec_a, vec_b,
+         round({_SQL_DOT.format(a='vl.e', b='vr.e')} / (vl.nrm * vr.nrm), 3)
+           as cos
+  from cand p join v vl on p.vec_a = vl.vec_id
+  join v vr on p.vec_b = vr.vec_id
+),
+pairs as (select * from scored where cos >= 0.90),
+counts as (
+  select count(*)::BIGINT as n_pairs_90,
+         sum(case when cos >= 0.95 then 1 else 0 end)::BIGINT as n_pairs_95,
+         sum(case when cos >= 0.99 then 1 else 0 end)::BIGINT as n_pairs_99
+  from pairs
+),
+vecs as (
+  select count(distinct u)::BIGINT as n_vecs_95
+  from (select unnest([vec_a, vec_b]) as u from pairs where cos >= 0.95)
+)
+select n_pairs_90, n_pairs_95, n_pairs_99, n_vecs_95
+from counts cross join vecs
+"""
+
+
+#: fake-DNS replica synthesis: every 5th host is CDN-fronted (8 A records),
+#: others resolve to one address; ip octets come from the md5-32 kit
+_CDN_N_REPLICAS = 8
+_CDN_MIN_SUBNETS = 4
+
+
+def q_host_cdn_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDN-fronted host detection from resolver diversity: a host whose A
+    records spread across many /24 subnets is behind a CDN — politeness
+    can then relax the per-IP ceiling (the origin isn't the bottleneck)
+    while keeping the per-host one; a single-IP host gets the strict
+    budget (pairs with crawl_subnet_budget, which guards the OTHER
+    direction: many hosts on ONE subnet). Fake-DNS = the repo's md5-32
+    kit over (host, replica); one bounded replica explode, one groupBy;
+    distinct-count columns and an integer flag."""
+    from .operators.textstats import hash32_col
+
+    hosts = _t(spark, sf_dir, "documents").selectExpr(
+        "'h' || cast(doc_id % 40 as string) as host",
+        f"case when doc_id % 40 % 5 = 0 then {_CDN_N_REPLICAS} else 1 end"
+        " as n_rep",
+    ).distinct()
+    reps = hosts.select(
+        "host",
+        F.explode(F.sequence(F.lit(0), F.col("n_rep") - 1)).alias("rep"),
+    )
+    ips = reps.select(
+        "host",
+        F.pmod(
+            hash32_col(F.concat(F.col("host"), F.lit(":"), F.col("rep"))),
+            F.lit(1 << 24),
+        ).alias("ip24"),
+    ).select("host", "ip24", F.expr("ip24 div 256").alias("subnet"))
+    return ips.groupBy("host").agg(
+        F.countDistinct("ip24").cast("long").alias("n_ips"),
+        F.countDistinct("subnet").cast("long").alias("n_subnets"),
+    ).selectExpr(
+        "host",
+        "n_ips",
+        "n_subnets",
+        f"cast(case when n_subnets >= {_CDN_MIN_SUBNETS} then 1 else 0 end"
+        " as bigint) as is_cdn",
+    )
+
+
+SQL_HOST_CDN_DETECT = f"""
+with hosts as (
+  select distinct 'h' || cast(doc_id % 40 as varchar(10)) as host,
+         case when doc_id % 40 % 5 = 0 then {_CDN_N_REPLICAS} else 1 end
+           as n_rep
+  from documents
+),
+reps as (
+  select host, unnest(range(0, n_rep)) as rep from hosts
+),
+ips as (
+  select host,
+         ({_H32.format(x="host || ':' || cast(rep as varchar(10))")}
+          % {1 << 24}) as ip24
+  from reps
+),
+sub as (select host, ip24, ip24 // 256 as subnet from ips)
+select host, count(distinct ip24)::BIGINT as n_ips,
+       count(distinct subnet)::BIGINT as n_subnets,
+       (case when count(distinct subnet) >= {_CDN_MIN_SUBNETS} then 1
+             else 0 end)::BIGINT as is_cdn
+from sub group by host
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -10836,6 +10981,10 @@ CATALOG: dict[str, QueryDef] = {
         q_traindata_mix_rebalance_plan, SQL_TRAINDATA_MIX_REBALANCE_PLAN
     ),
     "robots_rules_diff": QueryDef(q_robots_rules_diff, SQL_ROBOTS_RULES_DIFF),
+    "dedup_threshold_sensitivity": QueryDef(
+        q_dedup_threshold_sensitivity, SQL_DEDUP_THRESHOLD_SENSITIVITY
+    ),
+    "host_cdn_detect": QueryDef(q_host_cdn_detect, SQL_HOST_CDN_DETECT),
 }
 
 
