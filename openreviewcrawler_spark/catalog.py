@@ -2520,8 +2520,9 @@ def q_traindata_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate_ngrams(train, ev, n=3)
 
 
-SQL_TRAINDATA_DECONTAMINATE = f"""
-with corpus as ({CORPUS_SQL}),
+#: shared decontamination CTE prefix (train/eval shingle tables) — used by
+#: both the per-train-doc scan and the per-eval contamination report
+_SQL_DECON_CTES = f"""corpus as ({CORPUS_SQL}),
 ev_docs as (select doc_id as eval_id, text from documents where doc_id % 97 = 0),
 train as (
   select doc_id, text from corpus
@@ -2544,7 +2545,10 @@ ev_sh as (
     list_transform(range(1, len(toks) - 1),
                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
   )) as shingle from ev_tok
-)
+)"""
+
+SQL_TRAINDATA_DECONTAMINATE = f"""
+with {_SQL_DECON_CTES}
 select t.doc_id,
        count(distinct t.shingle)::BIGINT as n_hit_ngrams,
        count(distinct e.eval_id)::BIGINT as n_eval_docs
@@ -10527,6 +10531,139 @@ from sub group by host
 """
 
 
+def q_traindata_contamination_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-benchmark contamination report (operators/dedup.
+    contamination_report): the eval-side rollup of the decontamination
+    scan — which eval documents leak into training data, through how many
+    train docs and how many distinct n-grams. Same eval split and n=3
+    window as traindata_decontaminate (the two entries are the two faces
+    of one broadcast-index join)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    train = _corpus(spark, sf_dir).join(
+        ev.select(F.col("eval_id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return dedup.contamination_report(train, ev, n=3)
+
+
+SQL_TRAINDATA_CONTAMINATION_REPORT = f"""
+with {_SQL_DECON_CTES}
+select e.eval_id,
+       count(distinct t.doc_id)::BIGINT as n_train_docs,
+       count(distinct t.shingle)::BIGINT as n_shared_ngrams
+from tr_sh t join ev_sh e on t.shingle = e.shingle
+group by 1
+"""
+
+
+#: dyadic degree ladder: bucket = floor-log2 via a shared CASE (ln banned)
+_DEG_BUCKET_CASE = (
+    "case when {d} = 1 then 0 when {d} <= 3 then 1 when {d} <= 7 then 2"
+    " when {d} <= 15 then 3 when {d} <= 31 then 4 when {d} <= 63 then 5"
+    " else 6 end"
+)
+
+
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution in dyadic buckets — the power-law shape
+    readout that graph_degree_stats' moments can't show (a heavy tail and
+    a uniform graph can share a mean). Nodes reuse the deliberately
+    Zipf-skewed host synthesis (_BINPACK_HOST_EXPR) so the ladder is
+    populated across buckets — the modular page graph is uniform-degree
+    by construction and would collapse to one row. Shape: one groupBy
+    for degrees, one bounded bucket rollup; the ladder is a shared CASE
+    (floor-log2 without ln). Integer ppm shares."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.selectExpr(
+        f"{_BINPACK_HOST_EXPR} as src", "doc_id as dst"
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    b = deg.selectExpr(
+        f"cast({_DEG_BUCKET_CASE.format(d='d')} as bigint) as bucket", "d"
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_nodes").over(wt)).selectExpr(
+        "bucket",
+        "n_nodes",
+        "min_deg",
+        "max_deg",
+        "cast((n_nodes * cast(1000000 as bigint)) div __tot as bigint)"
+        " as share_ppm",
+    )
+
+
+SQL_GRAPH_DEGREE_HISTOGRAM = f"""
+with e as (
+  select {_BINPACK_HOST_EXPR} as src, doc_id as dst from documents
+),
+deg as (select src, count(*)::BIGINT as d from e group by src),
+b as (
+  select ({_DEG_BUCKET_CASE.format(d='d')})::BIGINT as bucket, d from deg
+),
+agg as (
+  select bucket, count(*)::BIGINT as n_nodes, min(d)::BIGINT as min_deg,
+         max(d)::BIGINT as max_deg
+  from b group by bucket
+)
+select bucket, n_nodes, min_deg, max_deg,
+       ((n_nodes * 1000000) // (sum(n_nodes) over ()))::BIGINT as share_ppm
+from agg
+"""
+
+
+def q_event_heavy_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-user concentration: per power-of-2 activity band (events per
+    user), user count, event count and each band's share of all events —
+    the "what fraction of traffic is power users" curve, computed WITHOUT
+    any per-user ranking window (a groupBy on user, a bounded dyadic
+    rollup, a 3-row share window — scale-perfect where a percentile rank
+    over users would funnel). Complements event_rfm_segments (marketing
+    tiers) with the raw concentration curve."""
+    ev = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    b = ev.selectExpr(
+        f"cast({_DEG_BUCKET_CASE.format(d='n')} as bigint) as band", "n"
+    )
+    agg = b.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn(
+        "__tot", F.sum("n_events").over(wt)
+    ).selectExpr(
+        "band",
+        "n_users",
+        "n_events",
+        "cast((n_events * cast(1000000 as bigint)) div __tot as bigint)"
+        " as event_share_ppm",
+    )
+
+
+SQL_EVENT_HEAVY_USER_SHARE = f"""
+with u as (select user_id, count(*)::BIGINT as n from events group by user_id),
+b as (select ({_DEG_BUCKET_CASE.format(d='n')})::BIGINT as band, n from u),
+agg as (
+  select band, count(*)::BIGINT as n_users, sum(n)::BIGINT as n_events
+  from b group by band
+)
+select band, n_users, n_events,
+       ((n_events * 1000000) // (sum(n_events) over ()))::BIGINT
+         as event_share_ppm
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -10985,6 +11122,15 @@ CATALOG: dict[str, QueryDef] = {
         q_dedup_threshold_sensitivity, SQL_DEDUP_THRESHOLD_SENSITIVITY
     ),
     "host_cdn_detect": QueryDef(q_host_cdn_detect, SQL_HOST_CDN_DETECT),
+    "traindata_contamination_report": QueryDef(
+        q_traindata_contamination_report, SQL_TRAINDATA_CONTAMINATION_REPORT
+    ),
+    "graph_degree_histogram": QueryDef(
+        q_graph_degree_histogram, SQL_GRAPH_DEGREE_HISTOGRAM
+    ),
+    "event_heavy_user_share": QueryDef(
+        q_event_heavy_user_share, SQL_EVENT_HEAVY_USER_SHARE
+    ),
 }
 
 

@@ -596,6 +596,29 @@ def decontaminate_ngrams(
     )
 
 
+def contamination_report(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """(eval_id, n_train_docs, n_shared_ngrams) — the per-BENCHMARK view of
+    the decontamination scan: for each eval document, how many training
+    documents share at least one n-gram with it and how many distinct
+    n-grams leak. :func:`decontaminate_ngrams` answers "which train docs
+    do I drop"; this answers "which benchmarks are compromised and how
+    badly" — the report an eval-integrity review reads. Same scale shape:
+    broadcast eval index, map-side join, one bounded rollup (output is
+    O(|eval|))."""
+    ev = (
+        shingles_df(eval_docs.select(F.col("eval_id").alias("doc_id"), "text"), n=n)
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+    )
+    tr = shingles_df(train, n=n)
+    hits = tr.join(F.broadcast(ev), "shingle")
+    return hits.groupBy("eval_id").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_train_docs"),
+        F.count_distinct("shingle").cast("long").alias("n_shared_ngrams"),
+    )
+
+
 def minhash_lsh_incremental(
     old: DataFrame, new: DataFrame, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
