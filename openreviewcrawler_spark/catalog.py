@@ -10664,6 +10664,113 @@ from agg
 """
 
 
+#: corpus-prefix grid for vocabulary growth (percent of the doc_id range)
+_VOCAB_PREFIXES = (10, 50, 100)
+
+
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct-token count at 10% / 50% /
+    100% corpus prefixes (by doc_id order) — the saturation curve that
+    says whether more crawling still buys new vocabulary (pairs with
+    text_ngram_novelty's per-doc view). Shape: ONE token explode; each
+    token row fans out only to the prefixes that INCLUDE it (bounded
+    explode over the 3-point grid with a filter, not 3 scans); distinct
+    per prefix is one groupBy. Type-token ratio in integer ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    grid = ", ".join(str(p) for p in _VOCAB_PREFIXES)
+    tok = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "mx",
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .select(
+            "doc_id",
+            "mx",
+            "token",
+            F.explode(F.expr(f"array({grid})")).alias("p"),
+        )
+        .filter(F.expr("doc_id * 100 <= (mx + 1) * p"))
+    )
+    return tok.groupBy("p").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("token").cast("long").alias("n_distinct"),
+    ).selectExpr(
+        "cast(p as bigint) as prefix_pct",
+        "n_tokens",
+        "n_distinct",
+        "cast((n_distinct * cast(1000000 as bigint)) div n_tokens as bigint)"
+        " as type_token_ppm",
+    )
+
+
+def _sql_text_vocab_growth() -> str:
+    grid = ", ".join(str(p) for p in _VOCAB_PREFIXES)
+    return f"""
+with mx as (select max(doc_id) as mx from documents),
+tok as (
+  select doc_id, mx, unnest({_SQL_TOKENS}) as token
+  from documents cross join mx
+),
+g as (
+  select doc_id, mx, token, p
+  from tok, unnest([{grid}]) as t(p)
+  where doc_id * 100 <= (mx + 1) * p
+)
+select p::BIGINT as prefix_pct, count(*)::BIGINT as n_tokens,
+       count(distinct token)::BIGINT as n_distinct,
+       ((count(distinct token) * 1000000) // count(*))::BIGINT
+         as type_token_ppm
+from g group by p
+"""
+
+
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type — the Fano factor (variance /
+    mean of per-minute arrival counts): ~1 for Poisson-like human
+    traffic, >> 1 for bursty/batchy load, << 1 for metronome bots
+    (complements event_bot_detect's per-user inter-arrival view with the
+    AGGREGATE arrival process). Exact integer moments over the bounded
+    (type, minute) rollup; fano_ppm = (n*S2 - S1^2) * 1e6 div (n * S1)
+    by cross-multiplication — no doubles, no ln."""
+    ev = _events_ms(spark, sf_dir).selectExpr(
+        "event_type", "ts_ms div 60000 as minute"
+    )
+    cells = ev.groupBy("event_type", "minute").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return cells.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    ).selectExpr(
+        "event_type",
+        "n_minutes",
+        "n_events",
+        "cast(((n_minutes * s2 - n_events * n_events)"
+        " * cast(1000000 as bigint))"
+        " div (n_minutes * n_events) as bigint) as fano_ppm",
+    )
+
+
+SQL_EVENT_BURSTINESS = """
+with e as (
+  select event_type, epoch_ms(ts) // 60000 as minute from events
+),
+cells as (
+  select event_type, minute, count(*)::BIGINT as c
+  from e group by event_type, minute
+)
+select event_type, count(*)::BIGINT as n_minutes,
+       sum(c)::BIGINT as n_events,
+       (((count(*) * sum(c * c) - sum(c) * sum(c)) * 1000000)
+        // (count(*) * sum(c)))::BIGINT as fano_ppm
+from cells group by event_type
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -11131,6 +11238,10 @@ CATALOG: dict[str, QueryDef] = {
     "event_heavy_user_share": QueryDef(
         q_event_heavy_user_share, SQL_EVENT_HEAVY_USER_SHARE
     ),
+    "text_vocab_growth": QueryDef(
+        q_text_vocab_growth, _sql_text_vocab_growth()
+    ),
+    "event_burstiness": QueryDef(q_event_burstiness, SQL_EVENT_BURSTINESS),
 }
 
 
