@@ -10771,6 +10771,150 @@ from cells group by event_type
 """
 
 
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate threshold sweep: for every observed quality score
+    (discrete tenths — the composite is a sum of 0.4/0.3/0.2/0.1 gates),
+    what a keep-if-q>=t policy retains — docs, bytes, exact-dup copies
+    and the retained dup rate. The selection curve read before fixing
+    the clean_corpus quality cutoff: the right threshold keeps bytes
+    while shedding the dup-heavy low bins (quality_vs_dup_audit shows
+    the per-bin correlation; this shows the cumulative consequence).
+    Shape: one digest groupBy + join (the dedup_exact plan), a bounded
+    per-score rollup, and a cumulative window over <= 11 score rows.
+    Integer ppm; the score key reuses the entry-proven rounded double."""
+    corpus = _corpus(spark, sf_dir)
+    score = quality_score_cols(F.col("text"))["quality_score"]
+    scored = corpus.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        score.alias("q"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    g = scored.groupBy("digest").agg(F.min("doc_id").alias("keeper_id"))
+    tagged = scored.join(g, "digest").select(
+        "q",
+        "n_chars",
+        (F.col("doc_id") > F.col("keeper_id")).cast("long").alias("is_copy"),
+    )
+    per_q = tagged.groupBy("q").agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("n_chars").cast("long").alias("nb"),
+        F.sum("is_copy").cast("long").alias("nc"),
+    )
+    w = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_q.select(
+        F.col("q").alias("threshold"),
+        F.sum("nd").over(w).cast("long").alias("n_kept"),
+        F.sum("nb").over(w).cast("long").alias("bytes_kept"),
+        F.sum("nc").over(w).cast("long").alias("dups_kept"),
+    ).selectExpr(
+        "threshold",
+        "n_kept",
+        "bytes_kept",
+        "dups_kept",
+        "cast((dups_kept * cast(1000000 as bigint)) div n_kept as bigint)"
+        " as dup_ppm_kept",
+    )
+
+
+SQL_QUALITY_THRESHOLD_SWEEP = f"""
+with corpus as ({CORPUS_SQL}),
+{_SQL_QUALITY_M.replace("from documents", "from corpus")},
+scored as (
+  select m.doc_id, md5(c.text) as digest,
+         round({_SQL_QUALITY_SCORE}::DOUBLE, 2) as q,
+         length(c.text)::BIGINT as n_chars
+  from m join corpus c using (doc_id)
+),
+g as (select digest, min(doc_id) as keeper_id from scored group by digest),
+tagged as (
+  select q, n_chars,
+         (case when s.doc_id > g.keeper_id then 1 else 0 end)::BIGINT
+           as is_copy
+  from scored s join g using (digest)
+),
+per_q as (
+  select q, count(*)::BIGINT as nd, sum(n_chars)::BIGINT as nb,
+         sum(is_copy)::BIGINT as nc
+  from tagged group by q
+),
+cum as (
+  select q as threshold,
+         sum(nd) over (order by q desc
+                       rows between unbounded preceding and current row)
+           ::BIGINT as n_kept,
+         sum(nb) over (order by q desc
+                       rows between unbounded preceding and current row)
+           ::BIGINT as bytes_kept,
+         sum(nc) over (order by q desc
+                       rows between unbounded preceding and current row)
+           ::BIGINT as dups_kept
+  from per_q
+)
+select threshold, n_kept, bytes_kept, dups_kept,
+       ((dups_kept * 1000000) // n_kept)::BIGINT as dup_ppm_kept
+from cum
+"""
+
+
+#: soft-404 synthesis: every 17th page serves an error body behind a 200
+_SOFT404_BODY = (
+    "case when doc_id % 17 = 0 then"
+    " '404 page not found error ' || cast(doc_id % 3 as varchar(10))"
+    " else text end"
+)
+#: shared detection predicate over (body, token count)
+_SOFT404_PRED = (
+    "case when n_toks < 12 and body like '%not found%' then 1 else 0 end"
+)
+
+
+def q_url_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection: pages served with HTTP 200 but carrying an
+    error body (tiny token count + error phrasing) — the crawl-waste
+    class a status-code filter cannot catch; flagged pages should leave
+    the frontier and not enter the corpus (CC-style pipelines run
+    exactly this gate). Pure codegen predicates shared verbatim; one
+    groupBy per host; integer ppm."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "'h' || cast(doc_id % 7 as string) as host",
+        f"{_SOFT404_BODY} as body",
+    ).selectExpr(
+        "host",
+        "body",
+        "size(split(body, ' ')) as n_toks",
+    ).selectExpr("host", f"{_SOFT404_PRED} as is_soft404")
+    return d.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("is_soft404").cast("long").alias("n_soft404"),
+    ).selectExpr(
+        "host",
+        "n_pages",
+        "n_soft404",
+        "cast((n_soft404 * cast(1000000 as bigint)) div n_pages as bigint)"
+        " as soft404_ppm",
+    )
+
+
+SQL_URL_SOFT404_DETECT = f"""
+with d as (
+  select 'h' || cast(doc_id % 7 as varchar(10)) as host,
+         {_SOFT404_BODY} as body
+  from documents
+),
+t as (
+  select host, body, len(string_split(body, ' ')) as n_toks from d
+),
+f as (select host, {_SOFT404_PRED} as is_soft404 from t)
+select host, count(*)::BIGINT as n_pages,
+       sum(is_soft404)::BIGINT as n_soft404,
+       ((sum(is_soft404) * 1000000) // count(*))::BIGINT as soft404_ppm
+from f group by host
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -11242,6 +11386,12 @@ CATALOG: dict[str, QueryDef] = {
         q_text_vocab_growth, _sql_text_vocab_growth()
     ),
     "event_burstiness": QueryDef(q_event_burstiness, SQL_EVENT_BURSTINESS),
+    "quality_threshold_sweep": QueryDef(
+        q_quality_threshold_sweep, SQL_QUALITY_THRESHOLD_SWEEP
+    ),
+    "url_soft404_detect": QueryDef(
+        q_url_soft404_detect, SQL_URL_SOFT404_DETECT
+    ),
 }
 
 
