@@ -10915,6 +10915,174 @@ from f group by host
 """
 
 
+def q_event_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort VALUE matrix — the revenue twin of
+    event_cohort_retention: users bucketed by first-seen week, their
+    event value summed per later active week (the LTV-accumulation
+    table). Shape: first-seen is one groupBy on user; the attach joins
+    on the user key both aggregates shuffled on; the matrix is bounded
+    by the calendar span squared. Float parity: value sums as
+    DECIMAL(18,4) (exact, associative), emitted as floor cents."""
+    WEEK = 604800000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    ).withColumn("week", F.expr(f"ts_ms div {WEEK}"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = ev.join(first, "user_id")
+    return (
+        j.groupBy("cohort_week", "week")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.expr("cast(floor(sum(v) * 100) as bigint)").alias("value_cents"),
+        )
+        .selectExpr(
+            "cast(cohort_week as bigint) as cohort_week",
+            "cast(week - cohort_week as bigint) as week_offset",
+            "n_users",
+            "value_cents",
+        )
+    )
+
+
+SQL_EVENT_COHORT_VALUE = """
+with ev as (
+  select user_id, epoch_ms(ts) // 604800000 as week,
+         value::DECIMAL(18,4) as v
+  from events
+),
+first as (select user_id, min(week) as cohort_week from ev group by user_id)
+select cohort_week::BIGINT as cohort_week,
+       (week - cohort_week)::BIGINT as week_offset,
+       count(distinct e.user_id)::BIGINT as n_users,
+       cast(floor(sum(v) * 100) as bigint) as value_cents
+from ev e join first using (user_id)
+group by cohort_week, week
+"""
+
+
+def q_robots_adoption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt adoption rollup over the parsed rule table: how many
+    hosts publish applicable rules at all, how many set a crawl-delay,
+    and the delay distribution (min/max plus exact mean in ms ppm-free
+    integer division) — the fleet-level politeness posture a crawl
+    operator quotes. One pass over operators/robots.parse_robots'
+    bounded per-host dimension output; the array column collapses to a
+    scalar size before aggregation (the r3 driver-canonicalizer
+    lesson)."""
+    from .operators.robots import parse_robots
+
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)  # the robots_parse fixture slice
+        .select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+            F.expr(_ROBOTS_BODY_EXPR).alias("body"),
+        )
+    )
+    rules = parse_robots(bodies).select(
+        F.size("disallow_prefix").cast("long").alias("n_rules"),
+        # parser emits a numeric double; delays are integral in the grammar
+        F.col("crawl_delay_s").cast("long").alias("crawl_delay_s"),
+    )
+    return rules.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum((F.col("n_rules") > 0).cast("long")).cast("long").alias(
+            "n_with_rules"
+        ),
+        F.sum(F.col("crawl_delay_s").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_with_delay"),
+        F.min("crawl_delay_s").cast("long").alias("min_delay_s"),
+        F.max("crawl_delay_s").cast("long").alias("max_delay_s"),
+        F.expr(
+            "cast(sum(coalesce(crawl_delay_s, 0))"
+            " div sum(case when crawl_delay_s is not null then 1 else 0 end)"
+            " as bigint)"
+        ).alias("mean_delay_s"),
+    )
+
+
+def _sql_robots_adoption_stats() -> str:
+    # reuse the robots_parse oracle as a subquery: it emits
+    # (host, disallow_prefix_joined, crawl_delay_s)-shaped rows
+    inner = SQL_ROBOTS_PARSE
+    return f"""
+with parsed as ({inner})
+select count(*)::BIGINT as n_hosts,
+       sum(case when disallow_prefix <> '' then 1 else 0 end)::BIGINT
+         as n_with_rules,
+       sum(case when crawl_delay_s is not null then 1 else 0 end)::BIGINT
+         as n_with_delay,
+       min(crawl_delay_s)::BIGINT as min_delay_s,
+       max(crawl_delay_s)::BIGINT as max_delay_s,
+       (sum(coalesce(crawl_delay_s, 0))
+        // sum(case when crawl_delay_s is not null then 1 else 0 end))::BIGINT
+         as mean_delay_s
+from parsed
+"""
+
+
+_RESURRECT_GAP_DAYS = 14
+
+
+def q_event_resurrection_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resurrected-user detection: per day, users who return after a
+    >= 14-day absence — the comeback half of the lifecycle ledger
+    (event_churn_detect flags the exits, event_new_vs_returning splits
+    acquisition; this catches win-backs, which a plain DAU count hides
+    inside 'returning'). One lag window on the distinct (user, day)
+    table, a bounded per-day rollup; integer ppm vs that day's actives."""
+    from .caching import track_persist
+
+    ud = track_persist(
+        _events_ms(spark, sf_dir)
+        .selectExpr("user_id", "ts_ms div 86400000 as day")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = ud.withColumn("prev_day", F.lag("day").over(w)).withColumn(
+        "is_resurrect",
+        (
+            F.col("prev_day").isNotNull()
+            & (F.col("day") - F.col("prev_day") >= _RESURRECT_GAP_DAYS)
+        ).cast("long"),
+    )
+    return gaps.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum("is_resurrect").cast("long").alias("n_resurrected"),
+    ).selectExpr(
+        "day",
+        "n_active",
+        "n_resurrected",
+        "cast((n_resurrected * cast(1000000 as bigint)) div n_active"
+        " as bigint) as resurrect_ppm",
+    )
+
+
+SQL_EVENT_RESURRECTION_DETECT = f"""
+with e as (select user_id, epoch_ms(ts) // 86400000 as day from events),
+ud as (select distinct user_id, day from e),
+g as (
+  select user_id, day,
+         lag(day) over (partition by user_id order by day) as prev_day
+  from ud
+),
+f as (
+  select day,
+         (case when prev_day is not null
+                    and day - prev_day >= {_RESURRECT_GAP_DAYS}
+               then 1 else 0 end)::BIGINT as is_resurrect
+  from g
+)
+select day::BIGINT as day, count(*)::BIGINT as n_active,
+       sum(is_resurrect)::BIGINT as n_resurrected,
+       ((sum(is_resurrect) * 1000000) // count(*))::BIGINT as resurrect_ppm
+from f group by day
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -11391,6 +11559,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "url_soft404_detect": QueryDef(
         q_url_soft404_detect, SQL_URL_SOFT404_DETECT
+    ),
+    "event_cohort_value": QueryDef(
+        q_event_cohort_value, SQL_EVENT_COHORT_VALUE
+    ),
+    "robots_adoption_stats": QueryDef(
+        q_robots_adoption_stats, _sql_robots_adoption_stats()
+    ),
+    "event_resurrection_detect": QueryDef(
+        q_event_resurrection_detect, SQL_EVENT_RESURRECTION_DETECT
     ),
 }
 
