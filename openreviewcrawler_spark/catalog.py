@@ -11083,6 +11083,133 @@ from f group by day
 """
 
 
+def q_event_dau_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive DAU forecast backtest: predict each day's active users as
+    the mean of the trailing <= 7 OBSERVED days and score the prediction
+    — the baseline every fancier forecaster must beat, with its error
+    ledger computed in the same query (ape_ppm = |actual - forecast| /
+    actual). Shape: the per-day DAU rollup is bounded by the horizon, so
+    the trailing window runs over days, never events; integer mean by
+    div; days with no history emit no forecast row."""
+    ud = (
+        _events_ms(spark, sf_dir)
+        .selectExpr("user_id", "ts_ms div 86400000 as day")
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    f = (
+        dau.withColumn("__s", F.sum("dau").over(w))
+        .withColumn("__c", F.count("dau").over(w))
+        .filter(F.col("__c") > 0)
+    )
+    return f.selectExpr(
+        "day",
+        "dau",
+        "cast(__s div __c as bigint) as forecast_dau",
+    ).selectExpr(
+        "day",
+        "dau",
+        "forecast_dau",
+        "cast((abs(dau - forecast_dau) * cast(1000000 as bigint)) div dau"
+        " as bigint) as ape_ppm",
+    )
+
+
+SQL_EVENT_DAU_FORECAST_BACKTEST = """
+with e as (select user_id, epoch_ms(ts) // 86400000 as day from events),
+ud as (select distinct user_id, day from e),
+dau as (select day, count(*)::BIGINT as dau from ud group by day),
+f as (
+  select day, dau,
+         sum(dau) over (order by day rows between 7 preceding
+                        and 1 preceding) as s,
+         count(dau) over (order by day rows between 7 preceding
+                          and 1 preceding) as c
+  from dau
+)
+select day::BIGINT as day, dau, (s // c)::BIGINT as forecast_dau,
+       ((abs(dau - s // c) * 1000000) // dau)::BIGINT as ape_ppm
+from f where c > 0
+"""
+
+
+def q_graph_sink_source_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie-lite node classification of the link graph: pure SOURCES
+    (out-links only — freshly discovered, nothing points at them yet),
+    pure SINKS (in-links only — crawl frontier leaves), and CORE (both) —
+    the macroscopic web-graph shape (Broder et al. 2000's IN/OUT/SCC,
+    minus the SCC machinery) that sizes how much of the frontier is
+    reachable-from vs feeding-into the crawled core. One groupBy per
+    degree side, one full outer join on the node key, a 3-row rollup.
+    Integer ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 997).alias("src"),
+        ((F.col("doc_id") * 13 + 5) % 997).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("od")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("id")
+    )
+    nodes = outd.join(ind, "node", "full_outer").selectExpr(
+        "node",
+        "coalesce(od, 0) as od",
+        "coalesce(id, 0) as id",
+    ).selectExpr(
+        "case when od > 0 and id = 0 then 'source'"
+        " when id > 0 and od = 0 then 'sink' else 'core' end as node_class",
+        "od",
+        "id",
+    )
+    agg = nodes.groupBy("node_class").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("od").cast("long").alias("n_outlinks"),
+        F.sum("id").cast("long").alias("n_inlinks"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_nodes").over(wt)).selectExpr(
+        "node_class",
+        "n_nodes",
+        "n_outlinks",
+        "n_inlinks",
+        "cast((n_nodes * cast(1000000 as bigint)) div __tot as bigint)"
+        " as share_ppm",
+    )
+
+
+SQL_GRAPH_SINK_SOURCE_NODES = """
+with e as (
+  select doc_id % 997 as src, (doc_id * 13 + 5) % 997 as dst
+  from documents where doc_id % 997 <> (doc_id * 13 + 5) % 997
+),
+outd as (select src as node, count(*)::BIGINT as od from e group by src),
+ind as (select dst as node, count(*)::BIGINT as id from e group by dst),
+nodes as (
+  select coalesce(outd.node, ind.node) as node,
+         coalesce(od, 0) as od, coalesce(id, 0) as id
+  from outd full outer join ind on outd.node = ind.node
+),
+cls as (
+  select case when od > 0 and id = 0 then 'source'
+              when id > 0 and od = 0 then 'sink' else 'core' end
+           as node_class,
+         od, id
+  from nodes
+),
+agg as (
+  select node_class, count(*)::BIGINT as n_nodes,
+         sum(od)::BIGINT as n_outlinks, sum(id)::BIGINT as n_inlinks
+  from cls group by node_class
+)
+select node_class, n_nodes, n_outlinks, n_inlinks,
+       ((n_nodes * 1000000) // (sum(n_nodes) over ()))::BIGINT as share_ppm
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -11568,6 +11695,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_resurrection_detect": QueryDef(
         q_event_resurrection_detect, SQL_EVENT_RESURRECTION_DETECT
+    ),
+    "event_dau_forecast_backtest": QueryDef(
+        q_event_dau_forecast_backtest, SQL_EVENT_DAU_FORECAST_BACKTEST
+    ),
+    "graph_sink_source_nodes": QueryDef(
+        q_graph_sink_source_nodes, SQL_GRAPH_SINK_SOURCE_NODES
     ),
 }
 
