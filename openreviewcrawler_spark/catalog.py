@@ -11210,6 +11210,112 @@ from agg
 """
 
 
+def q_warc_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte ledger of WARC revisit dedup, per host: across revisit
+    snapshots (the crawl_change_rate synthesis — _CHANGE_SNAPS captures
+    per URL, a capture's payload changes per the shared propensity
+    predicate), every UNCHANGED capture stores as a zero-payload revisit
+    record — this is the storage the archive saves, quoted per host
+    before provisioning. A capture is unchanged iff the change predicate
+    is 0 at that snapshot (snapshot 1 is always a full store). One
+    projection + one bounded per-host rollup; integer ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    caps = docs.select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), F.lit(_CHANGE_SNAPS))).alias("snap"),
+    ).selectExpr(
+        "host",
+        "n_chars",
+        f"case when snap = 1 then 0 else 1 - ({_CHANGE_EXPR}) end"
+        " as is_unchanged",
+    )
+    return caps.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.sum("is_unchanged").cast("long").alias("n_revisit"),
+        F.sum("n_chars").cast("long").alias("bytes_fetched"),
+        F.sum(F.col("is_unchanged") * F.col("n_chars"))
+        .cast("long")
+        .alias("bytes_saved"),
+    ).selectExpr(
+        "host",
+        "n_captures",
+        "n_revisit",
+        "bytes_fetched",
+        "bytes_saved",
+        "cast((bytes_saved * cast(1000000 as bigint)) div bytes_fetched"
+        " as bigint) as savings_ppm",
+    )
+
+
+SQL_WARC_DEDUP_SAVINGS = f"""
+with caps as (
+  select source || '.example' as host, doc_id, n_chars,
+         unnest(range(1, {_CHANGE_SNAPS} + 1)) as snap
+  from documents
+),
+f as (
+  select host, n_chars,
+         (case when snap = 1 then 0
+               else 1 - ({_CHANGE_EXPR}) end)::BIGINT as is_unchanged
+  from caps
+)
+select host, count(*)::BIGINT as n_captures,
+       sum(is_unchanged)::BIGINT as n_revisit,
+       sum(n_chars)::BIGINT as bytes_fetched,
+       sum(is_unchanged * n_chars)::BIGINT as bytes_saved,
+       ((sum(is_unchanged * n_chars) * 1000000) // sum(n_chars))::BIGINT
+         as savings_ppm
+from f group by host
+"""
+
+
+def q_crawl_error_rate_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch error-rate rollup over the attempt log (the
+    retry_backoff synthesis: 1..(doc_id%6+1) attempts per URL, failures
+    on the shared predicate) — the reliability leaderboard that decides
+    which hosts deserve the circuit breaker's attention (the breaker
+    reacts per host in real time; this is the batch post-mortem). One
+    explode, one groupBy; integer ppm."""
+    attempts = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("doc_id") % 6 + 1)).alias("att"),
+    ).selectExpr(
+        "host",
+        "case when (doc_id * 5 + att) % 7 >= 3 then 1 else 0 end as ok",
+    )
+    return attempts.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_attempts"),
+        F.sum(1 - F.col("ok")).cast("long").alias("n_failures"),
+    ).selectExpr(
+        "host",
+        "n_attempts",
+        "n_failures",
+        "cast((n_failures * cast(1000000 as bigint)) div n_attempts"
+        " as bigint) as fail_ppm",
+    )
+
+
+SQL_CRAWL_ERROR_RATE_BY_HOST = """
+with a as (
+  select 'h' || cast(doc_id % 7 as varchar(10)) as host, doc_id,
+         unnest(range(1, doc_id % 6 + 2)) as att
+  from documents
+),
+f as (
+  select host,
+         case when (doc_id * 5 + att) % 7 >= 3 then 1 else 0 end as ok
+  from a
+)
+select host, count(*)::BIGINT as n_attempts,
+       sum(1 - ok)::BIGINT as n_failures,
+       ((sum(1 - ok) * 1000000) // count(*))::BIGINT as fail_ppm
+from f group by host
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -11701,6 +11807,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "graph_sink_source_nodes": QueryDef(
         q_graph_sink_source_nodes, SQL_GRAPH_SINK_SOURCE_NODES
+    ),
+    "warc_dedup_savings": QueryDef(
+        q_warc_dedup_savings, SQL_WARC_DEDUP_SAVINGS
+    ),
+    "crawl_error_rate_by_host": QueryDef(
+        q_crawl_error_rate_by_host, SQL_CRAWL_ERROR_RATE_BY_HOST
     ),
 }
 
