@@ -11316,6 +11316,100 @@ from f group by host
 """
 
 
+def q_event_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B significance readout: Welch z-score of the variant-B-vs-A mean
+    value difference per event type — the go/no-go column the lift table
+    (event_ab_test) lacks. Float parity recipe end to end: per-variant
+    moments (sum v, sum v^2) accumulate as exact DECIMAL (associative,
+    any fold order), the max-CASE pivot brings all eight moments onto ONE
+    row, and the z-score is then a fixed shape of per-row double ops —
+    +,-,*,/ and sqrt, all IEEE bit-stable (ln/pow stay banned) — with a
+    floor-projected output (the round() tie trap). |z| >= 1.96 flags 95%
+    significance."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        f"cast({_AB_VARIANT_EXPR} as bigint) % 2 as variant",
+        "cast(value as decimal(18,4)) as v",
+    )
+    cells = ev.groupBy("event_type", "variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("cast(v * v as decimal(38,8))")).alias("s2"),
+    )
+    piv = cells.groupBy("event_type").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("s2"))).alias("s2_b"),
+    )
+    z_expr = (
+        "(cast(s1_b as double) / n_b - cast(s1_a as double) / n_a)"
+        " / sqrt("
+        "   (cast(s2_a as double) / n_a"
+        "    - (cast(s1_a as double) / n_a) * (cast(s1_a as double) / n_a))"
+        "   / n_a"
+        " + (cast(s2_b as double) / n_b"
+        "    - (cast(s1_b as double) / n_b) * (cast(s1_b as double) / n_b))"
+        "   / n_b)"
+    )
+    return piv.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        f"cast(floor(({z_expr}) * 1000) as bigint) as z_milli",
+    ).selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "z_milli",
+        "cast(case when abs(z_milli) >= 1960 then 1 else 0 end as bigint)"
+        " as significant_95",
+    )
+
+
+def _sql_event_ab_test_zscore() -> str:
+    z_expr = (
+        "(cast(s1_b as double) / n_b - cast(s1_a as double) / n_a)"
+        " / sqrt("
+        "   (cast(s2_a as double) / n_a"
+        "    - (cast(s1_a as double) / n_a) * (cast(s1_a as double) / n_a))"
+        "   / n_a"
+        " + (cast(s2_b as double) / n_b"
+        "    - (cast(s1_b as double) / n_b) * (cast(s1_b as double) / n_b))"
+        "   / n_b)"
+    )
+    return f"""
+with ev as (
+  select event_type,
+         ({_AB_VARIANT_EXPR})::BIGINT % 2 as variant,
+         value::DECIMAL(18,4) as v
+  from events
+),
+cells as (
+  select event_type, variant, count(*)::BIGINT as n, sum(v) as s1,
+         sum(cast(v * v as decimal(38,8))) as s2
+  from ev group by 1, 2
+),
+piv as (
+  select event_type,
+         max(case when variant = 0 then n end) as n_a,
+         max(case when variant = 1 then n end) as n_b,
+         max(case when variant = 0 then s1 end) as s1_a,
+         max(case when variant = 1 then s1 end) as s1_b,
+         max(case when variant = 0 then s2 end) as s2_a,
+         max(case when variant = 1 then s2 end) as s2_b
+  from cells group by event_type
+)
+select event_type, n_a, n_b,
+       cast(floor(({z_expr}) * 1000) as bigint) as z_milli,
+       (case when abs(cast(floor(({z_expr}) * 1000) as bigint)) >= 1960
+             then 1 else 0 end)::BIGINT as significant_95
+from piv
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -11813,6 +11907,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_error_rate_by_host": QueryDef(
         q_crawl_error_rate_by_host, SQL_CRAWL_ERROR_RATE_BY_HOST
+    ),
+    "event_ab_test_zscore": QueryDef(
+        q_event_ab_test_zscore, _sql_event_ab_test_zscore()
     ),
 }
 
