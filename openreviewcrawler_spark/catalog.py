@@ -11410,6 +11410,67 @@ from piv
 """
 
 
+def q_event_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-activity streak distribution — the gaps-and-islands pattern:
+    consecutive active days share the invariant (day - row_number) within
+    a user, so one window + one groupBy finds every streak with no
+    iteration (the engagement-streak widget, and the canonical SQL idiom
+    for run-length analysis over sparse time series). Rollup per streak
+    length: streak count, distinct users, plus each length's share. One
+    shuffle on the user key; the length rollup is horizon-bounded.
+    Integer ppm."""
+    from .caching import track_persist
+
+    ud = track_persist(
+        _events_ms(spark, sf_dir)
+        .selectExpr("user_id", "ts_ms div 86400000 as day")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    agg = streaks.groupBy("len").agg(
+        F.count("*").cast("long").alias("n_streaks"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_streaks").over(wt)).selectExpr(
+        "len as streak_days",
+        "n_streaks",
+        "n_users",
+        "cast((n_streaks * cast(1000000 as bigint)) div __tot as bigint)"
+        " as share_ppm",
+    )
+
+
+SQL_EVENT_ACTIVITY_STREAKS = """
+with e as (select user_id, epoch_ms(ts) // 86400000 as day from events),
+ud as (select distinct user_id, day from e),
+isl as (
+  select user_id, day,
+         day - row_number() over (partition by user_id order by day) as grp
+  from ud
+),
+streaks as (
+  select user_id, grp, count(*)::BIGINT as len
+  from isl group by user_id, grp
+),
+agg as (
+  select len, count(*)::BIGINT as n_streaks,
+         count(distinct user_id)::BIGINT as n_users
+  from streaks group by len
+)
+select len as streak_days, n_streaks, n_users,
+       ((n_streaks * 1000000) // (sum(n_streaks) over ()))::BIGINT
+         as share_ppm
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -11910,6 +11971,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_ab_test_zscore": QueryDef(
         q_event_ab_test_zscore, _sql_event_ab_test_zscore()
+    ),
+    "event_activity_streaks": QueryDef(
+        q_event_activity_streaks, SQL_EVENT_ACTIVITY_STREAKS
     ),
 }
 
