@@ -11471,6 +11471,117 @@ from agg
 """
 
 
+#: conversion-lag dyadic ladder (minutes)
+_CONVLAG_CASE = (
+    "case when {m} <= 1 then 0 when {m} <= 10 then 1 when {m} <= 60 then 2"
+    " when {m} <= 1440 then 3 else 4 end"
+)
+
+
+def q_event_conversion_lag_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution: for every user who both viewed and
+    later purchased, the lag from FIRST view to FIRST purchase at-or-
+    after it, in dyadic minute buckets — the funnel-velocity readout
+    event_funnel's step counts lack. Shape: one groupBy per user pulls
+    both firsts (min with CASE — no window), an inner filter keeps
+    converters, the rollup is bucket-bounded. Integer ppm."""
+    ev = _events_ms(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_ms"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ms"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = per_user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).selectExpr("(first_purchase - first_view) div 60000 as lag_min")
+    b = conv.selectExpr(
+        f"cast({_CONVLAG_CASE.format(m='lag_min')} as bigint) as bucket",
+        "lag_min",
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.max("lag_min").cast("long").alias("max_lag_min"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_users").over(wt)).selectExpr(
+        "bucket",
+        "n_users",
+        "max_lag_min",
+        "cast((n_users * cast(1000000 as bigint)) div __tot as bigint)"
+        " as share_ppm",
+    )
+
+
+SQL_EVENT_CONVERSION_LAG_HISTOGRAM = f"""
+with e as ({_EVENTS_MS_CTE}),
+per_user as (
+  select user_id,
+         min(case when event_type = 'view' then ts_ms end) as first_view,
+         min(case when event_type = 'purchase' then ts_ms end)
+           as first_purchase
+  from e group by user_id
+),
+conv as (
+  select (first_purchase - first_view) // 60000 as lag_min
+  from per_user
+  where first_view is not null and first_purchase is not null
+    and first_purchase >= first_view
+),
+b as (
+  select ({_CONVLAG_CASE.format(m='lag_min')})::BIGINT as bucket, lag_min
+  from conv
+),
+agg as (
+  select bucket, count(*)::BIGINT as n_users,
+         max(lag_min)::BIGINT as max_lag_min
+  from b group by bucket
+)
+select bucket, n_users, max_lag_min,
+       ((n_users * 1000000) // (sum(n_users) over ()))::BIGINT as share_ppm
+from agg
+"""
+
+
+def q_traindata_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducibility checksums per training shard: an ORDER-INDEPENDENT
+    content checksum (sum of per-doc md5-32 hashes — commutative, so any
+    partitioning/ingest order yields the same value) plus doc and byte
+    counts — the manifest row two independent pipeline runs diff to
+    prove they built the same shard without comparing payloads. One
+    projection + one groupBy; BIGINT headroom to ~2^31 docs/shard."""
+    from .operators.textstats import hash32_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+        "n_chars",
+        hash32_col(F.col("text")).alias("h32"),
+    )
+    return d.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+        F.sum("h32").cast("long").alias("content_checksum"),
+    )
+
+
+SQL_TRAINDATA_SHARD_CHECKSUMS = f"""
+with d as (
+  select (doc_id % 8)::BIGINT as shard, n_chars,
+         {_H32.format(x='text')} as h32
+  from documents
+)
+select shard, count(*)::BIGINT as n_docs, sum(n_chars)::BIGINT as n_bytes,
+       sum(h32)::BIGINT as content_checksum
+from d group by shard
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -11974,6 +12085,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_activity_streaks": QueryDef(
         q_event_activity_streaks, SQL_EVENT_ACTIVITY_STREAKS
+    ),
+    "event_conversion_lag_histogram": QueryDef(
+        q_event_conversion_lag_histogram, SQL_EVENT_CONVERSION_LAG_HISTOGRAM
+    ),
+    "traindata_shard_checksums": QueryDef(
+        q_traindata_shard_checksums, SQL_TRAINDATA_SHARD_CHECKSUMS
     ),
 }
 
