@@ -11582,6 +11582,89 @@ from d group by shard
 """
 
 
+def q_crawl_refetch_load_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state refetch load forecast: fold the per-host recrawl
+    intervals (the crawl_change_rate ladder) into fetches-per-day
+    pressure per interval tier — the capacity number that says what the
+    freshness policy COSTS before it ships. refetch_per_day is exact in
+    millifetches (n_urls * 24000 div hours); one bounded rollup over the
+    change-rate output."""
+    rates = q_crawl_change_rate(spark, sf_dir)
+    return (
+        rates.groupBy("recrawl_hours")
+        .agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.sum("n_obs").cast("long").alias("n_urls"),
+        )
+        .selectExpr(
+            "cast(recrawl_hours as bigint) as recrawl_hours",
+            "n_hosts",
+            "n_urls",
+            "cast((n_urls * cast(24000 as bigint)) div recrawl_hours"
+            " as bigint) as refetch_millis_per_day",
+        )
+    )
+
+
+def _sql_crawl_refetch_load_forecast() -> str:
+    inner = SQL_CRAWL_CHANGE_RATE
+    return f"""
+with rates as ({inner})
+select recrawl_hours::BIGINT as recrawl_hours,
+       count(*)::BIGINT as n_hosts,
+       sum(n_obs)::BIGINT as n_urls,
+       ((sum(n_obs) * 24000) // recrawl_hours)::BIGINT
+         as refetch_millis_per_day
+from rates group by recrawl_hours
+"""
+
+
+#: global frame budget for the sqrt-weighted allocation
+_FRAME_BUDGET = 10000
+
+
+def q_mm_frame_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling budget allocation across videos: frames per asset
+    proportional to sqrt(duration) under a global budget — the τ=2
+    temperature-mix recipe (traindata_domain_mix) applied to the video
+    tier, so long videos don't monopolize the decode budget and shorts
+    aren't starved. sqrt is IEEE-correctly-rounded (bit-stable); the
+    normalizer sums sqrt terms as DECIMAL(28,12) (exact, associative);
+    the per-asset allocation is floor-projected. Videos are the
+    assets_from_documents kind cycle (doc_id % 3 == 2)."""
+    docs = _t(spark, sf_dir, "documents")
+    vids = docs.filter(F.col("doc_id") % 3 == 2).selectExpr(
+        "doc_id as asset_id",
+        "cast(length(text) as bigint) * 10 as dur_ms",
+    )
+    z = vids.agg(
+        F.sum(F.expr("cast(sqrt(dur_ms) as decimal(28,12))"))
+        .cast("double")
+        .alias("z")
+    )
+    return vids.crossJoin(F.broadcast(z)).selectExpr(
+        "asset_id",
+        "dur_ms",
+        f"cast(floor(sqrt(dur_ms) / z * {_FRAME_BUDGET}.0) as bigint)"
+        " as n_frames",
+    )
+
+
+SQL_MM_FRAME_BUDGET_PLAN = f"""
+with vids as (
+  select doc_id as asset_id, length(text)::BIGINT * 10 as dur_ms
+  from documents where doc_id % 3 = 2
+),
+z as (
+  select sum(cast(sqrt(dur_ms) as decimal(28,12)))::DOUBLE as z from vids
+)
+select asset_id, dur_ms,
+       cast(floor(sqrt(dur_ms) / z * {_FRAME_BUDGET}.0) as bigint)
+         as n_frames
+from vids cross join z
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -12091,6 +12174,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "traindata_shard_checksums": QueryDef(
         q_traindata_shard_checksums, SQL_TRAINDATA_SHARD_CHECKSUMS
+    ),
+    "crawl_refetch_load_forecast": QueryDef(
+        q_crawl_refetch_load_forecast, _sql_crawl_refetch_load_forecast()
+    ),
+    "mm_frame_budget_plan": QueryDef(
+        q_mm_frame_budget_plan, SQL_MM_FRAME_BUDGET_PLAN
     ),
 }
 
