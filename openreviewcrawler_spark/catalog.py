@@ -11665,6 +11665,700 @@ from vids cross join z
 """
 
 
+# --- session-31: temperature sweep, numeric density, shingle DF profile,
+#     value pareto ------------------------------------------------------------
+
+#: per-tau sampling weight n^(1/tau) for tau in {1,2,4} — expressed ONLY
+#: through identity and sqrt (IEEE-correctly-rounded, bit-stable across
+#: engines); pow/ln are banned by the repr() gate. Shared verbatim.
+_TAU_W_EXPR = (
+    "case when tau = 1 then cast(n_docs as double)"
+    " when tau = 2 then sqrt(n_docs)"
+    " else sqrt(sqrt(n_docs)) end"
+)
+
+#: training budget allocated independently at each temperature
+_TAU_BUDGET = 100000
+
+
+def q_traindata_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-temperature sweep: per-domain mixture weights at
+    τ ∈ {1,2,4} in one pass — the tuning table behind
+    traindata_domain_mix's fixed τ=2 choice (how much does each τ
+    flatten the head and boost the tail?). n^(1/τ) is composed from
+    sqrt only (τ=4 ⇒ sqrt∘sqrt), so every weight is bit-identical
+    across engines; per-τ normalizers sum as DECIMAL(28,12) (exact,
+    associative) and shares are floor-projected to ppm. Domains use the
+    deliberately Zipf-skewed host synthesis (_BINPACK_HOST_EXPR) so the
+    flattening is visible — raw `source` counts are uniform by
+    construction and every τ would emit the same row. Shape: one scan →
+    bounded domain rollup → 3-row τ grid explode → broadcast of the
+    3-row normalizer table; nothing here grows with corpus size except
+    the first groupBy (map-side partial)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.selectExpr(f"{_BINPACK_HOST_EXPR} as domain").groupBy(
+        "domain"
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    grid = counts.select(
+        "domain",
+        "n_docs",
+        F.explode(F.expr("array(1L, 2L, 4L)")).alias("tau"),
+    )
+    w = grid.selectExpr("domain", "tau", "n_docs", f"{_TAU_W_EXPR} as w")
+    z = w.groupBy("tau").agg(
+        F.sum(F.expr("cast(w as decimal(28,12))")).cast("double").alias("z")
+    )
+    return w.join(F.broadcast(z), "tau").selectExpr(
+        "domain",
+        "tau",
+        "n_docs",
+        "cast(floor(w / z * 1000000.0) as bigint) as weight_ppm",
+        f"cast(floor(w / z * {_TAU_BUDGET}.0) as bigint) as target_docs",
+    )
+
+
+SQL_TRAINDATA_TEMPERATURE_SWEEP = f"""
+with counts as (
+  select {_BINPACK_HOST_EXPR} as domain, count(*)::BIGINT as n_docs
+  from documents group by 1
+),
+grid as (
+  select domain, n_docs, unnest([1,2,4]::BIGINT[]) as tau from counts
+),
+w as (select domain, tau, n_docs, {_TAU_W_EXPR} as w from grid),
+z as (
+  select tau, sum(cast(w as decimal(28,12)))::DOUBLE as z from w group by tau
+)
+select domain, tau, n_docs,
+       cast(floor(w / z * 1000000.0) as bigint) as weight_ppm,
+       cast(floor(w / z * {_TAU_BUDGET}.0) as bigint) as target_docs
+from w join z using (tau)
+"""
+
+
+#: page body with planted numerals (the corpus text is digit-free word
+#: salad) — shared verbatim; no backslash (CLAUDE.md escaping rule)
+_NUMERIC_BODY_EXPR = (
+    "text || ' ' || cast(doc_id * 7 as varchar(20)) || ' items "
+    "rev ' || cast(doc_id % 100 as varchar(10))"
+)
+#: digit characters via translate-and-diff (regexp_replace is out: DuckDB
+#: replaces first-match-only without the 'g' flag, Spark is global)
+_DIGIT_CHARS_EXPR = "length(body) - length(translate(body, '0123456789', ''))"
+
+
+def q_text_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-content profile per source: share of tokens that are pure
+    numerals and share of characters that are digits — the table/price-
+    list/log-dump detector every corpus-quality ladder carries (numeric-
+    heavy pages are boilerplate-dense and low-value for LM training).
+    Digit chars count via translate-and-diff (exact, global, identical
+    in both engines); numeric tokens via a higher-order filter whose
+    lambda touches only its own argument (the lambda-capture re-inline
+    trap). One scan, pure codegen projections, one bounded groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.selectExpr(
+        "source", f"{_NUMERIC_BODY_EXPR} as body"
+    ).selectExpr(
+        "source",
+        "cast(length(body) as bigint) as n_chars",
+        f"cast({_DIGIT_CHARS_EXPR} as bigint) as n_digit",
+        "cast(size(split(body, ' ')) as bigint) as n_tok",
+        "cast(size(filter(split(body, ' '),"
+        " t -> t rlike '^[0-9]+$')) as bigint) as n_num",
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr(
+            "cast((sum(n_num) * cast(1000000 as bigint)) div sum(n_tok)"
+            " as bigint)"
+        ).alias("numeric_token_ppm"),
+        F.expr(
+            "cast((sum(n_digit) * cast(1000000 as bigint)) div sum(n_chars)"
+            " as bigint)"
+        ).alias("digit_char_ppm"),
+    )
+
+
+SQL_TEXT_NUMERIC_DENSITY = f"""
+with b as (select source, {_NUMERIC_BODY_EXPR} as body from documents),
+per as (
+  select source,
+         length(body)::BIGINT as n_chars,
+         ({_DIGIT_CHARS_EXPR})::BIGINT as n_digit,
+         len(string_split(body, ' '))::BIGINT as n_tok,
+         len(list_filter(string_split(body, ' '),
+             t -> regexp_full_match(t, '[0-9]+')))::BIGINT as n_num
+  from b
+)
+select source, count(*)::BIGINT as n_docs, sum(n_tok)::BIGINT as n_tokens,
+       ((sum(n_num) * 1000000) // sum(n_tok))::BIGINT as numeric_token_ppm,
+       ((sum(n_digit) * 1000000) // sum(n_chars))::BIGINT as digit_char_ppm
+from per group by source
+"""
+
+
+def q_dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency profile in dyadic bands: how many
+    distinct 3-token shingles sit at df=1, 2-3, 4-7, … and what share of
+    all postings each band carries — the measurement that justifies the
+    stop-shingle cap (dedup.MAX_SHINGLE_DF): a fat high-df band is
+    exactly the mass that would go quadratic in the LSH bucket join.
+    Shape: the one shingle explode (slice-zip construction) → shingle
+    rollup → bounded 7-row band rollup → 7-row share window. Postings =
+    Σ df; the band ladder is the shared _DEG_BUCKET_CASE (ln banned)."""
+    sh = dedup.shingles_df(_corpus(spark, sf_dir))
+    dfs = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    b = dfs.selectExpr(
+        f"cast({_DEG_BUCKET_CASE.format(d='df')} as bigint) as band", "df"
+    )
+    agg = b.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("df").cast("long").alias("n_postings"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn(
+        "__tot", F.sum("n_postings").over(wt)
+    ).selectExpr(
+        "band",
+        "n_shingles",
+        "n_postings",
+        "cast((n_postings * cast(1000000 as bigint)) div __tot as bigint)"
+        " as posting_share_ppm",
+    )
+
+
+SQL_DEDUP_SHINGLE_DF_PROFILE = f"""
+with corpus as ({CORPUS_SQL}), {_SQL_SHINGLES},
+dfs as (select shingle, count(*)::BIGINT as df from sh group by shingle),
+b as (
+  select ({_DEG_BUCKET_CASE.format(d='df')})::BIGINT as band, df from dfs
+),
+agg as (
+  select band, count(*)::BIGINT as n_shingles, sum(df)::BIGINT as n_postings
+  from b group by band
+)
+select band, n_shingles, n_postings,
+       ((n_postings * 1000000) // (sum(n_postings) over ()))::BIGINT
+         as posting_share_ppm
+from agg
+"""
+
+
+def q_event_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by value magnitude: events banded by the
+    DIGIT COUNT of their cent value (an exact log10 ladder — integer
+    string length, no ln), each band's event count, distinct spenders,
+    and share of total revenue — the "do big-ticket events dominate?"
+    readout complementing event_heavy_user_share's per-user activity
+    curve. Cents are floor(DECIMAL(18,4) × 100) (the float-parity
+    recipe); shares are integer ppm over a ≤6-row window. One scan, one
+    bounded groupBy — no per-user or ranking window anywhere."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "cast(floor(cast(value as decimal(18,4)) * 100) as bigint) as cents",
+    )
+    b = ev.selectExpr(
+        "cast(length(cast(cents as string)) as bigint) as band",
+        "user_id",
+        "cents",
+    )
+    agg = b.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn(
+        "__tot", F.sum("value_cents").over(wt)
+    ).selectExpr(
+        "band",
+        "n_events",
+        "n_users",
+        "value_cents",
+        "cast((value_cents * cast(1000000 as bigint)) div __tot as bigint)"
+        " as value_share_ppm",
+    )
+
+
+SQL_EVENT_VALUE_PARETO = """
+with ev as (
+  select user_id,
+         cast(floor(value::DECIMAL(18,4) * 100) as bigint) as cents
+  from events
+),
+b as (
+  select length(cents::VARCHAR)::BIGINT as band, user_id, cents from ev
+),
+agg as (
+  select band, count(*)::BIGINT as n_events,
+         count(distinct user_id)::BIGINT as n_users,
+         sum(cents)::BIGINT as value_cents
+  from b group by band
+)
+select band, n_events, n_users, value_cents,
+       ((value_cents * 1000000) // (sum(value_cents) over ()))::BIGINT
+         as value_share_ppm
+from agg
+"""
+
+
+# --- session-32: weekday profile, url extensions, touch journey,
+#     freshness SLA -----------------------------------------------------------
+
+
+def q_event_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday/weekend traffic split per event type with the weekend
+    daily lift — the day-of-week seasonal axis that
+    event_hourly_seasonality's |types|×24 hour rollup doesn't cover.
+    Day-of-week is pure epoch arithmetic ((epoch_day + 3) % 7, Monday=0
+    — epoch day 0 was a Thursday), never an engine date function (Spark
+    dayofweek and DuckDB dayofweek disagree on the origin). The lift
+    normalizes per-day: (n_weekend/2 days) / (n_weekday/5 days) in
+    integer ppm. One scan, one bounded groupBy."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    d = ev.selectExpr(
+        "event_type",
+        "cast((ts_ms div 86400000 + 3) % 7 as bigint) as dow",
+    )
+    agg = d.groupBy("event_type").agg(
+        F.sum(F.expr("case when dow <= 4 then 1 else 0 end"))
+        .cast("long")
+        .alias("n_weekday"),
+        F.sum(F.expr("case when dow >= 5 then 1 else 0 end"))
+        .cast("long")
+        .alias("n_weekend"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_weekday",
+        "n_weekend",
+        "cast((n_weekend * cast(5000000 as bigint))"
+        " div nullif(n_weekday * cast(2 as bigint), 0) as bigint)"
+        " as weekend_daily_lift_ppm",
+    )
+
+
+SQL_EVENT_WEEKDAY_PROFILE = """
+with ev as (select event_type, epoch_ms(ts) as ts_ms from events),
+d as (
+  select event_type, ((ts_ms // 86400000 + 3) % 7)::BIGINT as dow from ev
+),
+agg as (
+  select event_type,
+         sum(case when dow <= 4 then 1 else 0 end)::BIGINT as n_weekday,
+         sum(case when dow >= 5 then 1 else 0 end)::BIGINT as n_weekend
+  from d group by event_type
+)
+select event_type, n_weekday, n_weekend,
+       ((n_weekend * 5000000) // nullif(n_weekday * 2, 0))::BIGINT
+         as weekend_daily_lift_ppm
+from agg
+"""
+
+
+#: URL set with planted file extensions (and a no-extension control) —
+#: shared verbatim between engines
+_EXT_URL_EXPR = f"""'https://' || source || '.example/f/' || {_ID_STR} ||
+  case cast(doc_id % 6 as int)
+    when 0 then '.html' when 1 then '.pdf' when 2 then '.jpg'
+    when 3 then '.css' when 4 then '.js' else '' end"""
+#: estimated response bytes (same synthesis as crawl_bandwidth_admit)
+_EST_BYTES_EXPR = "(200 + (doc_id * 131) % 5000)"
+
+
+def q_url_extension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-extension mix of the frontier: per extension parsed from the
+    URL path (regexp, '(none)' bucket for extensionless URLs), URL
+    count, distinct hosts, estimated bytes, and URL share — the
+    fetch-planning table that says how much of the byte budget is
+    non-HTML (complements mime_sniff, which inspects BYTES; this
+    inspects the URL before fetching). One scan, codegen projections,
+    one bounded groupBy, ≤6-row share window."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.selectExpr(
+        f"{_EXT_URL_EXPR} as url",
+        f"{HOST_EXPR} as host",
+        f"cast({_EST_BYTES_EXPR} as bigint) as est_bytes",
+    )
+    e = u.selectExpr(
+        "case when regexp_extract(url, '[.]([a-z0-9]+)$', 1) = ''"
+        " then '(none)' else regexp_extract(url, '[.]([a-z0-9]+)$', 1)"
+        " end as ext",
+        "host",
+        "est_bytes",
+    )
+    agg = e.groupBy("ext").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("est_bytes").cast("long").alias("bytes_total"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_urls").over(wt)).selectExpr(
+        "ext",
+        "n_urls",
+        "n_hosts",
+        "bytes_total",
+        "cast((n_urls * cast(1000000 as bigint)) div __tot as bigint)"
+        " as url_share_ppm",
+    )
+
+
+SQL_URL_EXTENSION_STATS = f"""
+with u as (
+  select {_EXT_URL_EXPR} as url, {HOST_EXPR} as host,
+         {_EST_BYTES_EXPR}::BIGINT as est_bytes
+  from documents
+),
+e as (
+  select case when regexp_extract(url, '[.]([a-z0-9]+)$', 1) = ''
+              then '(none)'
+              else regexp_extract(url, '[.]([a-z0-9]+)$', 1) end as ext,
+         host, est_bytes
+  from u
+),
+agg as (
+  select ext, count(*)::BIGINT as n_urls,
+         count(distinct host)::BIGINT as n_hosts,
+         sum(est_bytes)::BIGINT as bytes_total
+  from e group by ext
+)
+select ext, n_urls, n_hosts, bytes_total,
+       ((n_urls * 1000000) // (sum(n_urls) over ()))::BIGINT as url_share_ppm
+from agg
+"""
+
+
+def q_event_touch_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution journey (operators/events.touch_journey):
+    per conversion, FIRST and LAST prior click, prior-touch count and
+    journey span — first-click and last-click credit from ONE window
+    sort (three frame aggregates over the same ROWS frame ending
+    1 PRECEDING), no self-join. The disagreement flag (is_multi_path)
+    is the audit for whether the single-model event_attribution report
+    under-credits discovery channels."""
+    from .operators.events import touch_journey
+
+    return touch_journey(_events_ms(spark, sf_dir))
+
+
+def _sql_event_touch_journey() -> str:
+    from .operators.events import touch_journey_sql
+
+    return touch_journey_sql(_EVENTS_MS_CTE)
+
+
+#: planted per-URL age since last fetch, hours (shared verbatim)
+_AGE_HOURS_EXPR = "cast(doc_id % 200 as bigint)"
+
+
+def q_crawl_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-SLA compliance: join every URL's age-since-last-fetch
+    against its host's change-rate-derived recrawl interval
+    (crawl_change_rate's Cho/Garcia-Molina ladder) and report per-host
+    staleness — the ops dashboard for "is the recrawl scheduler keeping
+    up". Shape: the bounded change-rate rollup joins the URL table on
+    host (plain shuffle join — host cardinality is unbounded at web
+    scale, so no broadcast hint; AQE may still choose one when the
+    rollup is tiny), then one groupBy host."""
+    rates = q_crawl_change_rate(spark, sf_dir).select(
+        "host", "recrawl_hours"
+    )
+    ages = _t(spark, sf_dir, "documents").selectExpr(
+        f"{HOST_EXPR} as host",
+        f"{_AGE_HOURS_EXPR} as age_hours",
+    )
+    j = ages.join(rates, "host")
+    return j.groupBy("host", "recrawl_hours").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.expr("case when age_hours > recrawl_hours then 1 else 0 end"))
+        .cast("long")
+        .alias("n_stale"),
+    ).selectExpr(
+        "host",
+        "recrawl_hours",
+        "n_urls",
+        "n_stale",
+        "cast((n_stale * cast(1000000 as bigint)) div n_urls as bigint)"
+        " as stale_ppm",
+    )
+
+
+def _sql_crawl_freshness_sla() -> str:
+    inner = SQL_CRAWL_CHANGE_RATE
+    return f"""
+with rates as ({inner}),
+ages as (
+  select {HOST_EXPR} as host, {_AGE_HOURS_EXPR} as age_hours from documents
+),
+j as (
+  select a.host, r.recrawl_hours, a.age_hours
+  from ages a join rates r on a.host = r.host
+),
+agg as (
+  select host, recrawl_hours, count(*)::BIGINT as n_urls,
+         sum(case when age_hours > recrawl_hours then 1 else 0 end)::BIGINT
+           as n_stale
+  from j group by host, recrawl_hours
+)
+select host, recrawl_hours, n_urls, n_stale,
+       ((n_stale * 1000000) // n_urls)::BIGINT as stale_ppm
+from agg
+"""
+
+
+# --- session-33: hedged fetch plan, url hygiene, paragraph lengths,
+#     type share drift --------------------------------------------------------
+
+#: fetch-latency synthesis with host-dependent heavy tails: hosts whose
+#: source index % 4 is k see ~k/13 of fetches in the 2500+ms tail — so
+#: p95 crosses the 2×p50 hedging gate for SOME hosts only. Shared
+#: verbatim; the rotation modulus 13 is coprime with the 20-source cycle
+#: (a modulus sharing a factor with 20 made the predicate CONSTANT per
+#: host — every host all-tail or all-base, nobody hedging).
+_HEDGE_LAT_EXPR = (
+    "case when (doc_id * 7) % 13 < (doc_id % 20) % 4"
+    " then 2500 + (doc_id % 500)"
+    " else 50 + (doc_id * 97) % 900 end"
+)
+
+
+def q_crawl_hedged_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency hedging plan: hosts whose p95 exceeds 2×p50 get
+    duplicate ("hedged") requests for the slowest decile — the classic
+    tail-at-scale mitigation, planned from the exact discrete quantiles
+    of crawl_latency_quantiles (same operator, heavier-tailed synthetic
+    log). n_hedged = ceil(n/10) by integer arithmetic; the saving
+    estimate (p95−p50 per hedged fetch) is exact BIGINT. Shape: the
+    per-host quantile rollup (one host-partitioned window) plus codegen
+    projections — nothing new shuffles."""
+    from .operators.scheduler import latency_quantiles
+
+    log = _t(spark, sf_dir, "documents").select(
+        F.expr(HOST_EXPR).alias("host"),
+        F.expr(_HEDGE_LAT_EXPR).cast("long").alias("latency_ms"),
+    )
+    qs = latency_quantiles(log)
+    return qs.selectExpr(
+        "host",
+        "n_fetches",
+        "p50_ms",
+        "p95_ms",
+        "cast(case when p95_ms > 2 * p50_ms then 1 else 0 end as bigint)"
+        " as hedge",
+        "cast(case when p95_ms > 2 * p50_ms"
+        " then (n_fetches + 9) div 10 else 0 end as bigint) as n_hedged",
+        "cast(case when p95_ms > 2 * p50_ms"
+        " then ((n_fetches + 9) div 10) * (p95_ms - p50_ms)"
+        " else 0 end as bigint) as est_saved_ms",
+    )
+
+
+def _sql_crawl_hedged_fetch_plan() -> str:
+    from .operators.scheduler import latency_quantiles_sql
+
+    inner = latency_quantiles_sql(
+        f"select {HOST_EXPR} as host,"
+        f" ({_HEDGE_LAT_EXPR})::BIGINT as latency_ms from documents"
+    )
+    return f"""
+with qs as ({inner})
+select host, n_fetches, p50_ms, p95_ms,
+       (case when p95_ms > 2 * p50_ms then 1 else 0 end)::BIGINT as hedge,
+       (case when p95_ms > 2 * p50_ms then (n_fetches + 9) // 10
+             else 0 end)::BIGINT as n_hedged,
+       (case when p95_ms > 2 * p50_ms
+             then ((n_fetches + 9) // 10) * (p95_ms - p50_ms)
+             else 0 end)::BIGINT as est_saved_ms
+from qs
+"""
+
+
+def q_url_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-hygiene audit: per host, how many RAW frontier spellings need
+    each canonicalization rule — uppercase scheme/host, explicit default
+    port, fragment — and the overall dirty share. This is the
+    measurement face of crawl_canonicalize: it sizes how much dedup the
+    canonicalizer is buying per host (a host emitting only clean URLs
+    can skip the normalize stage in an incremental recrawl). Pure
+    string predicates (lower/instr — exact in both engines), one scan,
+    one groupBy."""
+    u = _t(spark, sf_dir, "documents").selectExpr(
+        f"{RAW_URL_EXPR} as raw", f"{HOST_EXPR} as host"
+    )
+    flags = u.selectExpr(
+        "host",
+        "case when raw != lower(raw) then 1 else 0 end as f_case",
+        "case when instr(raw, ':443/') > 0 then 1 else 0 end as f_port",
+        "case when instr(raw, '#') > 0 then 1 else 0 end as f_frag",
+    )
+    return flags.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("f_case").cast("long").alias("n_case"),
+        F.sum("f_port").cast("long").alias("n_port"),
+        F.sum("f_frag").cast("long").alias("n_frag"),
+        F.expr(
+            "cast((sum(case when f_case + f_port + f_frag > 0 then 1"
+            " else 0 end) * cast(1000000 as bigint)) div count(*) as bigint)"
+        ).alias("dirty_ppm"),
+    )
+
+
+SQL_URL_HYGIENE_AUDIT = f"""
+with u as (select {RAW_URL_EXPR} as raw, {HOST_EXPR} as host from documents),
+flags as (
+  select host,
+         case when raw != lower(raw) then 1 else 0 end as f_case,
+         case when instr(raw, ':443/') > 0 then 1 else 0 end as f_port,
+         case when instr(raw, '#') > 0 then 1 else 0 end as f_frag
+  from u
+)
+select host, count(*)::BIGINT as n_urls,
+       sum(f_case)::BIGINT as n_case,
+       sum(f_port)::BIGINT as n_port,
+       sum(f_frag)::BIGINT as n_frag,
+       ((sum(case when f_case + f_port + f_frag > 0 then 1 else 0 end)
+         * 1000000) // count(*))::BIGINT as dirty_ppm
+from flags group by host
+"""
+
+
+def q_text_paragraph_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-length histogram of the chunked corpus: documents split
+    into ≤PARA_WORDS-word chunks (the same PARA_CHUNK_RE grammar
+    dedup_paragraph hashes), then one row per exact chunk length with
+    chunk count, token mass and token share — the packing-relevant
+    shape readout (how much of the corpus sits in full chunks vs
+    ragged remainders). Token count per chunk is space-counting via
+    replace-and-diff (exact, global in both engines). Shape: one scan,
+    one bounded explode (chunks per doc ≤ len/PARA_WORDS + 1), a
+    ≤PARA_WORDS-row groupBy and share window."""
+    from .operators.dedup import PARA_CHUNK_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{PARA_CHUNK_RE}', 0)")
+        ).alias("chunk")
+    )
+    n = chunks.selectExpr(
+        "cast(length(chunk) - length(replace(chunk, ' ', '')) + 1"
+        " as bigint) as n_tok"
+    )
+    agg = n.groupBy("n_tok").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+    ).selectExpr("n_tok", "n_chunks", "n_tok * n_chunks as n_tokens")
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_tokens").over(wt)).selectExpr(
+        "n_tok",
+        "n_chunks",
+        "n_tokens",
+        "cast((n_tokens * cast(1000000 as bigint)) div __tot as bigint)"
+        " as token_share_ppm",
+    )
+
+
+def _sql_text_paragraph_length_profile() -> str:
+    from .operators.dedup import PARA_CHUNK_RE
+
+    return f"""
+with chunks as (
+  select unnest(regexp_extract_all(text, '{PARA_CHUNK_RE}', 0)) as chunk
+  from documents
+),
+n as (
+  select (length(chunk) - length(replace(chunk, ' ', '')) + 1)::BIGINT
+           as n_tok
+  from chunks
+),
+agg as (
+  select n_tok, count(*)::BIGINT as n_chunks,
+         (n_tok * count(*))::BIGINT as n_tokens
+  from n group by n_tok
+)
+select n_tok, n_chunks, n_tokens,
+       ((n_tokens * 1000000) // (sum(n_tokens) over ()))::BIGINT
+         as token_share_ppm
+from agg
+"""
+
+
+def q_event_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix drift: each type's traffic share in the first vs second
+    half of the observation window (split at the midpoint of the
+    min/max timestamp — pure epoch arithmetic) and the signed share
+    delta — the monitoring table that catches instrumentation changes
+    and product-mix shifts between corpus snapshots. Shape: one scan,
+    a 1-row min/max broadcast, one bounded groupBy, ≤|types|-row share
+    windows; all integer ppm."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    span = ev.agg(
+        F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+    )
+    half = ev.crossJoin(F.broadcast(span)).selectExpr(
+        "event_type",
+        "case when ts_ms * 2 < lo + hi then 0 else 1 end as h",
+    )
+    agg = half.groupBy("event_type").agg(
+        F.sum(F.expr("case when h = 0 then 1 else 0 end"))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.expr("case when h = 1 then 1 else 0 end"))
+        .cast("long")
+        .alias("n_second"),
+    )
+    wt = Window.partitionBy()
+    return (
+        agg.withColumn("__t1", F.sum("n_first").over(wt))
+        .withColumn("__t2", F.sum("n_second").over(wt))
+        .selectExpr(
+            "event_type",
+            "n_first",
+            "n_second",
+            "cast((n_first * cast(1000000 as bigint)) div __t1 as bigint)"
+            " as share_first_ppm",
+            "cast((n_second * cast(1000000 as bigint)) div __t2 as bigint)"
+            " as share_second_ppm",
+            "cast((n_second * cast(1000000 as bigint)) div __t2"
+            " - (n_first * cast(1000000 as bigint)) div __t1 as bigint)"
+            " as drift_ppm",
+        )
+    )
+
+
+SQL_EVENT_TYPE_SHARE_DRIFT = """
+with ev as (select event_type, epoch_ms(ts) as ts_ms from events),
+span as (select min(ts_ms) as lo, max(ts_ms) as hi from ev),
+half as (
+  select event_type,
+         case when ts_ms * 2 < lo + hi then 0 else 1 end as h
+  from ev cross join span
+),
+agg as (
+  select event_type,
+         sum(case when h = 0 then 1 else 0 end)::BIGINT as n_first,
+         sum(case when h = 1 then 1 else 0 end)::BIGINT as n_second
+  from half group by event_type
+)
+select event_type, n_first, n_second,
+       ((n_first * 1000000) // (sum(n_first) over ()))::BIGINT
+         as share_first_ppm,
+       ((n_second * 1000000) // (sum(n_second) over ()))::BIGINT
+         as share_second_ppm,
+       ((n_second * 1000000) // (sum(n_second) over ())
+        - (n_first * 1000000) // (sum(n_first) over ()))::BIGINT
+         as drift_ppm
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -12180,6 +12874,42 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "mm_frame_budget_plan": QueryDef(
         q_mm_frame_budget_plan, SQL_MM_FRAME_BUDGET_PLAN
+    ),
+    "traindata_temperature_sweep": QueryDef(
+        q_traindata_temperature_sweep, SQL_TRAINDATA_TEMPERATURE_SWEEP
+    ),
+    "text_numeric_density": QueryDef(
+        q_text_numeric_density, SQL_TEXT_NUMERIC_DENSITY
+    ),
+    "dedup_shingle_df_profile": QueryDef(
+        q_dedup_shingle_df_profile, SQL_DEDUP_SHINGLE_DF_PROFILE
+    ),
+    "event_value_pareto": QueryDef(
+        q_event_value_pareto, SQL_EVENT_VALUE_PARETO
+    ),
+    "event_weekday_profile": QueryDef(
+        q_event_weekday_profile, SQL_EVENT_WEEKDAY_PROFILE
+    ),
+    "url_extension_stats": QueryDef(
+        q_url_extension_stats, SQL_URL_EXTENSION_STATS
+    ),
+    "event_touch_journey": QueryDef(
+        q_event_touch_journey, _sql_event_touch_journey()
+    ),
+    "crawl_freshness_sla": QueryDef(
+        q_crawl_freshness_sla, _sql_crawl_freshness_sla()
+    ),
+    "crawl_hedged_fetch_plan": QueryDef(
+        q_crawl_hedged_fetch_plan, _sql_crawl_hedged_fetch_plan()
+    ),
+    "url_hygiene_audit": QueryDef(
+        q_url_hygiene_audit, SQL_URL_HYGIENE_AUDIT
+    ),
+    "text_paragraph_length_profile": QueryDef(
+        q_text_paragraph_length_profile, _sql_text_paragraph_length_profile()
+    ),
+    "event_type_share_drift": QueryDef(
+        q_event_type_share_drift, SQL_EVENT_TYPE_SHARE_DRIFT
     ),
 }
 

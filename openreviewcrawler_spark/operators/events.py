@@ -598,3 +598,94 @@ select event_id::BIGINT as convert_event_id, user_id::BIGINT as user_id,
 from t
 where event_type = '{convert_type}' and touch_event_id is not null
 """
+
+
+def touch_journey(
+    events: DataFrame,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch journey summary per conversion: FIRST prior touch
+    (first-click credit), LAST prior touch (last-click credit), the
+    number of prior touches and the journey span — the table that
+    decides whether first- and last-touch reports can disagree (they do
+    exactly when ``n_prior_touches > 1`` and the endpoints differ).
+    Complements :func:`last_touch_attribution` (single-model view).
+
+    Scale shape: identical to last-touch — ONE shuffle on the user key;
+    first/last/count all ride the SAME running ROWS frame ending
+    1 PRECEDING (one window sort, three frame aggregates), no self-join.
+    ``F.count`` over the CASE column skips nulls, so it counts touches
+    only. Integer-only output."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_id = F.when(F.col(type_col) == touch_type, F.col(id_col))
+    touch_ts = F.when(F.col(type_col) == touch_type, F.col(ts_col))
+    out = (
+        events.withColumn("first_touch_id", F.first(touch_id, True).over(w))
+        .withColumn("last_touch_id", F.last(touch_id, True).over(w))
+        .withColumn("first_touch_ts", F.first(touch_ts, True).over(w))
+        .withColumn("last_touch_ts", F.last(touch_ts, True).over(w))
+        .withColumn("n_prior_touches", F.count(touch_id).over(w))
+        .filter(
+            (F.col(type_col) == convert_type)
+            & F.col("first_touch_id").isNotNull()
+        )
+    )
+    return out.select(
+        F.col(id_col).cast("long").alias("convert_event_id"),
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col("first_touch_id").cast("long").alias("first_touch_id"),
+        F.col("last_touch_id").cast("long").alias("last_touch_id"),
+        F.col("n_prior_touches").cast("long").alias("n_prior_touches"),
+        (F.col("last_touch_ts") - F.col("first_touch_ts"))
+        .cast("long")
+        .alias("journey_span_ms"),
+        F.expr(
+            "cast(case when first_touch_id = last_touch_id then 0 else 1 end"
+            " as bigint)"
+        ).alias("is_multi_path"),
+    )
+
+
+def touch_journey_sql(
+    events_cte: str,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+) -> str:
+    """DuckDB twin of :func:`touch_journey`. ``events_cte`` must select
+    (user_id, event_id, event_type, ts_ms)."""
+    frame = (
+        "partition by user_id order by ts_ms, event_id "
+        "rows between unbounded preceding and 1 preceding"
+    )
+    tid = f"case when event_type = '{touch_type}' then event_id end"
+    tts = f"case when event_type = '{touch_type}' then ts_ms end"
+    return f"""
+with ev as ({events_cte}),
+t as (
+  select user_id, event_id, event_type, ts_ms,
+         first_value({tid} ignore nulls) over ({frame}) as first_touch_id,
+         last_value({tid} ignore nulls) over ({frame}) as last_touch_id,
+         first_value({tts} ignore nulls) over ({frame}) as first_touch_ts,
+         last_value({tts} ignore nulls) over ({frame}) as last_touch_ts,
+         count({tid}) over ({frame}) as n_prior_touches
+  from ev
+)
+select event_id::BIGINT as convert_event_id, user_id::BIGINT as user_id,
+       first_touch_id::BIGINT as first_touch_id,
+       last_touch_id::BIGINT as last_touch_id,
+       n_prior_touches::BIGINT as n_prior_touches,
+       (last_touch_ts - first_touch_ts)::BIGINT as journey_span_ms,
+       (case when first_touch_id = last_touch_id then 0 else 1 end)::BIGINT
+         as is_multi_path
+from t
+where event_type = '{convert_type}' and first_touch_id is not null
+"""
