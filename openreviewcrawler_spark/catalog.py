@@ -12359,6 +12359,239 @@ from agg
 """
 
 
+# --- session-34: distance histogram, user type diversity, value/activity
+#     correlation, pagination mining -----------------------------------------
+
+
+def q_graph_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier radius profile: node count per BFS discovery depth plus
+    an explicit depth=-1 row for nodes unreachable from the seed set —
+    the "how deep does the crawl actually go, and what fraction of the
+    known graph can seeds never reach" readout over graph_bfs_depth's
+    frontier expansion. The node universe is every edge endpoint
+    (single-explode — never union-of-selects over the same scan, the r3
+    union-embeds lesson); shares are integer ppm of the universe."""
+    reached = q_graph_bfs_depth(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    uni = docs.select(
+        F.explode(
+            F.array(
+                F.expr("doc_id % 100"), F.expr("(doc_id * 7 + 3) % 83")
+            )
+        ).alias("node")
+    ).distinct()
+    h = reached.groupBy("depth").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    un = (
+        uni.join(reached.select("node"), "node", "left_anti")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .selectExpr("cast(-1 as bigint) as depth", "n_nodes")
+    )
+    tot = uni.agg(F.count("*").cast("long").alias("__n"))
+    return (
+        h.unionByName(un)
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "depth",
+            "n_nodes",
+            "cast((n_nodes * cast(1000000 as bigint)) div __n as bigint)"
+            " as node_share_ppm",
+        )
+    )
+
+
+def _sql_graph_distance_histogram() -> str:
+    inner = _sql_graph_bfs_depth()
+    return f"""
+with reached as (select * from ({inner})),
+uni as (
+  select distinct node from (
+    select unnest([doc_id % 100, (doc_id * 7 + 3) % 83]) as node
+    from documents
+  )
+),
+h as (select depth, count(*)::BIGINT as n_nodes from reached group by depth),
+u as (
+  select (-1)::BIGINT as depth, count(*)::BIGINT as n_nodes
+  from uni where node not in (select node from reached)
+),
+tot as (select count(*)::BIGINT as n from uni)
+select depth, n_nodes,
+       ((n_nodes * 1000000) // n)::BIGINT as node_share_ppm
+from (select * from h union all select * from u) cross join tot
+"""
+
+
+def q_event_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity via the Herfindahl index of the
+    user's event-type distribution — HHI = Σ share² in exact integer
+    ppm ((Σ n_t²)·10⁶ div n², no floats, no ln — the entropy twin the
+    repr() gate can't accept). 10⁶ = single-type specialist, 10⁶/k =
+    uniform over k types. Shape: one groupBy on (user, type) with
+    map-side partials, one groupBy on user — the |types|-bounded cell
+    table, never a per-event window."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n_t")
+    )
+    return cells.groupBy("user_id").agg(
+        F.sum("n_t").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.expr(
+            "cast((sum(n_t * n_t) * cast(1000000 as bigint))"
+            " div (sum(n_t) * sum(n_t)) as bigint)"
+        ).alias("hhi_ppm"),
+    )
+
+
+SQL_EVENT_USER_TYPE_DIVERSITY = """
+with cells as (
+  select user_id, event_type, count(*)::BIGINT as n_t
+  from events group by user_id, event_type
+)
+select user_id, sum(n_t)::BIGINT as n_events,
+       count(*)::BIGINT as n_types,
+       ((sum(n_t * n_t) * 1000000) // (sum(n_t) * sum(n_t)))::BIGINT
+         as hhi_ppm
+from cells group by user_id
+"""
+
+
+def q_event_value_vs_activity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do active users spend more? ONE row: the Pearson correlation of
+    (events per user, cents per user) over all users — the
+    assortativity float-parity recipe applied to the commerce ledger:
+    every moment is an INTEGER sum in DECIMAL(38,0) (exact,
+    associative), the correlation is per-value double arithmetic + one
+    sqrt (IEEE-correctly-rounded) over those exact moments, and the
+    output is floor-projected (the round() tie trap). Shape: one
+    groupBy on user, one global aggregate with map-side partials."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "cast(value as decimal(18,4)) as v"
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("x"),
+        F.expr("cast(floor(sum(v) * 100) as bigint)").alias("y"),
+    )
+    dec = "cast({e} as decimal(38,0))"
+    agg = per.agg(
+        F.count("*").alias("m"),
+        F.sum(F.expr(dec.format(e="x"))).alias("sx"),
+        F.sum(F.expr(dec.format(e="y"))).alias("sy"),
+        F.sum(F.expr(dec.format(e="x * y"))).alias("sxy"),
+        F.sum(F.expr(dec.format(e="x * x"))).alias("sxx"),
+        F.sum(F.expr(dec.format(e="y * y"))).alias("syy"),
+    )
+    return agg.selectExpr(
+        "cast(m as bigint) as n_users",
+        *_CORR_PROJ,
+    )
+
+
+#: Pearson projection over exact moments — IDENTICAL text in both engines.
+#: NB: no decimal-point literals — Spark SQL parses `1000000.0` as
+#: DECIMAL(8,1) (the DataFrame-API F.lit(1e6) is a double), which drags
+#: the whole quotient into decimal; cast(1000000 as double) keeps both
+#: engines in IEEE doubles.
+_CORR_PROJ = [
+    "case when (cast(m as double) * cast(sxx as double)"
+    " - cast(sx as double) * cast(sx as double)) > 0.0"
+    " and (cast(m as double) * cast(syy as double)"
+    " - cast(sy as double) * cast(sy as double)) > 0.0"
+    " then floor((cast(m as double) * cast(sxy as double)"
+    " - cast(sx as double) * cast(sy as double))"
+    " / (sqrt(cast(m as double) * cast(sxx as double)"
+    " - cast(sx as double) * cast(sx as double))"
+    " * sqrt(cast(m as double) * cast(syy as double)"
+    " - cast(sy as double) * cast(sy as double)))"
+    " * cast(1000000 as double)) / cast(1000000 as double)"
+    " end as r_corr",
+]
+
+SQL_EVENT_VALUE_VS_ACTIVITY_CORR = f"""
+with ev as (
+  select user_id, value::DECIMAL(18,4) as v from events
+),
+per as (
+  select user_id, count(*)::BIGINT as x,
+         cast(floor(sum(v) * 100) as bigint) as y
+  from ev group by user_id
+),
+agg as (
+  select count(*) as m,
+         sum(cast(x as decimal(38,0))) as sx,
+         sum(cast(y as decimal(38,0))) as sy,
+         sum(cast(x * y as decimal(38,0))) as sxy,
+         sum(cast(x * x as decimal(38,0))) as sxx,
+         sum(cast(y * y as decimal(38,0))) as syy
+  from per
+)
+select cast(m as bigint) as n_users, {_CORR_PROJ[0]}
+from agg
+"""
+
+
+#: frontier with planted pagination: query-param pages (depth ≤ 39), path
+#: pages (depth ≤ 11), and unpaginated controls — shared verbatim. Branch
+#: selector is doc_id % 7, coprime with the 20-source cycle, so every
+#: host MIXES paginated and plain URLs (a selector sharing a factor with
+#: 20 makes the branch constant per host — the hedge-latency trap).
+_PAGED_URL_EXPR = f"""case cast(doc_id % 7 as int)
+  when 0 then 'https://' || source || '.example/list?page=' ||
+    cast(doc_id % 40 as varchar(10))
+  when 1 then 'https://' || source || '.example/list?page=' ||
+    cast(doc_id % 40 as varchar(10))
+  when 3 then 'https://' || source || '.example/archive/page/' ||
+    cast(doc_id % 12 as varchar(10))
+  else 'https://' || source || '.example/d/' || {_ID_STR}
+end"""
+
+
+def q_url_pagination_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination-ladder mining: detect page-number URLs (both the
+    ?page=N query idiom and the /page/N path idiom), and per host
+    report the paginated share, the deepest observed page and a crawl
+    page-cap recommendation (min(max_page, 10) — beyond the cap,
+    listing pages are recrawl-churn, the Cho-ladder's pagination
+    cousin). Complements url_template_mine (generic templates) and
+    url_session_param_detect (session tokens) with the
+    pagination-specific policy. NULL-safe page parse via
+    nullif-then-cast (ANSI cast('') errors). One scan, one groupBy."""
+    u = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_PAGED_URL_EXPR} as url", f"{HOST_EXPR} as host"
+    )
+    p = u.selectExpr(
+        "host",
+        "cast(nullif(regexp_extract(url, '(page=|/page/)([0-9]+)', 2), '')"
+        " as bigint) as page_no",
+    )
+    return p.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.count("page_no").cast("long").alias("n_paginated"),
+        F.max("page_no").cast("long").alias("max_page"),
+        F.expr("cast(least(max(page_no), 10) as bigint)").alias("page_cap"),
+    )
+
+
+SQL_URL_PAGINATION_DETECT = f"""
+with u as (
+  select {_PAGED_URL_EXPR} as url, {HOST_EXPR} as host from documents
+),
+p as (
+  select host,
+         cast(nullif(regexp_extract(url, '(page=|/page/)([0-9]+)', 2), '')
+              as bigint) as page_no
+  from u
+)
+select host, count(*)::BIGINT as n_urls,
+       count(page_no)::BIGINT as n_paginated,
+       max(page_no)::BIGINT as max_page,
+       least(max(page_no), 10)::BIGINT as page_cap
+from p group by host
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -12910,6 +13143,18 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_type_share_drift": QueryDef(
         q_event_type_share_drift, SQL_EVENT_TYPE_SHARE_DRIFT
+    ),
+    "graph_distance_histogram": QueryDef(
+        q_graph_distance_histogram, _sql_graph_distance_histogram()
+    ),
+    "event_user_type_diversity": QueryDef(
+        q_event_user_type_diversity, SQL_EVENT_USER_TYPE_DIVERSITY
+    ),
+    "event_value_vs_activity_corr": QueryDef(
+        q_event_value_vs_activity_corr, SQL_EVENT_VALUE_VS_ACTIVITY_CORR
+    ),
+    "url_pagination_detect": QueryDef(
+        q_url_pagination_detect, SQL_URL_PAGINATION_DETECT
     ),
 }
 
