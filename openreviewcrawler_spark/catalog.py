@@ -12592,6 +12592,265 @@ from p group by host
 """
 
 
+# --- session-35: host value score, salt plan, quantization sweep, robots
+#     refetch schedule --------------------------------------------------------
+
+
+def q_host_crawl_value_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite host crawl-value score: the quality rollup
+    (host_quality_rollup's decimal-exact mean) and the fetch-reliability
+    rollup (crawl_error_rate_by_host's fail ppm) joined into one
+    0..2000-point score with a 5-way priority tier — the table a budget
+    allocator actually consumes (quality says the content is worth
+    having, reliability says the fetches will land). Both inputs are
+    bounded host tables; the join is host-keyed (no broadcast hint —
+    host cardinality is unbounded at web scale) and the projections are
+    integer/per-row-double only (floor of identical doubles is
+    cross-engine exact)."""
+    qr = q_host_quality_rollup(spark, sf_dir).select("host", "n_docs", "mean_quality")
+    er = q_crawl_error_rate_by_host(spark, sf_dir).select("host", "fail_ppm")
+    j = qr.join(er, "host")
+    return j.selectExpr(
+        "host",
+        "n_docs",
+        "cast(floor(mean_quality * cast(1000 as double)) as bigint)"
+        " as quality_pts",
+        "cast((cast(1000000 as bigint) - fail_ppm) div 1000 as bigint)"
+        " as reliability_pts",
+    ).selectExpr(
+        "host",
+        "n_docs",
+        "quality_pts",
+        "reliability_pts",
+        "quality_pts + reliability_pts as value_score",
+        "cast((quality_pts + reliability_pts) div 500 as bigint) as tier",
+    )
+
+
+def _sql_host_crawl_value_score() -> str:
+    return f"""
+with qr as (select * from ({SQL_HOST_QUALITY_ROLLUP})),
+er as (select * from ({SQL_CRAWL_ERROR_RATE_BY_HOST})),
+j as (
+  select qr.host, qr.n_docs,
+         cast(floor(qr.mean_quality * cast(1000 as double)) as bigint)
+           as quality_pts,
+         ((1000000 - er.fail_ppm) // 1000)::BIGINT as reliability_pts
+  from qr join er on qr.host = er.host
+)
+select host, n_docs, quality_pts, reliability_pts,
+       (quality_pts + reliability_pts)::BIGINT as value_score,
+       ((quality_pts + reliability_pts) // 500)::BIGINT as tier
+from j
+"""
+
+
+#: per-host partition cap = 2x the mean host load; hot hosts split into
+#: at most 8 salted sub-keys
+_SALT_MAX = 8
+
+
+def q_crawl_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-host salting plan: per host, how many salted sub-partitions
+    the frontier shuffle should spread it over — ceil(n_urls / cap)
+    clamped to {_SALT_MAX}, cap = 2× the mean per-host load — the
+    executable face of the north rule's "salt hot hosts to break skew"
+    over the deliberately Zipf-skewed host synthesis (a uniform host
+    space would make every salt 1). All integer arithmetic; the global
+    mean rides the accepted 1-row broadcast. One scan, one bounded
+    groupBy."""
+    hosts = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_BINPACK_HOST_EXPR} as host"
+    ).groupBy("host").agg(F.count("*").cast("long").alias("n_urls"))
+    tot = hosts.agg(
+        F.sum("n_urls").cast("long").alias("__n"),
+        F.count("*").cast("long").alias("__h"),
+    )
+    return hosts.crossJoin(F.broadcast(tot)).selectExpr(
+        "host",
+        "n_urls",
+        "cast(2 * ((__n + __h - 1) div __h) as bigint) as cap",
+        f"cast(least((n_urls + 2 * ((__n + __h - 1) div __h) - 1)"
+        f" div (2 * ((__n + __h - 1) div __h)), {_SALT_MAX}) as bigint)"
+        " as salt_factor",
+    )
+
+
+SQL_CRAWL_SALT_PLAN = f"""
+with hosts as (
+  select {_BINPACK_HOST_EXPR} as host, count(*)::BIGINT as n_urls
+  from documents group by 1
+),
+tot as (
+  select sum(n_urls)::BIGINT as n, count(*)::BIGINT as h from hosts
+)
+select host, n_urls,
+       (2 * ((n + h - 1) // h))::BIGINT as cap,
+       least((n_urls + 2 * ((n + h - 1) // h) - 1)
+             // (2 * ((n + h - 1) // h)), {_SALT_MAX})::BIGINT as salt_factor
+from hosts cross join tot
+"""
+
+
+#: quantization level grid: levels = 2^bits - 1 for bits in {{2,4,8}}
+_QSWEEP_LEVELS = (3, 15, 255)
+#: absolute reconstruction tolerance for the "ships as-is" gate
+_QSWEEP_TOL = 0.01
+
+
+def q_embedding_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization bit-width sweep: the embedding_quantize_qa affine
+    recon-error analysis at 2/4/8 bits in ONE pass — per level count of
+    vectors within the ship tolerance and total coarse elements, the
+    tuning curve that picks the narrowest width the corpus tolerates.
+    Same clamp/floor arithmetic as quantize_qa (per-element doubles,
+    bit-identical across engines); mn/mx/scale staged as COLUMNS before
+    any lambda touches them (lambda-capture re-inline lesson), and the
+    3-point level grid explodes AFTER the per-vector min/max so the
+    array scan runs once per vector, not once per level."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    s = v.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("mn"),
+        F.array_max("e").alias("mx"),
+    )
+    grid = s.select(
+        "vec_id",
+        "e",
+        "mn",
+        "mx",
+        F.explode(
+            F.array(*[F.lit(v_).cast("double") for v_ in _QSWEEP_LEVELS])
+        ).alias("lv"),
+    ).withColumn(
+        "qscale",
+        F.when(
+            F.col("mx") > F.col("mn"), (F.col("mx") - F.col("mn")) / F.col("lv")
+        ).otherwise(F.lit(1.0)),
+    )
+    mn, qs, lv = F.col("mn"), F.col("qscale"), F.col("lv")
+    dq = lambda x: mn + F.least(  # noqa: E731
+        lv, F.greatest(F.lit(0.0), F.floor((x - mn) / qs + F.lit(0.5)))
+    ) * qs
+    w = grid.withColumn(
+        "errs", F.transform(F.col("e"), lambda x: F.abs(x - dq(x)))
+    )
+    per = w.select(
+        "lv",
+        F.array_max("errs").alias("maxe"),
+        F.size(
+            F.filter("errs", lambda er: er > qs * F.lit(0.375))
+        ).cast("long").alias("n_coarse"),
+    )
+    agg = per.groupBy("lv").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("n_coarse").cast("long").alias("coarse_elems"),
+        F.sum(
+            F.expr(f"case when maxe <= {_QSWEEP_TOL} then 1 else 0 end")
+        ).cast("long").alias("n_within_tol"),
+    )
+    return agg.selectExpr(
+        "cast(lv as bigint) as levels",
+        "n_vectors",
+        "coarse_elems",
+        "n_within_tol",
+        "cast((n_within_tol * cast(1000000 as bigint)) div n_vectors"
+        " as bigint) as tol_ok_ppm",
+    )
+
+
+SQL_EMBEDDING_QUANTIZATION_SWEEP = f"""
+with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+s as (
+  select vec_id, e, list_min(e) as mn, list_max(e) as mx from v
+),
+grid as (
+  select vec_id, e, mn, mx,
+         unnest([{", ".join(f"{v_}.0" for v_ in _QSWEEP_LEVELS)}]) as lv
+  from s
+),
+g2 as (
+  select vec_id, e, mn, lv,
+         case when mx > mn then (mx - mn) / lv else 1.0 end as qscale
+  from grid
+),
+w as (
+  select lv, qscale,
+         list_transform(e, x -> abs(x - (mn + least(lv, greatest(0.0,
+           floor((x - mn) / qscale + 0.5))) * qscale))) as errs
+  from g2
+),
+per as (
+  select lv, list_max(errs) as maxe,
+         len(list_filter(errs, er -> er > qscale * 0.375))::BIGINT
+           as n_coarse
+  from w
+),
+agg as (
+  select lv, count(*)::BIGINT as n_vectors,
+         sum(n_coarse)::BIGINT as coarse_elems,
+         sum(case when maxe <= {_QSWEEP_TOL} then 1 else 0 end)::BIGINT
+           as n_within_tol
+  from per group by lv
+)
+select lv::BIGINT as levels, n_vectors, coarse_elems, n_within_tol,
+       ((n_within_tol * 1000000) // n_vectors)::BIGINT as tol_ok_ppm
+from agg
+"""
+
+
+#: robots.txt cache TTL (hours) and the planted per-host robots age
+_ROBOTS_TTL_H = 24
+_ROBOTS_AGE_EXPR = "cast(doc_id % 40 as bigint)"
+
+
+def q_crawl_robots_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt refetch schedule: per host, the MOST RECENT cached
+    robots capture (max over the fetch log), whether the 24 h TTL has
+    expired, and a deterministic jittered refetch slot (md5-derived
+    second-of-hour — every crawler refreshing robots at :00 sharp is a
+    thundering herd; the md5 spreads hosts uniformly and is the one
+    cross-engine-stable hash, CLAUDE.md). Complements
+    crawl_conditional_get (per-URL revalidation) with the robots-tier
+    policy. One groupBy on host plus codegen projections."""
+    log = _t(spark, sf_dir, "documents").selectExpr(
+        f"{HOST_EXPR} as host", f"{_ROBOTS_AGE_EXPR} as age_h"
+    )
+    per = log.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.min("age_h").cast("long").alias("age_hours"),
+    )
+    return per.selectExpr(
+        "host",
+        "n_captures",
+        "age_hours",
+        f"cast(case when age_hours >= {_ROBOTS_TTL_H} then 1 else 0 end"
+        " as bigint) as refetch_due",
+        "cast(cast(conv(substr(md5(host), 1, 8), 16, 10) as bigint) % 3600"
+        " as bigint) as refetch_slot_s",
+    )
+
+
+SQL_CRAWL_ROBOTS_FETCH_SCHEDULE = f"""
+with log as (
+  select {HOST_EXPR} as host, {_ROBOTS_AGE_EXPR} as age_h from documents
+),
+per as (
+  select host, count(*)::BIGINT as n_captures,
+         min(age_h)::BIGINT as age_hours
+  from log group by host
+)
+select host, n_captures, age_hours,
+       (case when age_hours >= {_ROBOTS_TTL_H} then 1 else 0 end)::BIGINT
+         as refetch_due,
+       ({_H32.format(x='host')} % 3600)::BIGINT as refetch_slot_s
+from per
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -13155,6 +13414,18 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "url_pagination_detect": QueryDef(
         q_url_pagination_detect, SQL_URL_PAGINATION_DETECT
+    ),
+    "host_crawl_value_score": QueryDef(
+        q_host_crawl_value_score, _sql_host_crawl_value_score()
+    ),
+    "crawl_salt_plan": QueryDef(
+        q_crawl_salt_plan, SQL_CRAWL_SALT_PLAN
+    ),
+    "embedding_quantization_sweep": QueryDef(
+        q_embedding_quantization_sweep, SQL_EMBEDDING_QUANTIZATION_SWEEP
+    ),
+    "crawl_robots_fetch_schedule": QueryDef(
+        q_crawl_robots_fetch_schedule, SQL_CRAWL_ROBOTS_FETCH_SCHEDULE
     ),
 }
 
