@@ -12851,6 +12851,252 @@ from per
 """
 
 
+# --- session-36: range coalescing, winnowing, parallelism plan --------------
+
+#: coalesce byte ranges whose inter-record gap is at most this many bytes
+_RANGE_GAP = 4096
+
+
+def q_warc_range_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range read coalescing over the WARC archive: given a
+    requested record subset (here: host h3's replay set) and the CDX
+    offsets, merge records whose gap is ≤ {_RANGE_GAP} B into single
+    range requests — object stores bill per request and S3-style GETs
+    dominate small-record replay, so the reader wants few fat ranges
+    with bounded waste. Gaps-and-islands per shard: a new range opens
+    when the offset jumps past prev_end + gap (explicit ROWS frames,
+    offset order is unique per shard by construction). Output: one row
+    per coalesced range with record count, payload bytes and waste."""
+    from .sources.warc import cdx_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    req = cdx_index(docs, n_shards=8).filter(F.col("doc_id") % 7 == 3)
+    w = Window.partitionBy("shard").orderBy("offset")
+    run = (
+        Window.partitionBy("shard")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = req.withColumn(
+        "prev_end", F.lag(F.col("offset") + F.col("record_len")).over(w)
+    ).withColumn(
+        "new_range",
+        F.expr(
+            "case when prev_end is null"
+            f" or offset - prev_end > {_RANGE_GAP} then 1 else 0 end"
+        ),
+    ).withColumn("range_id", F.sum("new_range").over(run))
+    return marked.groupBy("shard", "range_id").agg(
+        F.min("offset").cast("long").alias("range_start"),
+        F.max(F.col("offset") + F.col("record_len")).cast("long").alias("range_end"),
+        F.count("*").cast("long").alias("n_records"),
+        F.sum("record_len").cast("long").alias("payload_bytes"),
+    ).selectExpr(
+        "cast(shard as bigint) as shard",
+        "cast(range_id as bigint) as range_id",
+        "range_start",
+        "range_end",
+        "n_records",
+        "payload_bytes",
+        "range_end - range_start - payload_bytes as waste_bytes",
+    )
+
+
+def _sql_warc_range_coalesce() -> str:
+    return f"""
+with cdx as ({SQL_WARC_CDX_INDEX}),
+req as (select * from cdx where doc_id % 7 = 3),
+marked as (
+  select shard, "offset", record_len,
+         lag("offset" + record_len) over (
+           partition by shard order by "offset"
+         ) as prev_end
+  from req
+),
+flagged as (
+  select shard, "offset", record_len,
+         case when prev_end is null
+              or "offset" - prev_end > {_RANGE_GAP} then 1 else 0 end
+           as new_range
+  from marked
+),
+ranged as (
+  select shard, "offset", record_len,
+         sum(new_range) over (
+           partition by shard order by "offset"
+           rows between unbounded preceding and current row
+         ) as range_id
+  from flagged
+),
+agg as (
+  select shard, range_id,
+         min("offset")::BIGINT as range_start,
+         max("offset" + record_len)::BIGINT as range_end,
+         count(*)::BIGINT as n_records,
+         sum(record_len)::BIGINT as payload_bytes
+  from ranged group by shard, range_id
+)
+select shard::BIGINT as shard, range_id::BIGINT as range_id,
+       range_start, range_end, n_records, payload_bytes,
+       (range_end - range_start - payload_bytes)::BIGINT as waste_bytes
+from agg
+"""
+
+
+#: winnowing parameters: k-gram size and window width (Schleimer et al.,
+#: "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03)
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint profile (the MOSS algorithm): per document,
+    the min-hash of every sliding window of {_WINNOW_W} consecutive
+    {_WINNOW_K}-gram hashes, deduplicated — a LOCAL fingerprinting
+    scheme with a positional guarantee (any shared run of ≥ k+w-1
+    tokens shares a fingerprint) that minhash's global sampling can't
+    give. This entry reports the selection profile (k-grams vs distinct
+    fingerprints kept) — the storage-budget curve for a winnowed
+    index. Shape: pure array expressions, zero shuffle before the
+    final projection; every derived array (shingles, hashes) is staged
+    as a materialized COLUMN before a lambda touches it (captured
+    EXPRESSIONS re-inline per element — the r4 lesson), and shingles
+    build from zipped slices (dedup.shingles_df discipline)."""
+    k, w = _WINNOW_K, _WINNOW_W
+    docs = _t(spark, sf_dir, "documents")
+    s1 = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= k + w - 1)
+    s2 = s1.select(
+        "doc_id", "toks", (F.size("toks") - F.lit(k - 1)).alias("m")
+    )
+    zipped = F.slice(F.col("toks"), 1, F.col("m"))
+    for j in range(1, k):
+        zipped = F.zip_with(
+            zipped,
+            F.slice(F.col("toks"), 1 + j, F.col("m")),
+            lambda acc, t: F.concat_ws(" ", acc, t),
+        )
+    s3 = s2.select("doc_id", "m", zipped.alias("sh"))
+    s4 = s3.select(
+        "doc_id",
+        "m",
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("hashes"),
+    )
+    s5 = s4.select(
+        "doc_id",
+        "m",
+        F.expr(
+            f"transform(sequence(1, m - {w - 1}),"
+            f" i -> array_min(slice(hashes, i, {w})))"
+        ).alias("wins"),
+    )
+    return s5.selectExpr(
+        "doc_id",
+        "m as n_kgrams",
+        "cast(size(array_distinct(wins)) as bigint) as n_fingerprints",
+        "cast((cast(size(array_distinct(wins)) as bigint)"
+        " * cast(1000000 as bigint)) div m as bigint) as fp_ppm",
+    )
+
+
+SQL_DEDUP_WINNOWING = f"""
+with s1 as (
+  select doc_id, string_split(text, ' ') as toks from documents
+),
+s2 as (
+  select doc_id, toks, (len(toks) - {_WINNOW_K - 1})::BIGINT as m
+  from s1 where len(toks) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+s3 as (
+  select doc_id, m,
+         list_transform(range(1, m + 1),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) as sh
+  from s2
+),
+s4 as (
+  select doc_id, m,
+         list_transform(sh,
+           s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) as hashes
+  from s3
+),
+s5 as (
+  select doc_id, m,
+         list_transform(range(1, m - {_WINNOW_W - 2}),
+           i -> list_min(hashes[i:i + {_WINNOW_W - 1}])) as wins
+  from s4
+)
+select doc_id, m as n_kgrams,
+       len(list_distinct(wins))::BIGINT as n_fingerprints,
+       ((len(list_distinct(wins)) * 1000000) // m)::BIGINT as fp_ppm
+from s5
+"""
+
+
+def q_host_fetch_parallelism_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host connection-parallelism plan: hosts with a robots
+    crawl-delay are rate-bound (1 connection saturates the budget);
+    undelayed hosts get latency-proportional parallelism
+    least(4, p50/250ms) — slow hosts need more in-flight requests to
+    sustain throughput, fast hosts don't deserve the socket pressure.
+    Composes the robots delay dim (the _RULES synthesis) with the
+    latency-quantile rollup on the host key; all integer."""
+    from .operators.scheduler import latency_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    log = docs.select(
+        F.expr(HOST_EXPR).alias("host"),
+        (F.lit(50) + (F.col("doc_id") * 97) % 900).cast("long").alias("latency_ms"),
+    )
+    qs = latency_quantiles(log).select("host", "p50_ms")
+    dim = docs.selectExpr(
+        f"{HOST_EXPR} as host",
+        "case when source like '%2' then 5000 else 0 end as delay_ms",
+    ).distinct()
+    return qs.join(dim, "host").selectExpr(
+        "host",
+        "p50_ms",
+        "cast(delay_ms as bigint) as delay_ms",
+        "cast(case when delay_ms > 0 then 1"
+        " else least(4, greatest(1, p50_ms div 250)) end as bigint)"
+        " as n_connections",
+    )
+
+
+def _sql_host_fetch_parallelism_plan() -> str:
+    from .operators.scheduler import latency_quantiles_sql
+
+    inner = latency_quantiles_sql(
+        f"select {HOST_EXPR} as host,"
+        " (50 + (doc_id * 97) % 900)::BIGINT as latency_ms from documents"
+    )
+    return f"""
+with qs as ({inner}),
+dim as (
+  select distinct {HOST_EXPR} as host,
+         case when source like '%2' then 5000 else 0 end as delay_ms
+  from documents
+)
+select qs.host, qs.p50_ms, dim.delay_ms::BIGINT as delay_ms,
+       (case when dim.delay_ms > 0 then 1
+             else least(4, greatest(1, qs.p50_ms // 250)) end)::BIGINT
+         as n_connections
+from qs join dim on qs.host = dim.host
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -13426,6 +13672,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_robots_fetch_schedule": QueryDef(
         q_crawl_robots_fetch_schedule, SQL_CRAWL_ROBOTS_FETCH_SCHEDULE
+    ),
+    "warc_range_coalesce": QueryDef(
+        q_warc_range_coalesce, _sql_warc_range_coalesce()
+    ),
+    "dedup_winnowing": QueryDef(
+        q_dedup_winnowing, SQL_DEDUP_WINNOWING
+    ),
+    "host_fetch_parallelism_plan": QueryDef(
+        q_host_fetch_parallelism_plan, _sql_host_fetch_parallelism_plan()
     ),
 }
 
