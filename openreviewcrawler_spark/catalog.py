@@ -2090,17 +2090,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(_corpus(spark, sf_dir))
 
 
-def _sql_simhash() -> str:
-    bb = dedup.SIMHASH_BAND_BITS
-    ham = " + ".join(
-        f"bit_count(xor(wl.b{b}, wr.b{b}))" for b in range(dedup.SIMHASH_BANDS)
-    )
+def _sql_simhash_wide() -> str:
+    """Shared CTE prefix (corpus -> token hashes -> 64 bit-votes -> one
+    row per doc with band values b0..b3) — used by the near-pair oracle
+    below AND the compression-cluster plan, so the vote/band constants
+    live in one place per engine."""
     votes = ", ".join(
         "sum(case when (({src}) & 1) = 1 then 1 else -1 end) as s{bit}".format(
             src=f"h_lo >> {bit}" if bit < 32 else f"h_hi >> {bit - 32}", bit=bit
         )
         for bit in range(dedup.SIMHASH_BITS)
     )
+    bb = dedup.SIMHASH_BAND_BITS
     bvals = []
     for b in range(dedup.SIMHASH_BANDS):
         terms = " + ".join(
@@ -2108,10 +2109,6 @@ def _sql_simhash() -> str:
             for r in range(bb)
         )
         bvals.append(f"({terms}) as b{b}")
-    band_rows = " union all ".join(
-        f"select doc_id, {b}::BIGINT as band, b{b} as bval from wide"
-        for b in range(dedup.SIMHASH_BANDS)
-    )
     return f"""
 with corpus as ({CORPUS_SQL}),
 toks as (
@@ -2122,7 +2119,18 @@ toks as (
   select doc_id, {votes} from toks group by doc_id
 ), wide as (
   select doc_id, {', '.join(bvals)} from sums
-), bands as (
+)"""
+
+
+def _sql_simhash() -> str:
+    ham = " + ".join(
+        f"bit_count(xor(wl.b{b}, wr.b{b}))" for b in range(dedup.SIMHASH_BANDS)
+    )
+    band_rows = " union all ".join(
+        f"select doc_id, {b}::BIGINT as band, b{b} as bval from wide"
+        for b in range(dedup.SIMHASH_BANDS)
+    )
+    return f"""{_sql_simhash_wide()}, bands as (
   {band_rows}
 ), hot as (
   select band, bval from bands group by 1, 2 having count(*) > {dedup.MAX_BUCKET}
@@ -13097,6 +13105,205 @@ from qs join dim on qs.host = dim.host
 """
 
 
+# --- session-37: compression clusters, stationary type mix, shuffle
+#     audit ------------------------------------------------------------------
+
+
+def q_corpus_compression_cluster_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-compress layout plan: documents grouped by their
+    16-bit simhash band-0 prefix (near-identical texts share it — the
+    same signal dedup_simhash buckets on), per cluster the byte mass
+    and whether it is a delta-compression candidate (≥2 docs), plus a
+    conservative saving estimate (30% of the non-first copies, integer
+    arithmetic) — the shard-layout decision that makes zstd dictionary
+    compression actually bite on a 100 TB archive: co-locating
+    near-dups in the same output file is free at write time and
+    compounds forever. Reuses simhash_band_values (one groupBy over
+    token votes) + one join to the corpus sizes + one bounded groupBy."""
+    corpus = _corpus(spark, sf_dir)
+    b0 = dedup.simhash_band_values(corpus).filter(F.col("band") == 0).select(
+        "doc_id", "bval"
+    )
+    sizes = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("nb")
+    )
+    agg = b0.join(sizes, "doc_id").groupBy("bval").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("n_bytes"),
+    )
+    return agg.selectExpr(
+        "bval",
+        "n_docs",
+        "n_bytes",
+        "cast(case when n_docs >= 2 then 1 else 0 end as bigint)"
+        " as delta_candidate",
+        "cast(case when n_docs >= 2 then"
+        " ((n_docs - 1) * (n_bytes div n_docs) * 3) div 10"
+        " else 0 end as bigint) as est_saved_bytes",
+    )
+
+
+def _sql_corpus_compression_cluster_plan() -> str:
+    return f"""{_sql_simhash_wide()},
+sizes as (select doc_id, length(text)::BIGINT as nb from corpus),
+agg as (
+  select w.b0 as bval, count(*)::BIGINT as n_docs, sum(s.nb)::BIGINT as n_bytes
+  from wide w join sizes s on w.doc_id = s.doc_id
+  group by w.b0
+)
+select bval, n_docs, n_bytes,
+       (case when n_docs >= 2 then 1 else 0 end)::BIGINT as delta_candidate,
+       (case when n_docs >= 2 then
+          ((n_docs - 1) * (n_bytes // n_docs) * 3) // 10
+        else 0 end)::BIGINT as est_saved_bytes
+from agg
+"""
+
+
+#: power-iteration depth for the stationary mix
+_STATIONARY_ITERS = 3
+
+
+def q_event_type_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: where the
+    observed transition matrix (event_transition_matrix's lag-window
+    counts) sends the traffic mix in the long run — {_STATIONARY_ITERS}
+    synchronous power iterations from the uniform start, the PageRank
+    float-parity recipe on a |types|²-bounded matrix (per-row double
+    products, DECIMAL(28,12) sums per destination, floor projection).
+    The chain drops each user's final event (no successor) — mass is
+    not exactly conserved, matching both engines identically. Shape:
+    one user-partitioned lag window over the raw log, then every
+    iteration joins |types|-row tables."""
+    ev = _events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = ev.withColumn(
+        "nxt", F.lead("event_type").over(w)
+    ).filter(F.col("nxt").isNotNull())
+    counts = pairs.groupBy(
+        F.col("event_type").alias("prev"), F.col("nxt").alias("cur")
+    ).agg(F.count("*").cast("long").alias("n_ij"))
+    totals = counts.groupBy("prev").agg(F.sum("n_ij").cast("long").alias("n_i"))
+    p = counts.join(totals, "prev").selectExpr(
+        "prev",
+        "cur",
+        "cast(n_ij as double) / cast(n_i as double) as pij",
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    k = types.agg(F.count("*").cast("long").alias("k"))
+    v = types.crossJoin(F.broadcast(k)).selectExpr(
+        "t", "cast(1 as double) / cast(k as double) as v"
+    )
+    for _ in range(_STATIONARY_ITERS):
+        v = (
+            p.join(v.withColumnRenamed("t", "prev"), "prev")
+            .groupBy(F.col("cur").alias("t"))
+            .agg(
+                F.sum(F.expr("cast(v * pij as decimal(28,12))"))
+                .cast("double")
+                .alias("v")
+            )
+        )
+    return v.selectExpr(
+        "t as event_type",
+        "cast(floor(v * cast(1000000 as double)) as bigint)"
+        " as stationary_ppm",
+    )
+
+
+def _sql_event_type_stationary_mix() -> str:
+    it = "\n".join(
+        f"""v{i + 1} as (
+  select p.cur as t,
+         sum(cast(v{i}.v * p.pij as decimal(28,12)))::DOUBLE as v
+  from p join v{i} on v{i}.t = p.prev group by p.cur
+),"""
+        for i in range(_STATIONARY_ITERS)
+    )
+    return f"""
+with ev as ({_EVENTS_MS_CTE}),
+pairs as (
+  select event_type as prev,
+         lead(event_type) over (
+           partition by user_id order by ts_ms, event_id
+         ) as cur
+  from ev
+),
+counts as (
+  select prev, cur, count(*)::BIGINT as n_ij
+  from pairs where cur is not null group by prev, cur
+),
+totals as (select prev, sum(n_ij)::BIGINT as n_i from counts group by prev),
+p as (
+  select counts.prev, counts.cur,
+         cast(n_ij as double) / cast(n_i as double) as pij
+  from counts join totals on counts.prev = totals.prev
+),
+types as (select distinct event_type as t from ev),
+k as (select count(*)::BIGINT as k from types),
+v0 as (
+  select t, cast(1 as double) / cast(k as double) as v
+  from types cross join k
+),
+{it}
+sel as (select * from v{_STATIONARY_ITERS})
+select t as event_type,
+       cast(floor(v * cast(1000000 as double)) as bigint) as stationary_ppm
+from sel
+"""
+
+
+#: shard count for the md5 shuffle audit
+_SHUFFLE_SHARDS = 16
+
+
+def q_traindata_seed_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit of the deterministic md5 global shuffle:
+    docs land in {_SHUFFLE_SHARDS} hash shards; per shard, is any single
+    source over-represented (skew_ppm = max source count ÷ the uniform
+    expectation, in ppm)? A training dataloader that streams shards
+    sequentially needs every shard to look like the whole corpus — this
+    is the check that the hash really mixed the (source-clustered)
+    input. md5 is the one cross-engine hash; two bounded groupBys."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "source",
+        "cast(cast(conv(substr(md5(cast(doc_id as varchar(30))), 1, 8),"
+        f" 16, 10) as bigint) % {_SHUFFLE_SHARDS} as bigint) as shard",
+    )
+    cells = d.groupBy("shard", "source").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return cells.groupBy("shard").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.max("n").cast("long").alias("max_source_n"),
+    ).selectExpr(
+        "shard",
+        "n_docs",
+        "n_sources",
+        "max_source_n",
+        "cast((max_source_n * n_sources * cast(1000000 as bigint))"
+        " div n_docs as bigint) as skew_ppm",
+    )
+
+
+SQL_TRAINDATA_SEED_SHUFFLE_AUDIT = f"""
+with d as (
+  select source,
+         ((('0x' || substr(md5(cast(doc_id as varchar(30))), 1, 8))::BIGINT)
+          % {_SHUFFLE_SHARDS})::BIGINT as shard
+  from documents
+),
+cells as (
+  select shard, source, count(*)::BIGINT as n from d group by shard, source
+)
+select shard, sum(n)::BIGINT as n_docs, count(*)::BIGINT as n_sources,
+       max(n)::BIGINT as max_source_n,
+       ((max(n) * count(*) * 1000000) // sum(n))::BIGINT as skew_ppm
+from cells group by shard
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -13681,6 +13888,16 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "host_fetch_parallelism_plan": QueryDef(
         q_host_fetch_parallelism_plan, _sql_host_fetch_parallelism_plan()
+    ),
+    "corpus_compression_cluster_plan": QueryDef(
+        q_corpus_compression_cluster_plan,
+        _sql_corpus_compression_cluster_plan(),
+    ),
+    "event_type_stationary_mix": QueryDef(
+        q_event_type_stationary_mix, _sql_event_type_stationary_mix()
+    ),
+    "traindata_seed_shuffle_audit": QueryDef(
+        q_traindata_seed_shuffle_audit, SQL_TRAINDATA_SEED_SHUFFLE_AUDIT
     ),
 }
 
