@@ -13304,6 +13304,234 @@ from cells group by shard
 """
 
 
+# --- session-38: reservoir sample, phrase mining, bounce rate ---------------
+
+#: fixed per-stratum sample size
+_RESERVOIR_K = 10
+
+
+def q_traindata_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample (the distributed reservoir): exactly
+    min(K, n) docs per language, chosen uniformly-without-replacement by
+    ranking on the md5 key — deterministic, seedable, and
+    partition-invariant, where traindata_stratified_sample's Bernoulli
+    coin gives only an EXPECTED rate. Shape: two-phase top-k (top-k is a
+    semilattice): phase 1 prunes per (lang, physical partition) so no
+    task ever sorts a whole language — the per-language global window is
+    a one-task funnel at web scale (the r4 fluency lesson) — and phase 2
+    ranks the ≤ K·P survivors. md5 is the one cross-engine hash."""
+    k = _RESERVOIR_K
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "lang",
+        "doc_id",
+        "cast(conv(substr(md5(cast(doc_id as varchar(30))), 1, 8), 16, 10)"
+        " as bigint) as skey",
+    )
+    w1 = Window.partitionBy("lang", F.spark_partition_id()).orderBy(
+        "skey", "doc_id"
+    )
+    pruned = docs.withColumn("__rn", F.row_number().over(w1)).filter(
+        F.col("__rn") <= k
+    )
+    w2 = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            "lang",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            "doc_id",
+            "skey",
+        )
+    )
+
+
+SQL_TRAINDATA_RESERVOIR_SAMPLE = f"""
+with d as (
+  select lang, doc_id,
+         (('0x' || substr(md5(cast(doc_id as varchar(30))), 1, 8))::BIGINT)
+           as skey
+  from documents
+),
+r as (
+  select lang, doc_id, skey,
+         row_number() over (partition by lang order by skey, doc_id)
+           as sample_rank
+  from d
+)
+select lang, sample_rank::BIGINT as sample_rank, doc_id, skey
+from r where sample_rank <= {_RESERVOIR_K}
+"""
+
+
+#: RAKE-style stopword boundary set (shared as content between engines)
+_PHRASE_STOPS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+_PHRASE_TOPK = 20
+
+
+def q_text_phrase_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-lite phrase mining: split every document at stopword
+    boundaries (gaps-and-islands over token positions — the islands
+    idiom on TEXT), count multi-word phrase occurrences corpus-wide and
+    keep the top {_PHRASE_TOPK} — keyword extraction for dataset cards
+    without any model. Phrase assembly inside an island is
+    order-deterministic: collect (pos, tok) structs, array_sort, join
+    (collect_list alone has no order guarantee in Spark). Per-doc
+    windows are bounded by document length; the final top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    stops = ", ".join(f"'{s}'" for s in _PHRASE_STOPS)
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).withColumn("is_stop", F.expr(f"case when tok in ({stops}) then 1 else 0 end"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = toks.withColumn("island", F.sum("is_stop").over(w)).filter(
+        F.col("is_stop") == 0
+    )
+    phrases = isl.groupBy("doc_id", "island").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ') as phrase"
+        ),
+        F.count("*").cast("long").alias("n_words"),
+    ).filter(F.col("n_words") >= 2)
+    agg = phrases.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("phrase"))
+    return (
+        agg.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PHRASE_TOPK)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "phrase",
+            "n_occurrences",
+            "n_docs",
+        )
+    )
+
+
+SQL_TEXT_PHRASE_MINE = f"""
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as tok,
+         generate_subscripts(string_split(text, ' '), 1) as pos
+  from documents
+),
+flagged as (
+  select doc_id, pos, tok,
+         case when tok in ({", ".join(f"'{s}'" for s in _PHRASE_STOPS)}) then 1 else 0 end as is_stop
+  from toks
+),
+isl as (
+  select doc_id, pos, tok,
+         sum(is_stop) over (
+           partition by doc_id order by pos
+           rows between unbounded preceding and current row
+         ) as island,
+         is_stop
+  from flagged
+),
+phrases as (
+  select doc_id, island,
+         string_agg(tok, ' ' order by pos) as phrase,
+         count(*)::BIGINT as n_words
+  from isl where is_stop = 0
+  group by doc_id, island
+),
+agg as (
+  select phrase, count(*)::BIGINT as n_occurrences,
+         count(distinct doc_id)::BIGINT as n_docs
+  from phrases where n_words >= 2
+  group by phrase
+),
+r as (
+  select phrase, n_occurrences, n_docs,
+         row_number() over (order by n_occurrences desc, phrase) as rank
+  from agg
+)
+select rank::BIGINT as rank, phrase, n_occurrences, n_docs
+from r where rank <= {_PHRASE_TOPK}
+"""
+
+
+def q_event_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type: sessionize (30-min lag-gap,
+    the batch idiom shared with `sessionization`), credit each session
+    to the event type that OPENED it (the flagged first row — no
+    argmin struct gymnastics needed: the session-start flag IS the
+    entry marker), and report the share of single-event sessions —
+    the landing-page health metric. One user-partitioned window pass,
+    one bounded groupBy per session, one per-type rollup."""
+    ev = _events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(run))
+    per = flagged.groupBy("user_id", "sess_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(
+            F.when(F.col("new_sess") == 1, F.col("event_type"))
+        ).alias("entry_type"),
+    )
+    return per.groupBy("entry_type").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.expr("case when n_events = 1 then 1 else 0 end"))
+        .cast("long")
+        .alias("n_bounces"),
+    ).selectExpr(
+        "entry_type",
+        "n_sessions",
+        "n_bounces",
+        "cast((n_bounces * cast(1000000 as bigint)) div n_sessions"
+        " as bigint) as bounce_ppm",
+    )
+
+
+SQL_EVENT_BOUNCE_RATE = f"""
+with ev as ({_EVENTS_MS_CTE}),
+g as (
+  select user_id, event_id, event_type, ts_ms,
+         case when lag(ts_ms) over (
+                partition by user_id order by ts_ms, event_id
+              ) is null
+              or ts_ms - lag(ts_ms) over (
+                partition by user_id order by ts_ms, event_id
+              ) > 1800000
+              then 1 else 0 end as new_sess
+  from ev
+),
+s as (
+  select user_id, event_type, new_sess,
+         sum(new_sess) over (
+           partition by user_id order by ts_ms, event_id
+           rows between unbounded preceding and current row
+         ) as sess_id
+  from g
+),
+per as (
+  select user_id, sess_id, count(*)::BIGINT as n_events,
+         max(case when new_sess = 1 then event_type end) as entry_type
+  from s group by user_id, sess_id
+)
+select entry_type, count(*)::BIGINT as n_sessions,
+       sum(case when n_events = 1 then 1 else 0 end)::BIGINT as n_bounces,
+       ((sum(case when n_events = 1 then 1 else 0 end) * 1000000)
+        // count(*))::BIGINT as bounce_ppm
+from per group by entry_type
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -13898,6 +14126,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "traindata_seed_shuffle_audit": QueryDef(
         q_traindata_seed_shuffle_audit, SQL_TRAINDATA_SEED_SHUFFLE_AUDIT
+    ),
+    "traindata_reservoir_sample": QueryDef(
+        q_traindata_reservoir_sample, SQL_TRAINDATA_RESERVOIR_SAMPLE
+    ),
+    "text_phrase_mine": QueryDef(
+        q_text_phrase_mine, SQL_TEXT_PHRASE_MINE
+    ),
+    "event_bounce_rate": QueryDef(
+        q_event_bounce_rate, SQL_EVENT_BOUNCE_RATE
     ),
 }
 
