@@ -13532,6 +13532,263 @@ from per group by entry_type
 """
 
 
+# --- session-39: water-filling fair share, top-k churn, mojibake,
+#     redirect hop histogram --------------------------------------------------
+
+#: fair-share budget = this share of total demand (x10), so it BINDS
+_FAIRSHARE_NUM = 6
+#: unrolled water-filling rounds
+_FAIRSHARE_ROUNDS = 3
+
+
+def q_crawl_bandwidth_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair bandwidth allocation across hosts (water-filling):
+    a global byte budget (60% of total demand — scarcity is the point)
+    is poured in {_FAIRSHARE_ROUNDS} rounds; each round splits the
+    remaining budget evenly over still-unsatisfied hosts, capped at
+    each host's residual demand — small hosts saturate and exit, big
+    hosts converge to the common water level. The classic max-min
+    discipline, all INTEGER arithmetic (floor-div levels), unrolled a
+    fixed round count so the DuckDB oracle is the same recurrence as
+    CTE layers. Shape: per round ONE 1-row aggregate broadcast onto the
+    bounded host table — no joins that grow with corpus size."""
+    hosts = _t(spark, sf_dir, "documents").selectExpr(
+        f"{HOST_EXPR} as host",
+        f"cast({_EST_BYTES_EXPR} as bigint) as b",
+    ).groupBy("host").agg(F.sum("b").cast("long").alias("demand"))
+    tot = hosts.agg(
+        F.expr(
+            f"cast((sum(demand) * {_FAIRSHARE_NUM}) div 10 as bigint)"
+        ).alias("budget")
+    )
+    r = hosts.crossJoin(F.broadcast(tot)).selectExpr(
+        "host", "demand", "budget", "cast(0 as bigint) as granted"
+    )
+    for _ in range(_FAIRSHARE_ROUNDS):
+        a = r.agg(
+            F.expr("cast(max(budget) - sum(granted) as bigint)").alias("rem"),
+            F.sum(
+                F.expr("case when granted < demand then 1 else 0 end")
+            ).cast("long").alias("n_unsat"),
+        )
+        r = r.crossJoin(F.broadcast(a)).selectExpr(
+            "host",
+            "demand",
+            "budget",
+            "cast(granted + case when granted < demand and n_unsat > 0"
+            " then least(demand - granted, rem div n_unsat)"
+            " else 0 end as bigint) as granted",
+        )
+    return r.selectExpr(
+        "host",
+        "demand",
+        "granted",
+        "cast(case when granted >= demand then 1 else 0 end as bigint)"
+        " as satisfied",
+        "cast((granted * cast(1000000 as bigint)) div demand as bigint)"
+        " as fill_ppm",
+    )
+
+
+def _sql_crawl_bandwidth_fair_share() -> str:
+    layers = []
+    prev = "r0"
+    for i in range(1, _FAIRSHARE_ROUNDS + 1):
+        layers.append(f"""a{i} as (
+  select max(budget) - sum(granted) as rem,
+         sum(case when granted < demand then 1 else 0 end)::BIGINT as n_unsat
+  from {prev}
+),
+r{i} as (
+  select host, demand, budget,
+         (granted + case when granted < demand and n_unsat > 0
+            then least(demand - granted, rem // n_unsat) else 0 end)::BIGINT
+           as granted
+  from {prev} cross join a{i}
+)""")
+        prev = f"r{i}"
+    body = ",\n".join(layers)
+    return f"""
+with hosts as (
+  select {HOST_EXPR} as host, sum({_EST_BYTES_EXPR})::BIGINT as demand
+  from documents group by 1
+),
+tot as (
+  select ((sum(demand) * {_FAIRSHARE_NUM}) // 10)::BIGINT as budget
+  from hosts
+),
+r0 as (
+  select host, demand, budget, 0::BIGINT as granted
+  from hosts cross join tot
+),
+{body}
+select host, demand, granted,
+       (case when granted >= demand then 1 else 0 end)::BIGINT as satisfied,
+       ((granted * 1000000) // demand)::BIGINT as fill_ppm
+from {prev}
+"""
+
+
+#: epoch split parity bit and leaderboard size for churn tracking
+_CHURN_TOPK = 10
+
+
+def q_host_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard churn between crawl epochs: the top-{_CHURN_TOPK}
+    hosts by page count in epoch A (even doc ids) vs epoch B (odd),
+    full-outer-joined into one row per host that appears in EITHER
+    leaderboard with both ranks and a stayed/entered/dropped status —
+    the drift monitor for budget allocations keyed off "top hosts"
+    (a hot list that silently rotates invalidates yesterday's plan).
+    Hosts are the Zipf synthesis; ranks are row_number over the
+    BOUNDED per-epoch aggregates with (count desc, host) tie-breaks."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_BINPACK_HOST_EXPR} as host",
+        "cast(doc_id % 2 as bigint) as epoch",
+    )
+    cells = d.groupBy("host", "epoch").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wr = Window.partitionBy("epoch").orderBy(F.col("n").desc(), F.col("host"))
+    ranked = cells.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= _CHURN_TOPK
+    )
+    a = ranked.filter(F.col("epoch") == 0).select(
+        "host", F.col("n").alias("n_a"), F.col("rank").alias("rank_a")
+    )
+    b = ranked.filter(F.col("epoch") == 1).select(
+        "host", F.col("n").alias("n_b"), F.col("rank").alias("rank_b")
+    )
+    return a.join(b, "host", "full_outer").selectExpr(
+        "host",
+        "cast(coalesce(n_a, 0) as bigint) as n_a",
+        "cast(coalesce(n_b, 0) as bigint) as n_b",
+        "cast(coalesce(rank_a, 0) as bigint) as rank_a",
+        "cast(coalesce(rank_b, 0) as bigint) as rank_b",
+        "case when rank_a is null then 'entered'"
+        " when rank_b is null then 'dropped' else 'stayed' end as status",
+    )
+
+
+SQL_HOST_TOPK_CHURN = f"""
+with d as (
+  select {_BINPACK_HOST_EXPR} as host, (doc_id % 2)::BIGINT as epoch
+  from documents
+),
+cells as (
+  select host, epoch, count(*)::BIGINT as n from d group by host, epoch
+),
+ranked as (
+  select host, epoch, n,
+         row_number() over (
+           partition by epoch order by n desc, host
+         ) as rank
+  from cells
+),
+topk as (select * from ranked where rank <= {_CHURN_TOPK}),
+a as (select host, n as n_a, rank as rank_a from topk where epoch = 0),
+b as (select host, n as n_b, rank as rank_b from topk where epoch = 1)
+select coalesce(a.host, b.host) as host,
+       coalesce(n_a, 0)::BIGINT as n_a,
+       coalesce(n_b, 0)::BIGINT as n_b,
+       coalesce(rank_a, 0)::BIGINT as rank_a,
+       coalesce(rank_b, 0)::BIGINT as rank_b,
+       case when rank_a is null then 'entered'
+            when rank_b is null then 'dropped' else 'stayed' end as status
+from a full outer join b on a.host = b.host
+"""
+
+
+#: mojibake body synthesis: UTF-8-as-Latin-1 artifacts planted on two
+#: coprime residue streams (shared verbatim; literal multibyte strings)
+_MOJI_BODY_EXPR = (
+    "text || case when doc_id % 11 = 0 then ' cafÃ©' else '' end"
+    " || case when doc_id % 13 = 0 then ' itâ€™s' else '' end"
+)
+
+
+def q_text_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage (mojibake) detection: per source, how many pages
+    carry UTF-8-decoded-as-Latin-1 artifacts ('Ã©' for é, 'â€™' for a
+    curly apostrophe) — the classic double-decode signature a crawl
+    inherits from mislabeled Content-Type headers; a source with a high
+    rate needs charset re-sniffing before the text enters training.
+    Pure instr predicates over the planted body, one scan, one
+    groupBy."""
+    b = _t(spark, sf_dir, "documents").selectExpr(
+        "source", f"{_MOJI_BODY_EXPR} as body"
+    )
+    flags = b.selectExpr(
+        "source",
+        "case when instr(body, 'Ã©') > 0 then 1 else 0 end as f_latin",
+        "case when instr(body, 'â€™') > 0 then 1 else 0 end as f_punct",
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("f_latin").cast("long").alias("n_latin_artifacts"),
+        F.sum("f_punct").cast("long").alias("n_punct_artifacts"),
+        F.expr(
+            "cast((sum(case when f_latin + f_punct > 0 then 1 else 0 end)"
+            " * cast(1000000 as bigint)) div count(*) as bigint)"
+        ).alias("moji_ppm"),
+    )
+
+
+SQL_TEXT_MOJIBAKE_DETECT = f"""
+with b as (select source, {_MOJI_BODY_EXPR} as body from documents),
+flags as (
+  select source,
+         case when instr(body, 'Ã©') > 0 then 1 else 0 end as f_latin,
+         case when instr(body, 'â€™') > 0 then 1 else 0 end as f_punct
+  from b
+)
+select source, count(*)::BIGINT as n_docs,
+       sum(f_latin)::BIGINT as n_latin_artifacts,
+       sum(f_punct)::BIGINT as n_punct_artifacts,
+       ((sum(case when f_latin + f_punct > 0 then 1 else 0 end) * 1000000)
+        // count(*))::BIGINT as moji_ppm
+from flags group by source
+"""
+
+
+def q_url_redirect_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain length distribution: URL count per resolved hop
+    count plus the unresolved (loop / too-deep) bucket — the operational
+    rollup over crawl_redirect_resolve's pointer-doubling output that
+    sizes how much frontier capacity alias-chasing burns (and how many
+    'too many redirects' failures the fetcher should expect). Bounded
+    rollup + share window."""
+    res = q_crawl_redirect_resolve(spark, sf_dir)
+    agg = res.groupBy("hops", "resolved").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_urls").over(wt)).selectExpr(
+        "cast(hops as bigint) as hops",
+        "cast(case when resolved then 1 else 0 end as bigint) as resolved",
+        "n_urls",
+        "cast((n_urls * cast(1000000 as bigint)) div __tot as bigint)"
+        " as url_share_ppm",
+    )
+
+
+def _sql_url_redirect_hop_histogram() -> str:
+    inner = _sql_redirect_resolve(rounds=5)
+    return f"""
+with res as ({inner}),
+agg as (
+  select hops, resolved, count(*)::BIGINT as n_urls
+  from res group by hops, resolved
+)
+select hops::BIGINT as hops,
+       (case when resolved then 1 else 0 end)::BIGINT as resolved,
+       n_urls,
+       ((n_urls * 1000000) // (sum(n_urls) over ()))::BIGINT
+         as url_share_ppm
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -14135,6 +14392,18 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_bounce_rate": QueryDef(
         q_event_bounce_rate, SQL_EVENT_BOUNCE_RATE
+    ),
+    "crawl_bandwidth_fair_share": QueryDef(
+        q_crawl_bandwidth_fair_share, _sql_crawl_bandwidth_fair_share()
+    ),
+    "host_topk_churn": QueryDef(
+        q_host_topk_churn, SQL_HOST_TOPK_CHURN
+    ),
+    "text_mojibake_detect": QueryDef(
+        q_text_mojibake_detect, SQL_TEXT_MOJIBAKE_DETECT
+    ),
+    "url_redirect_hop_histogram": QueryDef(
+        q_url_redirect_hop_histogram, _sql_url_redirect_hop_histogram()
     ),
 }
 
