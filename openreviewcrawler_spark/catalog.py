@@ -13789,6 +13789,248 @@ from agg
 """
 
 
+# --- session-40: CDC chunk dedup, param-order normalize, channel budget
+#     split ------------------------------------------------------------------
+
+#: content-defined chunking: boundary when the 3-gram hash ≡ 0 (mod 16)
+#: → expected ~16-token chunks, boundaries keyed to CONTENT not position
+_CDC_MASK = 16
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the restic/borg/LBFS storage
+    recipe): chunk boundaries fall where a rolling 3-gram hash ≡ 0 mod
+    {_CDC_MASK}, so an insertion early in a page shifts ONE chunk, not
+    every fixed-width block — then identical chunks across the corpus
+    store once. ONE summary row: chunk count, distinct chunks, dup
+    share and mean width — the dedup-at-rest savings estimate that
+    complements document-level dedup (dedup_exact finds whole-page
+    copies; CDC finds shared SPANS). Shape: posexplode + doc-bounded
+    windows (lag-built grams, running boundary sum), struct-sorted
+    chunk assembly (collect_list alone is unordered), one md5 per
+    chunk, two bounded aggregates."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = toks.withColumn(
+        "gram",
+        F.concat_ws(" ", F.lag("tok", 2).over(w), F.lag("tok", 1).over(w), F.col("tok")),
+    ).withColumn(
+        "boundary",
+        F.expr(
+            "case when pos >= 2 and cast(conv(substr(md5(gram), 1, 8),"
+            f" 16, 10) as bigint) % {_CDC_MASK} = 0 then 1 else 0 end"
+        ),
+    ).withColumn("chunk_id", F.sum("boundary").over(run))
+    chunks = g.groupBy("doc_id", "chunk_id").agg(
+        F.expr(
+            "md5(array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')) as chash"
+        ),
+        F.count("*").cast("long").alias("n_toks"),
+    )
+    per_hash = chunks.groupBy("chash").agg(
+        F.count("*").cast("long").alias("occ"),
+        F.max("n_toks").cast("long").alias("w_toks"),
+    )
+    return per_hash.agg(
+        F.sum("occ").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_unique_chunks"),
+        F.expr("cast(sum(occ * w_toks) as bigint)").alias("n_tokens"),
+        F.expr("cast(sum((occ - 1) * w_toks) as bigint)").alias("dup_tokens"),
+    ).selectExpr(
+        "n_chunks",
+        "n_unique_chunks",
+        "n_tokens",
+        "dup_tokens",
+        "cast((dup_tokens * cast(1000000 as bigint)) div n_tokens as bigint)"
+        " as dup_ppm",
+        "cast(n_tokens div n_chunks as bigint) as mean_chunk_tokens",
+    )
+
+
+SQL_DEDUP_CDC_CHUNKS = f"""
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 as pos
+  from documents
+),
+g as (
+  select doc_id, pos, tok,
+         concat_ws(' ',
+           lag(tok, 2) over (partition by doc_id order by pos),
+           lag(tok, 1) over (partition by doc_id order by pos),
+           tok) as gram
+  from toks
+),
+b as (
+  select doc_id, pos, tok,
+         case when pos >= 2 and
+           (('0x' || substr(md5(gram), 1, 8))::BIGINT) % {_CDC_MASK} = 0
+           then 1 else 0 end as boundary
+  from g
+),
+c as (
+  select doc_id, pos, tok,
+         sum(boundary) over (
+           partition by doc_id order by pos
+           rows between unbounded preceding and current row
+         ) as chunk_id
+  from b
+),
+chunks as (
+  select doc_id, chunk_id,
+         md5(string_agg(tok, ' ' order by pos)) as chash,
+         count(*)::BIGINT as n_toks
+  from c group by doc_id, chunk_id
+),
+per_hash as (
+  select chash, count(*)::BIGINT as occ, max(n_toks)::BIGINT as w_toks
+  from chunks group by chash
+),
+agg as (
+  select sum(occ)::BIGINT as n_chunks,
+         count(*)::BIGINT as n_unique_chunks,
+         sum(occ * w_toks)::BIGINT as n_tokens,
+         sum((occ - 1) * w_toks)::BIGINT as dup_tokens
+  from per_hash
+)
+select n_chunks, n_unique_chunks, n_tokens, dup_tokens,
+       ((dup_tokens * 1000000) // n_tokens)::BIGINT as dup_ppm,
+       (n_tokens // n_chunks)::BIGINT as mean_chunk_tokens
+from agg
+"""
+
+
+#: two spellings of the same logical query string: docs 2k and 2k+1 form
+#: an alias pair — parity decides the param ORDER, while host and both
+#: param VALUES derive from the parity-stripped key (doc_id - doc_id % 2,
+#: the one even/odd-pairing expression both engines share verbatim — a
+#: `source`-based host would put the partners on different hosts)
+_PARAM_ORDER_HOST_EXPR = (
+    "'h' || cast((doc_id - doc_id % 2) % 14 as varchar(10)) || '.example'"
+)
+_PARAM_ORDER_URL_EXPR = (
+    f"'https://' || {_PARAM_ORDER_HOST_EXPR} || '/s?' ||"
+    " case when doc_id % 2 = 0"
+    " then 'a=' || cast(doc_id - doc_id % 2 as varchar(20))"
+    "   || '&b=' || cast((doc_id - doc_id % 2) % 5 as varchar(10))"
+    " else 'b=' || cast((doc_id - doc_id % 2) % 5 as varchar(10))"
+    "   || '&a=' || cast(doc_id - doc_id % 2 as varchar(20)) end"
+)
+
+
+def q_url_param_order_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-param order canonicalization: `?a=1&b=2` and `?b=2&a=1`
+    are the same resource, and a frontier that treats them as distinct
+    fetches everything twice — per host, distinct RAW spellings vs
+    distinct CANONICAL urls (params split, sorted, rejoined) and the
+    fetch savings. The array-sort rule every canonicalizer ships right
+    after lowercase/port/fragment (url_hygiene_audit's rules). Pure
+    string/array expressions, ASCII sort order identical in both
+    engines; one scan + one groupBy."""
+    u = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_PARAM_ORDER_URL_EXPR} as url",
+        f"{_PARAM_ORDER_HOST_EXPR} as host",
+    )
+    c = u.selectExpr(
+        "host",
+        "url",
+        "substring_index(url, '?', 1) || '?' ||"
+        " array_join(sort_array(split(substring_index(url, '?', -1), '&')),"
+        " '&') as canon",
+    )
+    return c.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("url").cast("long").alias("n_raw_variants"),
+        F.countDistinct("canon").cast("long").alias("n_canonical"),
+    ).selectExpr(
+        "host",
+        "n_urls",
+        "n_raw_variants",
+        "n_canonical",
+        "cast(((n_raw_variants - n_canonical) * cast(1000000 as bigint))"
+        " div n_raw_variants as bigint) as merge_savings_ppm",
+    )
+
+
+SQL_URL_PARAM_ORDER_NORMALIZE = f"""
+with u as (
+  select {_PARAM_ORDER_URL_EXPR} as url,
+         {_PARAM_ORDER_HOST_EXPR} as host
+  from documents
+),
+c as (
+  select host, url,
+         string_split(url, '?')[1] || '?' ||
+         array_to_string(list_sort(string_split(string_split(url, '?')[2],
+           '&')), '&') as canon
+  from u
+)
+select host, count(*)::BIGINT as n_urls,
+       count(distinct url)::BIGINT as n_raw_variants,
+       count(distinct canon)::BIGINT as n_canonical,
+       (((count(distinct url) - count(distinct canon)) * 1000000)
+        // count(distinct url))::BIGINT as merge_savings_ppm
+from c group by host
+"""
+
+
+#: discovery budget and the exploit share (percent)
+_CHANNEL_BUDGET = 100000
+_CHANNEL_EXPLOIT_PCT = 90
+
+
+def q_crawl_channel_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-greedy discovery-budget allocator: {_CHANNEL_EXPLOIT_PCT}% of
+    the next round's {_CHANNEL_BUDGET}-fetch budget goes to channels
+    proportionally to their UNIQUE yield (crawl_discovery_channel_audit
+    minus its duplicates), the rest spreads evenly as exploration (a
+    starved channel can recover — the bandit floor, deterministic, no
+    random and no ln). All integer division over the bounded channel
+    table."""
+    audit = q_crawl_discovery_channel_audit(spark, sf_dir).selectExpr(
+        "channel", "n_pages - n_dup as n_unique"
+    )
+    tot = audit.agg(
+        F.sum("n_unique").cast("long").alias("u_tot"),
+        F.count("*").cast("long").alias("k"),
+    )
+    b, pct = _CHANNEL_BUDGET, _CHANNEL_EXPLOIT_PCT
+    return audit.crossJoin(F.broadcast(tot)).selectExpr(
+        "channel",
+        "cast(n_unique as bigint) as n_unique",
+        f"cast((({b} * {pct}) div 100) * n_unique div u_tot as bigint)"
+        " as exploit_budget",
+        f"cast(({b} * {100 - pct}) div 100 div k as bigint)"
+        " as explore_budget",
+        f"cast((({b} * {pct}) div 100) * n_unique div u_tot"
+        f" + ({b} * {100 - pct}) div 100 div k as bigint) as total_budget",
+    )
+
+
+def _sql_crawl_channel_budget_split() -> str:
+    b, pct = _CHANNEL_BUDGET, _CHANNEL_EXPLOIT_PCT
+    return f"""
+with audit as (select * from ({SQL_CRAWL_DISCOVERY_CHANNEL_AUDIT})),
+u as (select channel, (n_pages - n_dup)::BIGINT as n_unique from audit),
+tot as (select sum(n_unique)::BIGINT as u_tot, count(*)::BIGINT as k from u)
+select channel, n_unique,
+       ((({b} * {pct}) // 100) * n_unique // u_tot)::BIGINT as exploit_budget,
+       (({b} * {100 - pct}) // 100 // k)::BIGINT as explore_budget,
+       ((({b} * {pct}) // 100) * n_unique // u_tot
+        + ({b} * {100 - pct}) // 100 // k)::BIGINT as total_budget
+from u cross join tot
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -14404,6 +14646,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "url_redirect_hop_histogram": QueryDef(
         q_url_redirect_hop_histogram, _sql_url_redirect_hop_histogram()
+    ),
+    "dedup_cdc_chunks": QueryDef(
+        q_dedup_cdc_chunks, SQL_DEDUP_CDC_CHUNKS
+    ),
+    "url_param_order_normalize": QueryDef(
+        q_url_param_order_normalize, SQL_URL_PARAM_ORDER_NORMALIZE
+    ),
+    "crawl_channel_budget_split": QueryDef(
+        q_crawl_channel_budget_split, _sql_crawl_channel_budget_split()
     ),
 }
 
