@@ -14031,6 +14031,224 @@ from u cross join tot
 """
 
 
+# --- session-41: outage streaks, pareto frontier, https adoption ------------
+
+#: an outage = this many consecutive failed attempts
+_OUTAGE_MIN_STREAK = 4
+
+
+def q_crawl_host_outage_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage detection from the fetch-attempt log: per host, the
+    longest CONSECUTIVE-failure streak and how many distinct streaks
+    reached the outage threshold ({_OUTAGE_MIN_STREAK}+) — consecutive
+    failures are what distinguish a down host from background flake
+    (crawl_error_rate_by_host's rate can't tell a 10% uniform error
+    from one solid outage of the same mass). Gaps-and-islands over the
+    same attempt synthesis: island id = running count of SUCCESSES, so
+    each failure run shares an island with its preceding success; one
+    host-partitioned window + two bounded groupBys."""
+    attempts = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("doc_id") % 6 + 1)).alias("att"),
+    ).selectExpr(
+        "host",
+        "doc_id",
+        "att",
+        "case when (doc_id * 5 + att) % 7 >= 3 then 1 else 0 end as ok",
+    )
+    run = (
+        Window.partitionBy("host")
+        .orderBy("doc_id", "att")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = attempts.withColumn("island", F.sum("ok").over(run)).filter(
+        F.col("ok") == 0
+    )
+    streaks = isl.groupBy("host", "island").agg(
+        F.count("*").cast("long").alias("streak")
+    )
+    return streaks.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_failure_streaks"),
+        F.max("streak").cast("long").alias("max_streak"),
+        F.sum(
+            F.expr(
+                f"case when streak >= {_OUTAGE_MIN_STREAK} then 1 else 0 end"
+            )
+        ).cast("long").alias("n_outages"),
+    ).selectExpr(
+        "host",
+        "n_failure_streaks",
+        "max_streak",
+        "n_outages",
+        "cast(case when n_outages > 0 then 1 else 0 end as bigint)"
+        " as outage_flag",
+    )
+
+
+SQL_CRAWL_HOST_OUTAGE_DETECT = f"""
+with a as (
+  select 'h' || cast(doc_id % 7 as varchar(10)) as host, doc_id,
+         unnest(range(1, doc_id % 6 + 2)) as att
+  from documents
+),
+f as (
+  select host, doc_id, att,
+         case when (doc_id * 5 + att) % 7 >= 3 then 1 else 0 end as ok
+  from a
+),
+isl as (
+  select host, ok,
+         sum(ok) over (
+           partition by host order by doc_id, att
+           rows between unbounded preceding and current row
+         ) as island
+  from f
+),
+streaks as (
+  select host, island, count(*)::BIGINT as streak
+  from isl where ok = 0 group by host, island
+),
+agg as (
+  select host, count(*)::BIGINT as n_failure_streaks,
+         max(streak)::BIGINT as max_streak,
+         sum(case when streak >= {_OUTAGE_MIN_STREAK} then 1 else 0 end)
+           ::BIGINT as n_outages
+  from streaks group by host
+)
+select host, n_failure_streaks, max_streak, n_outages,
+       (case when n_outages > 0 then 1 else 0 end)::BIGINT as outage_flag
+from agg
+"""
+
+
+def q_host_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over the host metric space: which
+    hosts are NOT dominated in (quality_pts, reliability_pts) — the
+    multi-objective selection a single weighted score
+    (host_crawl_value_score) hides: a weighted sum picks ONE tradeoff,
+    the skyline keeps every host some rational allocator could prefer.
+    Classic dominance semantics: a dominator is ≥ on both axes and
+    strictly > on at least one. Shape: self-join on the BOUNDED host
+    metric table (never the corpus) counting dominators per host."""
+    m = q_host_crawl_value_score(spark, sf_dir).select(
+        "host", "quality_pts", "reliability_pts"
+    )
+    o = m.selectExpr(
+        "host as o_host",
+        "quality_pts as o_q",
+        "reliability_pts as o_r",
+    )
+    dom = m.join(
+        o,
+        F.expr(
+            "o_host != host and o_q >= quality_pts and o_r >= reliability_pts"
+            " and (o_q > quality_pts or o_r > reliability_pts)"
+        ),
+        "left",
+    ).groupBy("host", "quality_pts", "reliability_pts").agg(
+        F.count("o_host").cast("long").alias("n_dominators")
+    )
+    return dom.selectExpr(
+        "host",
+        "quality_pts",
+        "reliability_pts",
+        "n_dominators",
+        "cast(case when n_dominators = 0 then 1 else 0 end as bigint)"
+        " as on_frontier",
+    )
+
+
+def _sql_host_pareto_frontier() -> str:
+    return f"""
+with m as (
+  select host, quality_pts, reliability_pts
+  from ({_sql_host_crawl_value_score()})
+),
+dom as (
+  select m.host, m.quality_pts, m.reliability_pts,
+         count(o.host)::BIGINT as n_dominators
+  from m left join m o
+    on o.host <> m.host
+   and o.quality_pts >= m.quality_pts
+   and o.reliability_pts >= m.reliability_pts
+   and (o.quality_pts > m.quality_pts
+        or o.reliability_pts > m.reliability_pts)
+  group by m.host, m.quality_pts, m.reliability_pts
+)
+select host, quality_pts, reliability_pts, n_dominators,
+       (case when n_dominators = 0 then 1 else 0 end)::BIGINT as on_frontier
+from dom
+"""
+
+
+#: scheme synthesis: ~3/7 of captures are http, varying WITHIN each host
+#: (7 is coprime with the 20-source cycle); path space folds mod 50 so
+#: the same path recurs under both schemes
+_SCHEME_EXPR = "case when (doc_id * 3) % 7 < 3 then 'http' else 'https' end"
+_SCHEME_PATH_EXPR = "'/d/' || cast(doc_id % 50 as varchar(10))"
+
+
+def q_host_https_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTPS adoption per host: capture counts by scheme, how many
+    paths were seen under BOTH schemes (the upgrade-safe set — the
+    canonicalizer may rewrite http→https only where the https twin is
+    known to exist), and the adoption share. Per-(host, path) scheme
+    flags rolled up twice — both groupBys bounded by the URL space,
+    map-side partials, no joins."""
+    u = _t(spark, sf_dir, "documents").selectExpr(
+        f"{HOST_EXPR} as host",
+        f"{_SCHEME_PATH_EXPR} as path",
+        f"{_SCHEME_EXPR} as scheme",
+    )
+    per_path = u.groupBy("host", "path").agg(
+        F.sum(F.expr("case when scheme = 'http' then 1 else 0 end"))
+        .cast("long")
+        .alias("n_http"),
+        F.sum(F.expr("case when scheme = 'https' then 1 else 0 end"))
+        .cast("long")
+        .alias("n_https"),
+    )
+    return per_path.groupBy("host").agg(
+        F.sum("n_http").cast("long").alias("n_http"),
+        F.sum("n_https").cast("long").alias("n_https"),
+        F.count("*").cast("long").alias("n_paths"),
+        F.sum(
+            F.expr("case when n_http > 0 and n_https > 0 then 1 else 0 end")
+        ).cast("long").alias("n_paths_both"),
+    ).selectExpr(
+        "host",
+        "n_http",
+        "n_https",
+        "n_paths",
+        "n_paths_both",
+        "cast((n_https * cast(1000000 as bigint)) div (n_http + n_https)"
+        " as bigint) as https_ppm",
+    )
+
+
+SQL_HOST_HTTPS_ADOPTION = f"""
+with u as (
+  select {HOST_EXPR} as host, {_SCHEME_PATH_EXPR} as path,
+         {_SCHEME_EXPR} as scheme
+  from documents
+),
+per_path as (
+  select host, path,
+         sum(case when scheme = 'http' then 1 else 0 end)::BIGINT as n_http,
+         sum(case when scheme = 'https' then 1 else 0 end)::BIGINT as n_https
+  from u group by host, path
+)
+select host, sum(n_http)::BIGINT as n_http, sum(n_https)::BIGINT as n_https,
+       count(*)::BIGINT as n_paths,
+       sum(case when n_http > 0 and n_https > 0 then 1 else 0 end)::BIGINT
+         as n_paths_both,
+       ((sum(n_https) * 1000000) // (sum(n_http) + sum(n_https)))::BIGINT
+         as https_ppm
+from per_path group by host
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -14655,6 +14873,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_channel_budget_split": QueryDef(
         q_crawl_channel_budget_split, _sql_crawl_channel_budget_split()
+    ),
+    "crawl_host_outage_detect": QueryDef(
+        q_crawl_host_outage_detect, SQL_CRAWL_HOST_OUTAGE_DETECT
+    ),
+    "host_pareto_frontier": QueryDef(
+        q_host_pareto_frontier, _sql_host_pareto_frontier()
+    ),
+    "host_https_adoption": QueryDef(
+        q_host_https_adoption, SQL_HOST_HTTPS_ADOPTION
     ),
 }
 
