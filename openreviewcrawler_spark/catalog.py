@@ -14249,6 +14249,165 @@ from per_path group by host
 """
 
 
+# --- session-42: as-of join + interval join --------------------------------
+
+#: fee schedule: 4 epochs per event type over the observation span
+_FEE_EPOCHS = 4
+
+
+def _fee_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, start_ms, fee_bps) — a versioned fee schedule derived
+    deterministically from the event span: epoch k starts at
+    lo + k*(span div {_FEE_EPOCHS}) and charges (k+1)*25 bps."""
+    ev = _events_ms(spark, sf_dir)
+    span = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"))
+    types = ev.select(F.col("event_type")).distinct()
+    return (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "lo",
+            "hi",
+            F.explode(F.expr(f"sequence(0, {_FEE_EPOCHS - 1})")).alias("k"),
+        )
+        .selectExpr(
+            "event_type",
+            f"cast(lo + k * ((hi - lo) div {_FEE_EPOCHS}) as bigint)"
+            " as start_ms",
+            "cast((k + 1) * 25 as bigint) as fee_bps",
+        )
+    )
+
+
+def q_event_asof_fee_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (operators/asof.asof_join — Spark has no native one;
+    this is the union+window composition, ONE shuffle on the key):
+    every event picks the fee-schedule version in force at its
+    timestamp, then revenue rolls up per (type, fee_bps) with the fee
+    in exact integer cents. The ORACLE is DuckDB's NATIVE `ASOF JOIN` —
+    two genuinely different formulations of the same operator agreeing
+    is the strongest correctness signal in the catalog. The versioned-
+    dimension join every billing/config/robots-epoch pipeline needs."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "event_id",
+        "cast(unix_millis(cast(ts as timestamp)) as bigint) as ts_ms",
+        "cast(floor(cast(value as decimal(18,4)) * 100) as bigint) as cents",
+    )
+    fees = _fee_dim(spark, sf_dir)
+    j = asof_join(
+        ev,
+        fees,
+        key_cols=["event_type"],
+        ts_col="ts_ms",
+        value_cols=["fee_bps"],
+        right_ts_col="start_ms",
+    )
+    return j.groupBy("event_type", "fee_bps").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("value_cents"),
+        F.sum(F.expr("cast(cents * fee_bps div 10000 as bigint)"))
+        .cast("long")
+        .alias("fee_cents"),
+    )
+
+
+SQL_EVENT_ASOF_FEE_JOIN = f"""
+with ev as (
+  select event_type, event_id, epoch_ms(ts) as ts_ms,
+         cast(floor(value::DECIMAL(18,4) * 100) as bigint) as cents
+  from events
+),
+span as (select min(ts_ms) as lo, max(ts_ms) as hi from ev),
+types as (select distinct event_type from ev),
+fees as (
+  select event_type,
+         (lo + k * ((hi - lo) // {_FEE_EPOCHS}))::BIGINT as start_ms,
+         ((k + 1) * 25)::BIGINT as fee_bps
+  from types cross join span
+       cross join (select unnest(range({_FEE_EPOCHS})) as k)
+),
+j as (
+  select e.event_type, e.cents, f.fee_bps
+  from ev e asof join fees f
+    on e.event_type = f.event_type and e.ts_ms >= f.start_ms
+)
+select event_type, fee_bps, count(*)::BIGINT as n_events,
+       sum(cents)::BIGINT as value_cents,
+       sum(cents * fee_bps // 10000)::BIGINT as fee_cents
+from j group by event_type, fee_bps
+"""
+
+
+#: maintenance windows: 5 slots, each 1/20 of the span (10% duty overall)
+_MAINT_WINDOWS = 5
+
+
+def q_event_maintenance_window_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join against a small window dimension: which events fell
+    inside each of the {_MAINT_WINDOWS} planned maintenance windows
+    (start-inclusive, end-exclusive) — impact sizing for incident
+    review. The dim is O(windows) rows, so the right plan IS the
+    broadcast range join (a nested-loop over a broadcast 5-row table is
+    a map-side filter, the documented exception to the no-NL rule —
+    contrast event_stickiness, where a broadcast range join over a
+    GROWING side would be the trap). Rollup per window, integer
+    cents."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "cast(unix_millis(cast(ts as timestamp)) as bigint) as ts_ms",
+        "cast(floor(cast(value as decimal(18,4)) * 100) as bigint) as cents",
+    )
+    span = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"))
+    wins = (
+        spark.range(_MAINT_WINDOWS)
+        .selectExpr("cast(id as bigint) as window_id")
+        .crossJoin(F.broadcast(span))
+        .selectExpr(
+            "window_id",
+            f"cast(lo + window_id * ((hi - lo) div {_MAINT_WINDOWS})"
+            " as bigint) as start_ms",
+            f"cast(lo + window_id * ((hi - lo) div {_MAINT_WINDOWS})"
+            f" + ((hi - lo) div 20) as bigint) as end_ms",
+        )
+    )
+    j = ev.join(
+        F.broadcast(wins),
+        (F.col("ts_ms") >= F.col("start_ms")) & (F.col("ts_ms") < F.col("end_ms")),
+    )
+    return j.groupBy("window_id", "start_ms", "end_ms").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+
+
+SQL_EVENT_MAINTENANCE_WINDOW_IMPACT = f"""
+with ev as (
+  select user_id, epoch_ms(ts) as ts_ms,
+         cast(floor(value::DECIMAL(18,4) * 100) as bigint) as cents
+  from events
+),
+span as (select min(ts_ms) as lo, max(ts_ms) as hi from ev),
+wins as (
+  select k::BIGINT as window_id,
+         (lo + k * ((hi - lo) // {_MAINT_WINDOWS}))::BIGINT as start_ms,
+         (lo + k * ((hi - lo) // {_MAINT_WINDOWS})
+          + ((hi - lo) // 20))::BIGINT as end_ms
+  from span cross join (select unnest(range({_MAINT_WINDOWS})) as k)
+)
+select window_id, start_ms, end_ms,
+       count(*)::BIGINT as n_events,
+       count(distinct user_id)::BIGINT as n_users,
+       sum(cents)::BIGINT as value_cents
+from ev join wins
+  on ev.ts_ms >= wins.start_ms and ev.ts_ms < wins.end_ms
+group by window_id, start_ms, end_ms
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -14882,6 +15041,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "host_https_adoption": QueryDef(
         q_host_https_adoption, SQL_HOST_HTTPS_ADOPTION
+    ),
+    "event_asof_fee_join": QueryDef(
+        q_event_asof_fee_join, SQL_EVENT_ASOF_FEE_JOIN
+    ),
+    "event_maintenance_window_impact": QueryDef(
+        q_event_maintenance_window_impact, SQL_EVENT_MAINTENANCE_WINDOW_IMPACT
     ),
 }
 
