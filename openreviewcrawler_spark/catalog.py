@@ -14408,6 +14408,255 @@ group by window_id, start_ms, end_ms
 """
 
 
+# --- session-43: hypertable rollup, KMV theta sketch ------------------------
+
+
+def q_event_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous aggregate (the TimescaleDB pattern): hourly
+    cells from ONE raw scan, daily cells derived FROM THE HOURLY level,
+    weekly from daily — coarser resolutions never rescan raw data,
+    which is the whole economics of a 100 TB metrics store (the raw
+    scan happens once; every level above it aggregates a bounded cell
+    table). The three levels union into one frame with a level tag.
+    The finer levels are persisted before the union — a union of
+    selects over one lineage re-RUNS that lineage per branch (the r3
+    union-embeds lesson). All integer: counts + decimal-floored
+    cents."""
+    from .caching import track_persist
+
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "cast(unix_millis(cast(ts as timestamp)) div 3600000 as bigint)"
+        " as hour_b",
+        "cast(floor(cast(value as decimal(18,4)) * 100) as bigint) as cents",
+    )
+    hourly = track_persist(
+        ev.groupBy("event_type", "hour_b").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )
+    daily = track_persist(
+        hourly.selectExpr(
+            "event_type", "cast(hour_b div 24 as bigint) as day_b",
+            "n_events", "value_cents"
+        ).groupBy("event_type", "day_b").agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+    weekly = daily.selectExpr(
+        "event_type", "cast(day_b div 7 as bigint) as week_b",
+        "n_events", "value_cents"
+    ).groupBy("event_type", "week_b").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+    )
+    h = hourly.selectExpr(
+        "'1h' as level",
+        "cast(hour_b * 3600000 as bigint) as bucket_start_ms",
+        "event_type", "n_events", "value_cents",
+    )
+    d = daily.selectExpr(
+        "'1d' as level",
+        "cast(day_b * 86400000 as bigint) as bucket_start_ms",
+        "event_type", "n_events", "value_cents",
+    )
+    w = weekly.selectExpr(
+        "'1w' as level",
+        "cast(week_b * 604800000 as bigint) as bucket_start_ms",
+        "event_type", "n_events", "value_cents",
+    )
+    return h.unionByName(d).unionByName(w)
+
+
+SQL_EVENT_HYPERTABLE_ROLLUP = """
+with ev as (
+  select event_type, epoch_ms(ts) // 3600000 as hour_b,
+         cast(floor(value::DECIMAL(18,4) * 100) as bigint) as cents
+  from events
+),
+hourly as (
+  select event_type, hour_b, count(*)::BIGINT as n_events,
+         sum(cents)::BIGINT as value_cents
+  from ev group by event_type, hour_b
+),
+daily as (
+  select event_type, hour_b // 24 as day_b,
+         sum(n_events)::BIGINT as n_events,
+         sum(value_cents)::BIGINT as value_cents
+  from hourly group by event_type, hour_b // 24
+),
+weekly as (
+  select event_type, day_b // 7 as week_b,
+         sum(n_events)::BIGINT as n_events,
+         sum(value_cents)::BIGINT as value_cents
+  from daily group by event_type, day_b // 7
+)
+select '1h' as level, (hour_b * 3600000)::BIGINT as bucket_start_ms,
+       event_type, n_events, value_cents
+from hourly
+union all
+select '1d' as level, (day_b * 86400000)::BIGINT as bucket_start_ms,
+       event_type, n_events, value_cents
+from daily
+union all
+select '1w' as level, (week_b * 604800000)::BIGINT as bucket_start_ms,
+       event_type, n_events, value_cents
+from weekly
+"""
+
+
+#: KMV sketch size
+_KMV_K = 64
+#: hash space size for the theta estimator
+_KMV_SPACE = 1 << 32
+
+
+def q_url_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/θ distinct sketch with SET OPERATIONS — the capability the
+    HLL entries (url_cardinality_hll) lack: two crawl-epoch URL sets
+    are sketched as their K={_KMV_K} minimum hash values; the Kth min
+    estimates each cardinality ((K-1)·2³²/h_K), the merged sketch
+    estimates the union, and the shared-mins-below-θ count estimates
+    intersection and Jaccard (the Theta-sketch recipe). Exact audit
+    columns ride along (cheap here, impossible at 10^10 — that's why
+    the sketch exists). Shape: one scan + one two-branch explode (the
+    union-embeds lesson), per-set two-phase top-K (a per-set global
+    sort would funnel — same discipline as the reservoir sample), then
+    all estimator arithmetic on ≤2K-row tables. Integer-only."""
+    k = _KMV_K
+    sets = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr(
+                "array(case when doc_id % 3 != 0 then 'A' end,"
+                " case when doc_id % 2 != 0 then 'B' end)"
+            )
+        ).alias("s"),
+        F.expr(f"{CANON_URL_EXPR}").alias("url"),
+    ).filter(F.col("s").isNotNull())
+    hashed = sets.selectExpr(
+        "s",
+        "url",
+        "cast(conv(substr(md5(url), 1, 8), 16, 10) as bigint) as h",
+    )
+    w1 = Window.partitionBy("s", F.spark_partition_id()).orderBy("h")
+    w2 = Window.partitionBy("s").orderBy("h")
+    kmv = (
+        hashed.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("s", "h", "rank")
+    )
+    kth = kmv.filter(F.col("rank") == k).groupBy().pivot("s", ["A", "B"]).agg(
+        F.max("h")
+    ).selectExpr("A as kth_a", "B as kth_b")
+    merged = kmv.select("h").distinct()
+    wm = Window.orderBy("h")
+    mk = (
+        merged.withColumn("rank", F.row_number().over(wm))
+        .filter(F.col("rank") <= k)
+    )
+    theta = mk.agg(F.max("h").alias("theta"))
+    # h-values below theta present in BOTH sketches
+    both = (
+        kmv.filter(F.col("s") == "A").select("h")
+        .join(kmv.filter(F.col("s") == "B").select("h"), "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    exact = sets.groupBy().pivot("s", ["A", "B"]).agg(
+        F.countDistinct("url")
+    ).selectExpr("A as exact_a", "B as exact_b")
+    exact_i = (
+        sets.filter(F.col("s") == "A").select("url")
+        .join(sets.filter(F.col("s") == "B").select("url"), "url")
+        .agg(F.countDistinct("url").cast("long").alias("exact_intersection"))
+    )
+    sp = _KMV_SPACE
+    return (
+        kth.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_i))
+        .selectExpr(
+            f"cast({k} as bigint) as k",
+            f"cast(({k} - 1) * cast({sp} as bigint) div (kth_a + 1)"
+            " as bigint) as est_a",
+            f"cast(({k} - 1) * cast({sp} as bigint) div (kth_b + 1)"
+            " as bigint) as est_b",
+            f"cast(({k} - 1) * cast({sp} as bigint) div (theta + 1)"
+            " as bigint) as est_union",
+            "n_common",
+            f"cast(n_common * (({k} - 1) * cast({sp} as bigint)"
+            f" div (theta + 1)) div {k} as bigint) as est_intersection",
+            f"cast(n_common * cast(1000000 as bigint) div {k} as bigint)"
+            " as jaccard_ppm",
+            "cast(exact_a as bigint) as exact_a",
+            "cast(exact_b as bigint) as exact_b",
+            "exact_intersection",
+        )
+    )
+
+
+SQL_URL_KMV_SET_SKETCH = f"""
+with sets as (
+  select 'A' as s, {CANON_URL_EXPR} as url from documents where doc_id % 3 <> 0
+  union all
+  select 'B' as s, {CANON_URL_EXPR} as url from documents where doc_id % 2 <> 0
+),
+hashed as (
+  select s, url, ('0x' || substr(md5(url), 1, 8))::BIGINT as h from sets
+),
+kmv as (
+  select s, h, row_number() over (partition by s order by h) as rank
+  from hashed
+),
+kk as (select * from kmv where rank <= {_KMV_K}),
+kth as (
+  select max(case when s = 'A' then h end) as kth_a,
+         max(case when s = 'B' then h end) as kth_b
+  from kk where rank = {_KMV_K}
+),
+mk as (
+  select h, row_number() over (order by h) as rank
+  from (select distinct h from kk)
+),
+theta as (select max(h) as theta from mk where rank <= {_KMV_K}),
+shared as (
+  select count(*)::BIGINT as n_common
+  from (select h from kk where s = 'A')
+       join (select h from kk where s = 'B') using (h)
+       cross join theta
+  where h <= theta
+),
+exact as (
+  select count(distinct case when s = 'A' then url end) as exact_a,
+         count(distinct case when s = 'B' then url end) as exact_b
+  from sets
+),
+exact_i as (
+  select count(distinct a.url)::BIGINT as exact_intersection
+  from (select url from sets where s = 'A') a
+       join (select url from sets where s = 'B') b on a.url = b.url
+)
+select {_KMV_K}::BIGINT as k,
+       (({_KMV_K} - 1) * {_KMV_SPACE} // (kth_a + 1))::BIGINT as est_a,
+       (({_KMV_K} - 1) * {_KMV_SPACE} // (kth_b + 1))::BIGINT as est_b,
+       (({_KMV_K} - 1) * {_KMV_SPACE} // (theta + 1))::BIGINT as est_union,
+       n_common,
+       (n_common * (({_KMV_K} - 1) * {_KMV_SPACE} // (theta + 1))
+        // {_KMV_K})::BIGINT as est_intersection,
+       (n_common * 1000000 // {_KMV_K})::BIGINT as jaccard_ppm,
+       exact_a::BIGINT as exact_a, exact_b::BIGINT as exact_b,
+       exact_intersection
+from kth cross join theta cross join shared cross join exact
+     cross join exact_i
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -15047,6 +15296,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_maintenance_window_impact": QueryDef(
         q_event_maintenance_window_impact, SQL_EVENT_MAINTENANCE_WINDOW_IMPACT
+    ),
+    "event_hypertable_rollup": QueryDef(
+        q_event_hypertable_rollup, SQL_EVENT_HYPERTABLE_ROLLUP
+    ),
+    "url_kmv_set_sketch": QueryDef(
+        q_url_kmv_set_sketch, SQL_URL_KMV_SET_SKETCH
     ),
 }
 
