@@ -14657,6 +14657,204 @@ from kth cross join theta cross join shared cross join exact
 """
 
 
+# --- session-44: MAD outliers, SRM check, device batch plan -----------------
+
+
+def q_crawl_latency_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust latency outlier detection via MAD (median absolute
+    deviation): per host, the median, the MAD and how many fetches sit
+    beyond 3×MAD — the robust alternative to
+    crawl_content_length_anomaly's 2σ gate (one genuine outage hour
+    drags a mean/σ gate, never a median one). BIGINT latencies make
+    every median an exact .5-midpoint double (the dwell-time lesson),
+    and 2·|x−med| > 6·MAD compares exactly. Two grouped median passes
+    over the host key — no global sort."""
+    log = _t(spark, sf_dir, "documents").select(
+        F.expr(HOST_EXPR).alias("host"),
+        F.expr(_HEDGE_LAT_EXPR).cast("long").alias("latency_ms"),
+    )
+    med = log.groupBy("host").agg(F.median("latency_ms").alias("med"))
+    dev = log.join(med, "host").withColumn(
+        "adev", F.abs(F.col("latency_ms") - F.col("med"))
+    )
+    mad = dev.groupBy("host").agg(
+        F.max("med").alias("med"),
+        F.median("adev").alias("mad"),
+        F.count("*").cast("long").alias("n_fetches"),
+    )
+    out = dev.join(
+        mad.select("host", F.col("mad").alias("mad_j")), "host"
+    ).groupBy("host").agg(
+        F.sum(
+            F.expr("case when adev > 3 * mad_j then 1 else 0 end")
+        ).cast("long").alias("n_outliers")
+    )
+    return mad.join(out, "host").selectExpr(
+        "host",
+        "n_fetches",
+        "cast(med * 10 as bigint) as median_decims",
+        "cast(mad * 10 as bigint) as mad_decims",
+        "n_outliers",
+        "cast((n_outliers * cast(1000000 as bigint)) div n_fetches"
+        " as bigint) as outlier_ppm",
+    )
+
+
+SQL_CRAWL_LATENCY_MAD_OUTLIERS = f"""
+with log as (
+  select {HOST_EXPR} as host, ({_HEDGE_LAT_EXPR})::BIGINT as latency_ms
+  from documents
+),
+med as (select host, median(latency_ms) as med from log group by host),
+dev as (
+  select log.host, latency_ms, abs(latency_ms - med.med) as adev, med.med
+  from log join med on log.host = med.host
+),
+mad as (
+  select host, max(med) as med, median(adev) as mad,
+         count(*)::BIGINT as n_fetches
+  from dev group by host
+),
+outl as (
+  select dev.host,
+         sum(case when adev > 3 * mad.mad then 1 else 0 end)::BIGINT
+           as n_outliers
+  from dev join mad on dev.host = mad.host
+  group by dev.host
+)
+select mad.host, n_fetches,
+       cast(med * 10 as bigint) as median_decims,
+       cast(mad * 10 as bigint) as mad_decims,
+       n_outliers,
+       ((n_outliers * 1000000) // n_fetches)::BIGINT as outlier_ppm
+from mad join outl on mad.host = outl.host
+"""
+
+
+#: chi-square threshold for 1 dof at p=0.05, in milli-units
+_SRM_CHI2_MILLI_THRESHOLD = 3841
+
+
+def q_event_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the A/B family: per event type,
+    the chi-square statistic of the observed variant split against the
+    designed 50/50 ((a-b)²/(a+b) for equal expectations — exact
+    rational over BIGINTs, floored to milli-units) and the SRM flag at
+    the 1-dof p=0.05 threshold. A flagged experiment's lift numbers
+    (event_ab_test / _zscore) are void — assignment is broken, not the
+    metric. One bounded groupBy."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        f"cast({_AB_VARIANT_EXPR} as bigint) % 2 as variant",
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.sum(F.expr("case when variant = 0 then 1 else 0 end"))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.expr("case when variant = 1 then 1 else 0 end"))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "cast(((n_a - n_b) * (n_a - n_b) * cast(1000 as bigint))"
+        " div (n_a + n_b) as bigint) as chi2_milli",
+    ).selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "chi2_milli",
+        f"cast(case when chi2_milli > {_SRM_CHI2_MILLI_THRESHOLD}"
+        " then 1 else 0 end as bigint) as srm_flag",
+    )
+
+
+SQL_EVENT_AB_SRM_CHECK = f"""
+with ev as (
+  select event_type, cast({_AB_VARIANT_EXPR} as bigint) % 2 as variant
+  from events
+),
+agg as (
+  select event_type,
+         sum(case when variant = 0 then 1 else 0 end)::BIGINT as n_a,
+         sum(case when variant = 1 then 1 else 0 end)::BIGINT as n_b
+  from ev group by event_type
+)
+select event_type, n_a, n_b,
+       (((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b))::BIGINT
+         as chi2_milli,
+       (case when ((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b)
+               > {_SRM_CHI2_MILLI_THRESHOLD} then 1 else 0 end)::BIGINT
+         as srm_flag
+from agg
+"""
+
+
+#: training topology for the batch-balance audit
+_BATCH_DEVICES = 8
+
+
+def q_traindata_device_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device batch-balance audit: packed 2048-token sequences assigned
+    round-robin to {_BATCH_DEVICES} devices (seq_id arithmetic over the
+    scalable prefix-sum packing — no new shuffle semantics, pure
+    projection), then per device: sequences, real tokens, and the
+    imbalance vs the
+    uniform share — the number that decides whether the pack order
+    needs length-bucketing before it hits the trainer (stragglers are
+    paid at every allreduce). Distinct packed seqs come from ONE
+    groupBy of the per-doc assignment."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, 2048)
+    # tokens of a doc land in its FIRST seq for this audit (exact token
+    # splitting across seq boundaries is pack_fragmentation's business;
+    # the device plan needs conserved totals, which first-seq gives)
+    first = packed.selectExpr(
+        "cast(seq_id as bigint) as seq", "n_tokens"
+    ).groupBy("seq").agg(F.sum("n_tokens").cast("long").alias("seq_tokens"))
+    dev = first.selectExpr(
+        f"cast(seq % {_BATCH_DEVICES} as bigint) as device",
+        "seq_tokens",
+    )
+    agg = dev.groupBy("device").agg(
+        F.count("*").cast("long").alias("n_slots"),
+        F.sum("seq_tokens").cast("long").alias("n_tokens"),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn("__tot", F.sum("n_tokens").over(wt)).selectExpr(
+        "device",
+        "n_slots",
+        "n_tokens",
+        f"cast((n_tokens * cast({_BATCH_DEVICES} as bigint)"
+        " * cast(1000000 as bigint)) div __tot as bigint)"
+        " as load_vs_uniform_ppm",
+    )
+
+
+def _sql_traindata_device_batch_plan() -> str:
+    inner = SQL_TRAINDATA_PACK_SEQUENCES
+    return f"""
+with packed as ({inner}),
+first as (
+  select seq_id as seq, sum(n_tokens)::BIGINT as seq_tokens
+  from packed group by seq_id
+)
+select (seq % {_BATCH_DEVICES})::BIGINT as device,
+       count(*)::BIGINT as n_slots,
+       sum(seq_tokens)::BIGINT as n_tokens,
+       ((sum(seq_tokens) * {_BATCH_DEVICES} * 1000000)
+        // (sum(sum(seq_tokens)) over ()))::BIGINT as load_vs_uniform_ppm
+from first group by seq % {_BATCH_DEVICES}
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -15302,6 +15500,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "url_kmv_set_sketch": QueryDef(
         q_url_kmv_set_sketch, SQL_URL_KMV_SET_SKETCH
+    ),
+    "crawl_latency_mad_outliers": QueryDef(
+        q_crawl_latency_mad_outliers, SQL_CRAWL_LATENCY_MAD_OUTLIERS
+    ),
+    "event_ab_srm_check": QueryDef(
+        q_event_ab_srm_check, SQL_EVENT_AB_SRM_CHECK
+    ),
+    "traindata_device_batch_plan": QueryDef(
+        q_traindata_device_batch_plan, _sql_traindata_device_batch_plan()
     ),
 }
 
