@@ -14855,6 +14855,239 @@ from first group by seq % {_BATCH_DEVICES}
 """
 
 
+# --- session-45: diameter estimate, matryoshka energy, winsorized mean ------
+
+
+def q_graph_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound: BFS from the seed set, take
+    the farthest reached node (ties to the smallest id), BFS AGAIN from
+    that node — the second sweep's max depth is the classic cheap
+    diameter lower bound (exact diameter is all-pairs, unpayable at
+    graph scale; two sweeps cost two frontier expansions). On this
+    directed link graph it bounds the longest shortest path out of the
+    seed orbit — the "how many waves until the frontier drains" number
+    crawl_drain_estimate wants as input. ONE row."""
+    from .operators.rank import bfs_depth
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = (
+        docs.select((F.col("doc_id") % 100).alias("node"))
+        .filter(F.col("node") % 17 == 0)
+        .distinct()
+    )
+    s1 = bfs_depth(edges, seeds, max_depth=8)
+    # CUT LINEAGE here: far1's plan embeds sweep 1's whole union tree
+    # (persist caches data, not plans), and sweep 2 re-embeds that tree
+    # in every level's anti-join — Catalyst re-analysis went quadratic
+    # and a collect that should take seconds ran for minutes. One row,
+    # one eager checkpoint, problem gone.
+    far1 = s1.orderBy(F.desc("depth"), F.asc("node")).limit(1).localCheckpoint(
+        eager=True
+    )
+    s2 = bfs_depth(edges, far1.select("node"), max_depth=8)
+    far2 = s2.orderBy(F.desc("depth"), F.asc("node")).limit(1)
+    return (
+        far1.selectExpr(
+            "cast(node as bigint) as far_node_1",
+            "cast(depth as bigint) as depth_1",
+        )
+        .crossJoin(
+            far2.selectExpr(
+                "cast(node as bigint) as far_node_2",
+                "cast(depth as bigint) as diameter_lb",
+            )
+        )
+    )
+
+
+SQL_GRAPH_DIAMETER_ESTIMATE = f"""
+with recursive raw as ({_BFS_EDGES_CTE}),
+e as (select distinct src, dst from raw),
+s as ({_BFS_SEEDS_CTE}),
+w1(node, depth) as (
+  select node, 0 as depth from (select distinct node from s)
+  union
+  select e.dst, w1.depth + 1 from w1 join e on e.src = w1.node
+  where w1.depth < 8
+),
+d1 as (select node, min(depth) as depth from w1 group by node),
+far1 as (select node, depth from d1 order by depth desc, node limit 1),
+w2(node, depth) as (
+  select node, 0 as depth from far1
+  union
+  select e.dst, w2.depth + 1 from w2 join e on e.src = w2.node
+  where w2.depth < 8
+),
+d2 as (select node, min(depth) as depth from w2 group by node),
+far2 as (select node, depth from d2 order by depth desc, node limit 1)
+select far1.node::BIGINT as far_node_1, far1.depth::BIGINT as depth_1,
+       far2.node::BIGINT as far_node_2, far2.depth::BIGINT as diameter_lb
+from far1 cross join far2
+"""
+
+
+#: matryoshka prefix widths audited against the 64-d embeddings
+_MRL_PREFIXES = (8, 16, 32)
+
+
+def q_embedding_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix-energy curve: what fraction of each
+    embedding's squared norm survives truncation to the first 8/16/32
+    of 64 dims — the table that decides which prefix width a
+    cheap-tier ANN index can ship (energy ratio = cos² between the
+    full vector and its zero-padded prefix). Per-row folds are
+    index-ordered `aggregate` with 0.0 init (== DuckDB's no-init
+    list_reduce — summands non-negative, the centroid-drift lesson);
+    per-prefix means go through DECIMAL(28,12) sums; mins are exact
+    integer ppm. The prefix grid explodes AFTER the one total-energy
+    fold so the full-array scan runs once per vector."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    tot = v.selectExpr(
+        "vec_id",
+        "e",
+        "aggregate(transform(e, x -> x * x), cast(0 as double),"
+        " (a, x) -> a + x) as tot_sq",
+    )
+    grid = tot.select(
+        "vec_id",
+        "e",
+        "tot_sq",
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in _MRL_PREFIXES])
+        ).alias("p"),
+    )
+    en = grid.selectExpr(
+        "p",
+        "cast(floor(aggregate(transform(slice(e, 1, cast(p as int)),"
+        " x -> x * x), cast(0 as double), (a, x) -> a + x) / tot_sq"
+        " * cast(1000000 as double)) as bigint) as energy_ppm",
+    )
+    return en.groupBy("p").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.expr(
+            "cast(sum(cast(energy_ppm as decimal(28,12))) as bigint)"
+            " div count(*)"
+        ).cast("long").alias("mean_energy_ppm"),
+        F.min("energy_ppm").cast("long").alias("min_energy_ppm"),
+    )
+
+
+SQL_EMBEDDING_MATRYOSHKA_ENERGY = f"""
+with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+tot as (
+  select vec_id, e,
+         list_reduce(list_transform(e, x -> x * x), (a, x) -> a + x)
+           as tot_sq
+  from v
+),
+grid as (
+  select vec_id, e, tot_sq,
+         unnest([{", ".join(str(p) for p in _MRL_PREFIXES)}]::BIGINT[]) as p
+  from tot
+),
+en as (
+  select p,
+         cast(floor(list_reduce(list_transform(e[1:p], x -> x * x),
+           (a, x) -> a + x) / tot_sq * cast(1000000 as double)) as bigint)
+           as energy_ppm
+  from grid
+)
+select p, count(*)::BIGINT as n_vectors,
+       (cast(sum(cast(energy_ppm as decimal(28,12))) as bigint)
+        // count(*))::BIGINT as mean_energy_ppm,
+       min(energy_ppm)::BIGINT as min_energy_ppm
+from en group by p
+"""
+
+
+def q_event_value_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized revenue mean per event type: clamp cents to the exact
+    discrete p05/p95 order statistics before averaging — the robust
+    headline metric that one whale or one refund can't move (the
+    mean/median gap in event_value_percentiles says WHETHER tails
+    distort; this ships the distortion-free number). Discrete ranks by
+    the latency_quantiles recipe ((n-1)·p div 100 + 1, ties broken by
+    event_id), clamp + integer sums — no floats anywhere."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "event_id",
+        "cast(floor(cast(value as decimal(18,4)) * 100) as bigint) as cents",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wall = Window.partitionBy("event_type")
+    x = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wall)
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"(n - 1) * {p} div 100 + 1"), F.col("cents"))
+    ).cast("long")
+    bounds = x.groupBy("event_type").agg(
+        pick(5).alias("lo_cents"), pick(95).alias("hi_cents")
+    )
+    j = ev.join(bounds, "event_type").selectExpr(
+        "event_type",
+        "cents",
+        "lo_cents",
+        "hi_cents",
+        "least(greatest(cents, lo_cents), hi_cents) as wcents",
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("lo_cents").cast("long").alias("lo_cents"),
+        F.max("hi_cents").cast("long").alias("hi_cents"),
+        F.expr("cast(sum(cents) div count(*) as bigint)").alias("mean_cents"),
+        F.expr("cast(sum(wcents) div count(*) as bigint)").alias(
+            "winsorized_mean_cents"
+        ),
+        F.sum(
+            F.expr("case when cents <> wcents then 1 else 0 end")
+        ).cast("long").alias("n_clipped"),
+    )
+
+
+SQL_EVENT_VALUE_WINSORIZED_MEAN = """
+with ev as (
+  select event_type, event_id,
+         cast(floor(value::DECIMAL(18,4) * 100) as bigint) as cents
+  from events
+),
+x as (
+  select event_type, cents,
+         row_number() over (
+           partition by event_type order by cents, event_id
+         ) as rn,
+         count(*) over (partition by event_type) as n
+  from ev
+),
+bounds as (
+  select event_type,
+         max(case when rn = (n - 1) * 5 // 100 + 1 then cents end)::BIGINT
+           as lo_cents,
+         max(case when rn = (n - 1) * 95 // 100 + 1 then cents end)::BIGINT
+           as hi_cents
+  from x group by event_type
+),
+j as (
+  select ev.event_type, cents, lo_cents, hi_cents,
+         least(greatest(cents, lo_cents), hi_cents) as wcents
+  from ev join bounds on ev.event_type = bounds.event_type
+)
+select event_type, count(*)::BIGINT as n_events,
+       max(lo_cents)::BIGINT as lo_cents,
+       max(hi_cents)::BIGINT as hi_cents,
+       (sum(cents) // count(*))::BIGINT as mean_cents,
+       (sum(wcents) // count(*))::BIGINT as winsorized_mean_cents,
+       sum(case when cents <> wcents then 1 else 0 end)::BIGINT as n_clipped
+from j group by event_type
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -15509,6 +15742,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "traindata_device_batch_plan": QueryDef(
         q_traindata_device_batch_plan, _sql_traindata_device_batch_plan()
+    ),
+    "graph_diameter_estimate": QueryDef(
+        q_graph_diameter_estimate, SQL_GRAPH_DIAMETER_ESTIMATE
+    ),
+    "embedding_matryoshka_energy": QueryDef(
+        q_embedding_matryoshka_energy, SQL_EMBEDDING_MATRYOSHKA_ENERGY
+    ),
+    "event_value_winsorized_mean": QueryDef(
+        q_event_value_winsorized_mean, SQL_EVENT_VALUE_WINSORIZED_MEAN
     ),
 }
 
