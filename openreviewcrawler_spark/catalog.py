@@ -15088,6 +15088,187 @@ from j group by event_type
 """
 
 
+# --- session-46: compaction tiering, hub pages, SCC core --------------------
+
+#: size-tiered compaction triggers a merge at this many runs per tier
+_TIER_FANOUT = 4
+
+
+def q_checkpoint_compaction_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-tiered compaction plan for the snapshot store's append runs
+    (the LSM/Iceberg maintenance policy behind SnapshotStore.compact):
+    each crawl round leaves one append run; runs bucket into dyadic
+    size tiers, and any tier holding ≥ {_TIER_FANOUT} runs merges into
+    one run of the next tier — this entry emits the per-tier ledger
+    (run count, bytes, merge decision, bytes rewritten) whose sum is
+    the round's write amplification. Run sizes derive from the corpus
+    (per-round appended bytes = the docs whose id ≡ round mod 12). All
+    integer; two bounded groupBys."""
+    runs = _t(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id % 12 as bigint) as round_no",
+        "cast(n_chars as bigint) as nb",
+    ).groupBy("round_no").agg(F.sum("nb").cast("long").alias("run_bytes"))
+    tiers = runs.selectExpr(
+        "round_no",
+        "run_bytes",
+        f"cast({_DEG_BUCKET_CASE.format(d='run_bytes div 1024 + 1')}"
+        " as bigint) as tier",
+    )
+    agg = tiers.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.sum("run_bytes").cast("long").alias("tier_bytes"),
+    )
+    return agg.selectExpr(
+        "tier",
+        "n_runs",
+        "tier_bytes",
+        f"cast(case when n_runs >= {_TIER_FANOUT} then 1 else 0 end"
+        " as bigint) as merge_now",
+        f"cast(case when n_runs >= {_TIER_FANOUT} then tier_bytes"
+        " else 0 end as bigint) as bytes_rewritten",
+    )
+
+
+SQL_CHECKPOINT_COMPACTION_TIERING = f"""
+with runs as (
+  select (doc_id % 12)::BIGINT as round_no, sum(n_chars)::BIGINT as run_bytes
+  from documents group by 1
+),
+tiers as (
+  select round_no, run_bytes,
+         ({_DEG_BUCKET_CASE.format(d='run_bytes // 1024 + 1')})::BIGINT
+           as tier
+  from runs
+),
+agg as (
+  select tier, count(*)::BIGINT as n_runs, sum(run_bytes)::BIGINT as tier_bytes
+  from tiers group by tier
+)
+select tier, n_runs, tier_bytes,
+       (case when n_runs >= {_TIER_FANOUT} then 1 else 0 end)::BIGINT
+         as merge_now,
+       (case when n_runs >= {_TIER_FANOUT} then tier_bytes else 0 end)::BIGINT
+         as bytes_rewritten
+from agg
+"""
+
+
+def q_crawl_hub_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-page classification: pages whose outlink count dwarfs their
+    text ('hub' — index/navigation pages a scheduler should fetch
+    EARLY, they seed discovery) vs content pages vs balanced — the
+    positive complement of link_spam_score (concentration says farm;
+    link density alone says hub). Pure integer classification (10
+    chars-per-link threshold by cross-multiplication), per-host
+    rollup."""
+    p = _t(spark, sf_dir, "documents").selectExpr(
+        f"{HOST_EXPR} as host",
+        "cast(n_chars as bigint) as n_chars",
+        "cast((doc_id * 13) % 40 as bigint) as n_outlinks",
+    )
+    c = p.selectExpr(
+        "host",
+        "case when n_outlinks * 10 > n_chars then 'hub'"
+        " when n_outlinks * 100 < n_chars then 'content'"
+        " else 'balanced' end as page_class",
+    )
+    return c.groupBy("host", "page_class").agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+
+
+SQL_CRAWL_HUB_PAGE_DETECT = f"""
+with p as (
+  select {HOST_EXPR} as host, n_chars::BIGINT as n_chars,
+         ((doc_id * 13) % 40)::BIGINT as n_outlinks
+  from documents
+),
+c as (
+  select host,
+         case when n_outlinks * 10 > n_chars then 'hub'
+              when n_outlinks * 100 < n_chars then 'content'
+              else 'balanced' end as page_class
+  from p
+)
+select host, page_class, count(*)::BIGINT as n_pages
+from c group by host, page_class
+"""
+
+
+#: BFS depth bound for the SCC-core sweeps
+_SCC_DEPTH = 6
+
+
+def q_graph_scc_core_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie CORE estimate: the strongly-connected component around a
+    pivot = (nodes the pivot reaches) ∩ (nodes that reach the pivot) —
+    forward BFS on the edges, backward BFS on the REVERSED edges, one
+    equi-join; the Broder-bow-tie core measurement
+    graph_sink_source_nodes (the lite tier) can't give. Pivot = the
+    max-out-degree node (ties to smallest id), checkpointed before the
+    sweeps — the r4 lineage-cut lesson: an iterative operator seeded
+    from another operator's output re-analyzes that plan every level
+    without the cut. ONE summary row, depth-{_SCC_DEPTH} sweeps."""
+    from .operators.rank import bfs_depth
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    pivot = (
+        deg.orderBy(F.desc("d"), F.asc("src"))
+        .limit(1)
+        .selectExpr("src as node")
+        .localCheckpoint(eager=True)
+    )
+    fwd = bfs_depth(edges, pivot, max_depth=_SCC_DEPTH)
+    bwd = bfs_depth(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        pivot,
+        max_depth=_SCC_DEPTH,
+    )
+    core = fwd.select("node").join(bwd.select("node"), "node")
+    return (
+        pivot.selectExpr("cast(node as bigint) as pivot")
+        .crossJoin(
+            fwd.agg(F.count("*").cast("long").alias("n_forward"))
+        )
+        .crossJoin(
+            bwd.agg(F.count("*").cast("long").alias("n_backward"))
+        )
+        .crossJoin(core.agg(F.count("*").cast("long").alias("n_core")))
+    )
+
+
+SQL_GRAPH_SCC_CORE_ESTIMATE = f"""
+with recursive raw as ({_BFS_EDGES_CTE}),
+e as (select distinct src, dst from raw),
+deg as (select src, count(*) as d from e group by src),
+pv as (select src as node from deg order by d desc, src limit 1),
+wf(node, depth) as (
+  select node, 0 as depth from pv
+  union
+  select e.dst, wf.depth + 1 from wf join e on e.src = wf.node
+  where wf.depth < {_SCC_DEPTH}
+),
+wb(node, depth) as (
+  select node, 0 as depth from pv
+  union
+  select e.src, wb.depth + 1 from wb join e on e.dst = wb.node
+  where wb.depth < {_SCC_DEPTH}
+),
+f as (select distinct node from wf),
+b as (select distinct node from wb),
+core as (select f.node from f join b on f.node = b.node)
+select (select node from pv)::BIGINT as pivot,
+       (select count(*) from f)::BIGINT as n_forward,
+       (select count(*) from b)::BIGINT as n_backward,
+       (select count(*) from core)::BIGINT as n_core
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -15751,6 +15932,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_value_winsorized_mean": QueryDef(
         q_event_value_winsorized_mean, SQL_EVENT_VALUE_WINSORIZED_MEAN
+    ),
+    "checkpoint_compaction_tiering": QueryDef(
+        q_checkpoint_compaction_tiering, SQL_CHECKPOINT_COMPACTION_TIERING
+    ),
+    "crawl_hub_page_detect": QueryDef(
+        q_crawl_hub_page_detect, SQL_CRAWL_HUB_PAGE_DETECT
+    ),
+    "graph_scc_core_estimate": QueryDef(
+        q_graph_scc_core_estimate, SQL_GRAPH_SCC_CORE_ESTIMATE
     ),
 }
 
