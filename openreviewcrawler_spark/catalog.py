@@ -15269,6 +15269,239 @@ select (select node from pv)::BIGINT as pivot,
 """
 
 
+# --- session-47: simhash drift, split leakage, novelty rate -----------------
+
+
+def q_text_simhash_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy corpus-drift monitor: per source, a GROUP-level 64-bit
+    simhash (token bit-votes aggregated over the whole epoch slice, not
+    per doc) for the even-id and odd-id epochs, compared by Hamming
+    distance — corpus_snapshot_diff sees only exact-hash turnover;
+    this sees DISTRIBUTIONAL drift (a source whose vocabulary shifted
+    moves many bits even when no page is byte-identical across
+    epochs). Same vote/band arithmetic as dedup_simhash (all
+    intermediates < 2^16 — DuckDB errors on BIGINT overflow where
+    Spark wraps), one token explode, ONE groupBy per epoch pair via
+    the (source, epoch) key, then a |sources|-row self-join."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "source",
+        # NOT doc_id % 2 — that is CONSTANT per source (the coprime
+        # trap); (doc_id %% 40 vs %% 20) alternates within every source
+        F.expr(
+            "cast(case when doc_id % 40 - doc_id % 20 = 20"
+            " then 1 else 0 end as bigint)"
+        ).alias("epoch"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).selectExpr(
+        "source",
+        "epoch",
+        "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint) as h_lo",
+        "cast(conv(substr(md5('hi|' || tok), 1, 8), 16, 10) as bigint)"
+        " as h_hi",
+    )
+    votes = toks.groupBy("source", "epoch").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"case when (({'h_lo >> ' + str(b) if b < 32 else 'h_hi >> ' + str(b - 32)}) & 1) = 1"
+                    " then 1 else -1 end"
+                )
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    words = votes.selectExpr(
+        "source",
+        "epoch",
+        " + ".join(
+            f"(case when s{b} > 0 then cast({1 << (b % 32)} as bigint)"
+            " else cast(0 as bigint) end)"
+            for b in range(32)
+        )
+        + " as w0",
+        " + ".join(
+            f"(case when s{b} > 0 then cast({1 << (b % 32)} as bigint)"
+            " else cast(0 as bigint) end)"
+            for b in range(32, 64)
+        )
+        + " as w1",
+    )
+    a = words.filter(F.col("epoch") == 0).select(
+        "source", F.col("w0").alias("a0"), F.col("w1").alias("a1")
+    )
+    b_ = words.filter(F.col("epoch") == 1).select(
+        "source", F.col("w0").alias("b0"), F.col("w1").alias("b1")
+    )
+    return a.join(b_, "source").selectExpr(
+        "source",
+        "cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) as bigint)"
+        " as hamming_64",
+        "cast((bit_count(a0 ^ b0) + bit_count(a1 ^ b1))"
+        " * cast(1000000 as bigint) div 64 as bigint) as drift_ppm",
+    )
+
+
+def _sql_text_simhash_drift() -> str:
+    votes = ", ".join(
+        "sum(case when (({src}) & 1) = 1 then 1 else -1 end) as s{b}".format(
+            src=f"h_lo >> {b}" if b < 32 else f"h_hi >> {b - 32}", b=b
+        )
+        for b in range(64)
+    )
+    w0 = " + ".join(
+        f"(case when s{b} > 0 then {1 << (b % 32)}::BIGINT else 0::BIGINT end)"
+        for b in range(32)
+    )
+    w1 = " + ".join(
+        f"(case when s{b} > 0 then {1 << (b % 32)}::BIGINT else 0::BIGINT end)"
+        for b in range(32, 64)
+    )
+    return f"""
+with toks as (
+  select source,
+         (case when doc_id % 40 - doc_id % 20 = 20 then 1 else 0 end)::BIGINT
+           as epoch,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT as h_lo,
+         ('0x' || substr(md5('hi|' || tok), 1, 8))::BIGINT as h_hi
+  from (select source, doc_id, unnest(string_split(text, ' ')) as tok
+        from documents)
+),
+votes as (
+  select source, epoch, {votes}
+  from toks group by source, epoch
+),
+words as (
+  select source, epoch, ({w0}) as w0, ({w1}) as w1 from votes
+),
+a as (select source, w0 as a0, w1 as a1 from words where epoch = 0),
+b as (select source, w0 as b0, w1 as b1 from words where epoch = 1)
+select a.source,
+       (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)))::BIGINT
+         as hamming_64,
+       ((bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))) * 1000000 // 64)
+         ::BIGINT as drift_ppm
+from a join b on a.source = b.source
+"""
+
+
+#: validation share: md5 bucket < 20 of 100 => ~20% val split
+_SPLIT_VAL_PCT = 20
+
+
+def q_traindata_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split leakage: hash-split the corpus (md5 of doc id,
+    {_SPLIT_VAL_PCT}% validation), then count EXACT-duplicate content
+    pairs that cross the split — every such pair leaks validation
+    signal into training (the intra-corpus complement of
+    traindata_decontaminate's external-benchmark n-gram check; random
+    splits leak exactly this way when dedup runs after splitting).
+    ONE content-hash groupBy (train count × val count per content key
+    gives cross pairs in closed form — never a pair self-join), plus
+    the corpus-level summary."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "md5(text) as h",
+        "case when cast(conv(substr(md5(cast(doc_id as varchar(30))), 1, 8),"
+        f" 16, 10) as bigint) % 100 < {_SPLIT_VAL_PCT} then 1 else 0 end"
+        " as is_val",
+    )
+    per = d.groupBy("h").agg(
+        F.sum(F.expr("1 - is_val")).cast("long").alias("n_train"),
+        F.sum("is_val").cast("long").alias("n_val"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_content_keys"),
+        F.sum(F.expr("n_train + n_val")).cast("long").alias("n_docs"),
+        F.sum("n_val").cast("long").alias("n_val_docs"),
+        F.sum(F.expr("n_train * n_val")).cast("long").alias("n_leak_pairs"),
+        F.sum(
+            F.expr("case when n_train > 0 and n_val > 0 then 1 else 0 end")
+        ).cast("long").alias("n_leaky_keys"),
+    ).selectExpr(
+        "n_content_keys",
+        "n_docs",
+        "n_val_docs",
+        "n_leak_pairs",
+        "n_leaky_keys",
+        "cast((n_leaky_keys * cast(1000000 as bigint)) div n_content_keys"
+        " as bigint) as leaky_key_ppm",
+    )
+
+
+SQL_TRAINDATA_SPLIT_LEAKAGE_CHECK = f"""
+with d as (
+  select md5(text) as h,
+         case when (('0x' || substr(md5(cast(doc_id as varchar(30))), 1, 8))
+                    ::BIGINT) % 100 < {_SPLIT_VAL_PCT} then 1 else 0 end
+           as is_val
+  from documents
+),
+per as (
+  select h, sum(1 - is_val)::BIGINT as n_train, sum(is_val)::BIGINT as n_val
+  from d group by h
+)
+select count(*)::BIGINT as n_content_keys,
+       sum(n_train + n_val)::BIGINT as n_docs,
+       sum(n_val)::BIGINT as n_val_docs,
+       sum(n_train * n_val)::BIGINT as n_leak_pairs,
+       sum(case when n_train > 0 and n_val > 0 then 1 else 0 end)::BIGINT
+         as n_leaky_keys,
+       ((sum(case when n_train > 0 and n_val > 0 then 1 else 0 end)
+         * 1000000) // count(*))::BIGINT as leaky_key_ppm
+from per
+"""
+
+
+def q_event_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral novelty rate per day: the share of events whose
+    (user, type) pair appears for the FIRST time that day — product
+    surfaces driving new behaviors vs repeat usage (the per-day face
+    of event_new_vs_returning, which tracks only first-ever USERS).
+    First-seen via one (user, type) groupBy joined back on the pair
+    key — no window over the raw log. Days are epoch arithmetic."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_type",
+        "cast(unix_millis(cast(ts as timestamp)) as bigint) as ts_ms",
+    )
+    first = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts_ms").alias("first_ms")
+    )
+    j = ev.join(first, ["user_id", "event_type"]).selectExpr(
+        "cast(ts_ms div 86400000 as bigint) as day",
+        "case when ts_ms = first_ms then 1 else 0 end as novel",
+    )
+    return j.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("novel").cast("long").alias("n_novel"),
+    ).selectExpr(
+        "day",
+        "n_events",
+        "n_novel",
+        "cast((n_novel * cast(1000000 as bigint)) div n_events as bigint)"
+        " as novelty_ppm",
+    )
+
+
+SQL_EVENT_NOVELTY_RATE = """
+with ev as (
+  select user_id, event_type, epoch_ms(ts) as ts_ms from events
+),
+first as (
+  select user_id, event_type, min(ts_ms) as first_ms
+  from ev group by user_id, event_type
+),
+j as (
+  select (ev.ts_ms // 86400000)::BIGINT as day,
+         case when ev.ts_ms = first.first_ms then 1 else 0 end as novel
+  from ev join first
+    on ev.user_id = first.user_id and ev.event_type = first.event_type
+)
+select day, count(*)::BIGINT as n_events, sum(novel)::BIGINT as n_novel,
+       ((sum(novel) * 1000000) // count(*))::BIGINT as novelty_ppm
+from j group by day
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -15941,6 +16174,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "graph_scc_core_estimate": QueryDef(
         q_graph_scc_core_estimate, SQL_GRAPH_SCC_CORE_ESTIMATE
+    ),
+    "text_simhash_drift": QueryDef(
+        q_text_simhash_drift, _sql_text_simhash_drift()
+    ),
+    "traindata_split_leakage_check": QueryDef(
+        q_traindata_split_leakage_check, SQL_TRAINDATA_SPLIT_LEAKAGE_CHECK
+    ),
+    "event_novelty_rate": QueryDef(
+        q_event_novelty_rate, SQL_EVENT_NOVELTY_RATE
     ),
 }
 
