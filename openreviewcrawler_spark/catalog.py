@@ -15502,6 +15502,191 @@ from j group by day
 """
 
 
+# --- session-48: velocity bursts, autoscale plan, extract routing -----------
+
+#: burst = this many events from one user inside the sliding window
+_BURST_WINDOW_MS = 600000
+_BURST_THRESHOLD = 5
+
+
+def q_event_velocity_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity-rule fraud check: per user, the max number of events
+    inside any trailing 10-minute window (a true RANGE frame over
+    event-time — every event counts its companions by TIMESTAMP
+    distance, not row distance; the only ROWS-frame approximation
+    would undercount ties and gaps) and whether the {_BURST_THRESHOLD}+
+    burst rule fires. One user-partitioned range window + one
+    groupBy — the batch twin of a streaming CEP rule."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "cast(unix_millis(cast(ts as timestamp)) as bigint) as ts_ms",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-_BURST_WINDOW_MS, 0)
+    )
+    b = ev.withColumn("win_n", F.count("*").over(w))
+    return b.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("win_n").cast("long").alias("max_burst"),
+        F.sum(
+            F.expr(f"case when win_n >= {_BURST_THRESHOLD} then 1 else 0 end")
+        ).cast("long").alias("n_burst_events"),
+    ).selectExpr(
+        "user_id",
+        "n_events",
+        "max_burst",
+        "n_burst_events",
+        f"cast(case when max_burst >= {_BURST_THRESHOLD} then 1 else 0 end"
+        " as bigint) as velocity_flag",
+    )
+
+
+SQL_EVENT_VELOCITY_BURST_DETECT = f"""
+with ev as (select user_id, epoch_ms(ts) as ts_ms from events),
+b as (
+  select user_id,
+         count(*) over (
+           partition by user_id order by ts_ms
+           range between {_BURST_WINDOW_MS} preceding and current row
+         ) as win_n
+  from ev
+)
+select user_id, count(*)::BIGINT as n_events,
+       max(win_n)::BIGINT as max_burst,
+       sum(case when win_n >= {_BURST_THRESHOLD} then 1 else 0 end)::BIGINT
+         as n_burst_events,
+       (case when max(win_n) >= {_BURST_THRESHOLD} then 1 else 0 end)::BIGINT
+         as velocity_flag
+from b group by user_id
+"""
+
+
+#: autoscaler sizing: one executor serves this many events per hour
+#: (sized to the fixture's ~2-14 events/hour so demand actually varies)
+_SCALE_PER_EXEC = 2
+
+
+def q_crawl_autoscale_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor autoscale plan from the hourly load curve: per hour,
+    demand = ceil(events / {_SCALE_PER_EXEC}) executors, compared to
+    the PREVIOUS hour's demand (lag over the bounded hourly rollup —
+    the raw log is never windowed) to emit scale_up / scale_down /
+    hold actions — the schedule a cluster autoscaler would replay.
+    Integer ceil-division; explicit (hour) ordering with no ties by
+    construction."""
+    hourly = _t(spark, sf_dir, "events").selectExpr(
+        "cast(unix_millis(cast(ts as timestamp)) div 3600000 as bigint)"
+        " as hour_b"
+    ).groupBy("hour_b").agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.orderBy("hour_b")
+    d = hourly.selectExpr(
+        "hour_b",
+        "n_events",
+        f"cast((n_events + {_SCALE_PER_EXEC} - 1) div {_SCALE_PER_EXEC}"
+        " as bigint) as n_executors",
+    ).withColumn("prev_exec", F.lag("n_executors").over(w))
+    return d.selectExpr(
+        "hour_b",
+        "n_events",
+        "n_executors",
+        "cast(coalesce(prev_exec, 0) as bigint) as prev_executors",
+        "case when prev_exec is null or n_executors > prev_exec"
+        " then 'scale_up' when n_executors < prev_exec then 'scale_down'"
+        " else 'hold' end as action",
+    )
+
+
+SQL_CRAWL_AUTOSCALE_PLAN = f"""
+with hourly as (
+  select epoch_ms(ts) // 3600000 as hour_b, count(*)::BIGINT as n_events
+  from events group by 1
+),
+d as (
+  select hour_b, n_events,
+         ((n_events + {_SCALE_PER_EXEC} - 1) // {_SCALE_PER_EXEC})::BIGINT
+           as n_executors
+  from hourly
+),
+l as (
+  select hour_b, n_events, n_executors,
+         lag(n_executors) over (order by hour_b) as prev_exec
+  from d
+)
+select hour_b::BIGINT as hour_b, n_events, n_executors,
+       coalesce(prev_exec, 0)::BIGINT as prev_executors,
+       case when prev_exec is null or n_executors > prev_exec
+            then 'scale_up' when n_executors < prev_exec then 'scale_down'
+            else 'hold' end as action
+from l
+"""
+
+
+#: per-route CPU cost in ms per KiB of payload
+_ROUTE_COST = {
+    "application/pdf": ("ocr_extract", 50),
+    "text/html": ("dom_extract", 5),
+    "application/xml": ("xml_extract", 3),
+    "audio/x-wav": ("asr_stub", 100),
+    "audio/ogg": ("asr_stub", 100),
+    "image/gif": ("vision_stub", 40),
+    "text/plain": ("passthrough", 1),
+}
+
+
+def q_mm_extract_route_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction routing plan over the sniffed MIME mix: each payload
+    class routes to its pipeline (OCR for PDF, DOM for HTML, ASR stub
+    for audio — the decode stages are stubbed per the container
+    constraint, the ROUTING economics are real) with a per-KiB CPU
+    coefficient; the per-route CPU ledger is what sizes the extract
+    fleet. Reuses mime_sniff's per-doc rows, one bounded groupBy."""
+    sniffed = q_mime_sniff(spark, sf_dir)
+    route = " ".join(
+        f"when mime = '{m}' then '{r}'" for m, (r, _c) in _ROUTE_COST.items()
+    )
+    coeff = " ".join(
+        f"when mime = '{m}' then {c}" for m, (_r, c) in _ROUTE_COST.items()
+    )
+    per = sniffed.selectExpr(
+        "mime",
+        f"case {route} else 'quarantine' end as route",
+        "n_bytes",
+        f"cast((n_bytes div 1024 + 1) * case {coeff} else 0 end as bigint)"
+        " as est_cpu_ms",
+    )
+    return per.groupBy("mime", "route").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("bytes_total"),
+        F.sum("est_cpu_ms").cast("long").alias("cpu_ms_total"),
+    )
+
+
+def _sql_mm_extract_route_plan() -> str:
+    route = " ".join(
+        f"when mime = '{m}' then '{r}'" for m, (r, _c) in _ROUTE_COST.items()
+    )
+    coeff = " ".join(
+        f"when mime = '{m}' then {c}" for m, (_r, c) in _ROUTE_COST.items()
+    )
+    return f"""
+with sniffed as ({SQL_MIME_SNIFF}),
+per as (
+  select mime,
+         case {route} else 'quarantine' end as route,
+         n_bytes,
+         ((n_bytes // 1024 + 1) * case {coeff} else 0 end)::BIGINT
+           as est_cpu_ms
+  from sniffed
+)
+select mime, route, count(*)::BIGINT as n_docs,
+       sum(n_bytes)::BIGINT as bytes_total,
+       sum(est_cpu_ms)::BIGINT as cpu_ms_total
+from per group by mime, route
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -16183,6 +16368,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_novelty_rate": QueryDef(
         q_event_novelty_rate, SQL_EVENT_NOVELTY_RATE
+    ),
+    "event_velocity_burst_detect": QueryDef(
+        q_event_velocity_burst_detect, SQL_EVENT_VELOCITY_BURST_DETECT
+    ),
+    "crawl_autoscale_plan": QueryDef(
+        q_crawl_autoscale_plan, SQL_CRAWL_AUTOSCALE_PLAN
+    ),
+    "mm_extract_route_plan": QueryDef(
+        q_mm_extract_route_plan, _sql_mm_extract_route_plan()
     ),
 }
 
