@@ -15687,6 +15687,200 @@ from per group by mime, route
 """
 
 
+# --- session-49: label ANOVA, queue wait, nearest snapshot ------------------
+
+
+def q_embedding_label_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of embedding ENERGY (squared norm — sqrt-free by
+    construction) across labels: the F-statistic that says whether the
+    label structure explains vector magnitude at all — completing the
+    catalog's exact-moment statistics family (Pearson, kappa, χ²,
+    Welch z). Per-row energies are index-ordered folds; group and
+    global moments accumulate as DECIMAL(28,12) (exact, associative);
+    the F formula is per-value double arithmetic over those exact
+    sums, floor-projected to milli-units. ONE row; two bounded
+    groupBys."""
+    v = _t(spark, sf_dir, "embeddings").selectExpr(
+        "label",
+        "aggregate(transform(cast(embedding as array<double>), x -> x * x),"
+        " cast(0 as double), (a, x) -> a + x) as x",
+    )
+    g = v.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(F.expr("cast(x as decimal(28,12))")).alias("s_g"),
+    )
+    tot = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("cast(x as decimal(28,12))")).alias("s"),
+        F.sum(F.expr("cast(x * x as decimal(28,12))")).alias("ss"),
+    )
+    between = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.expr(
+                "cast(cast(s_g as double) * cast(s_g as double)"
+                " / cast(n_g as double) as decimal(28,12))"
+            )
+        ).alias("sb_raw"),
+    )
+    return between.crossJoin(F.broadcast(tot)).selectExpr(
+        "k",
+        "n",
+        "cast(floor((cast(sb_raw as double) - cast(s as double)"
+        " * cast(s as double) / cast(n as double))"
+        " / cast(k - 1 as double)"
+        " / ((cast(ss as double) - cast(sb_raw as double))"
+        " / cast(n - k as double)) * cast(1000 as double)) as bigint)"
+        " as f_stat_milli",
+    )
+
+
+SQL_EMBEDDING_LABEL_ANOVA = """
+with v as (
+  select label,
+         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+           (a, x) -> a + x) as x
+  from embeddings
+),
+g as (
+  select label, count(*)::BIGINT as n_g,
+         sum(cast(x as decimal(28,12))) as s_g
+  from v group by label
+),
+tot as (
+  select count(*)::BIGINT as n, sum(cast(x as decimal(28,12))) as s,
+         sum(cast(x * x as decimal(28,12))) as ss
+  from v
+),
+between_g as (
+  select count(*)::BIGINT as k,
+         sum(cast(cast(s_g as double) * cast(s_g as double)
+             / cast(n_g as double) as decimal(28,12))) as sb_raw
+  from g
+)
+select k, n,
+       cast(floor((cast(sb_raw as double) - cast(s as double)
+         * cast(s as double) / cast(n as double))
+         / cast(k - 1 as double)
+         / ((cast(ss as double) - cast(sb_raw as double))
+            / cast(n - k as double)) * cast(1000 as double)) as bigint)
+         as f_stat_milli
+from between_g cross join tot
+"""
+
+
+def q_crawl_queue_wait_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/M/1 queueing estimate per host: utilization ρ = service·rate
+    and expected queue wait ρ/(1−ρ)·service, from the fetch log's
+    request count and p50 service time over a fixed 1-hour accounting
+    window — the closed-form answer to "how far behind is this host's
+    politeness queue running". Pure integer cross-multiplication
+    (wait_ms = n·p50² div (span − n·p50)); saturated hosts (ρ ≥ 1)
+    emit the overload flag instead of a meaningless wait. Reuses the
+    latency-quantile rollup."""
+    from .operators.scheduler import latency_quantiles
+
+    span_ms = 3600000
+    log = _t(spark, sf_dir, "documents").select(
+        F.expr(HOST_EXPR).alias("host"),
+        (F.lit(50) + (F.col("doc_id") * 97) % 900).cast("long").alias("latency_ms"),
+    )
+    qs = latency_quantiles(log).select("host", "n_fetches", "p50_ms")
+    return qs.selectExpr(
+        "host",
+        "n_fetches",
+        "p50_ms",
+        f"cast((n_fetches * p50_ms * cast(1000000 as bigint))"
+        f" div {span_ms} as bigint) as rho_ppm",
+        f"cast(case when n_fetches * p50_ms < {span_ms}"
+        f" then (n_fetches * p50_ms * p50_ms)"
+        f" div ({span_ms} - n_fetches * p50_ms) else -1 end as bigint)"
+        " as wait_ms",
+        f"cast(case when n_fetches * p50_ms >= {span_ms} then 1 else 0 end"
+        " as bigint) as overloaded",
+    )
+
+
+def _sql_crawl_queue_wait_estimate() -> str:
+    from .operators.scheduler import latency_quantiles_sql
+
+    span_ms = 3600000
+    inner = latency_quantiles_sql(
+        f"select {HOST_EXPR} as host,"
+        " (50 + (doc_id * 97) % 900)::BIGINT as latency_ms from documents"
+    )
+    return f"""
+with qs as ({inner})
+select host, n_fetches, p50_ms,
+       ((n_fetches * p50_ms * 1000000) // {span_ms})::BIGINT as rho_ppm,
+       (case when n_fetches * p50_ms < {span_ms}
+             then (n_fetches * p50_ms * p50_ms)
+                  // ({span_ms} - n_fetches * p50_ms)
+             else -1 end)::BIGINT as wait_ms,
+       (case when n_fetches * p50_ms >= {span_ms} then 1 else 0 end)::BIGINT
+         as overloaded
+from qs
+"""
+
+
+#: replay target timestamp and capture synthesis bounds
+_SNAP_TARGET_TS = 1025000
+
+
+def q_warc_nearest_snapshot_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal nearest-snapshot selection (the Wayback replay rule):
+    per URL, the capture closest to the requested timestamp, earlier
+    capture winning ties — argmin WITHOUT min_by/struct-compare (their
+    tie semantics differ across engines): distance, timestamp and
+    capture id pack into ONE BIGINT (fields are bounded, shifts keep
+    every intermediate far below 2^63 — DuckDB errors on overflow),
+    integer MIN picks the winner, div/mod decode it. One groupBy."""
+    caps = _t(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id % 120 as bigint) as url_key",
+        "cast(1000000 + (doc_id * 37) % 50000 as bigint) as cap_ts",
+        "doc_id",
+    )
+    t = _SNAP_TARGET_TS
+    packed = caps.selectExpr(
+        "url_key",
+        "cap_ts",
+        "doc_id",
+        f"abs(cap_ts - {t}) * cast(1099511627776 as bigint)"
+        " + cap_ts * cast(1048576 as bigint) + doc_id as packed",
+    )
+    return packed.groupBy("url_key").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.min("packed").alias("__p"),
+    ).selectExpr(
+        "url_key",
+        "n_captures",
+        "cast(__p div 1099511627776 as bigint) as best_dist",
+        "cast((__p % 1099511627776) div 1048576 as bigint) as best_ts",
+        "cast(__p % 1048576 as bigint) as best_doc",
+    )
+
+
+SQL_WARC_NEAREST_SNAPSHOT_SELECT = f"""
+with caps as (
+  select (doc_id % 120)::BIGINT as url_key,
+         (1000000 + (doc_id * 37) % 50000)::BIGINT as cap_ts,
+         doc_id
+  from documents
+),
+packed as (
+  select url_key, cap_ts, doc_id,
+         abs(cap_ts - {_SNAP_TARGET_TS}) * 1099511627776
+           + cap_ts * 1048576 + doc_id as packed
+  from caps
+)
+select url_key, count(*)::BIGINT as n_captures,
+       (min(packed) // 1099511627776)::BIGINT as best_dist,
+       ((min(packed) % 1099511627776) // 1048576)::BIGINT as best_ts,
+       (min(packed) % 1048576)::BIGINT as best_doc
+from packed group by url_key
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -16377,6 +16571,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "mm_extract_route_plan": QueryDef(
         q_mm_extract_route_plan, _sql_mm_extract_route_plan()
+    ),
+    "embedding_label_anova": QueryDef(
+        q_embedding_label_anova, SQL_EMBEDDING_LABEL_ANOVA
+    ),
+    "crawl_queue_wait_estimate": QueryDef(
+        q_crawl_queue_wait_estimate, _sql_crawl_queue_wait_estimate()
+    ),
+    "warc_nearest_snapshot_select": QueryDef(
+        q_warc_nearest_snapshot_select, SQL_WARC_NEAREST_SNAPSHOT_SELECT
     ),
 }
 
