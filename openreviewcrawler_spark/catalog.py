@@ -15881,6 +15881,162 @@ from packed group by url_key
 """
 
 
+# --- session-50: seasonal anomaly, case-sensitivity probe -------------------
+
+
+def q_event_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-adjusted daily anomaly detection: each (type, day)'s
+    count compares against the median of up to 3 PRIOR SAME-WEEKDAY
+    days — event_daily_anomaly's trailing baseline reads every Sunday
+    as an anomaly on weekday-seasonal traffic; partitioning the
+    baseline window by (type, weekday) removes exactly that false
+    positive class. BIGINT counts make the median an exact .5-step
+    double (emitted ×10 as BIGINT); spike/dip flags are exact
+    comparisons. Window over the bounded (type, day) rollup, never the
+    raw log."""
+    daily = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "cast(unix_millis(cast(ts as timestamp)) div 86400000 as bigint)"
+        " as day",
+    ).groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n")
+    ).selectExpr(
+        "event_type", "day", "cast((day + 3) % 7 as bigint) as dow", "n"
+    )
+    w = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("day")
+        .rowsBetween(-3, -1)
+    )
+    # Spark refuses aggregate median over a FRAME — collect the ≤3-row
+    # frame and take the array median (order-free after array_sort);
+    # DuckDB's native frame median is the independent twin
+    b = daily.withColumn(
+        "__arr", F.array_sort(F.collect_list("n").over(w))
+    ).selectExpr(
+        "event_type",
+        "day",
+        "dow",
+        "n",
+        "case when size(__arr) = 0 then cast(null as double)"
+        " when size(__arr) % 2 = 1 then"
+        " cast(element_at(__arr, cast((size(__arr) + 1) div 2 as int))"
+        " as double)"
+        " else (element_at(__arr, cast(size(__arr) div 2 as int))"
+        " + element_at(__arr, cast(size(__arr) div 2 + 1 as int)))"
+        " / cast(2 as double) end as expected",
+    )
+    return b.selectExpr(
+        "event_type",
+        "day",
+        "dow",
+        "n",
+        "cast(expected * 10 as bigint) as expected_decims",
+        "cast(case when expected is not null and cast(n as double)"
+        " > 2 * expected then 1 else 0 end as bigint) as spike",
+        "cast(case when expected is not null and cast(n as double) * 2"
+        " < expected then 1 else 0 end as bigint) as dip",
+    )
+
+
+SQL_EVENT_SEASONAL_ANOMALY = """
+with daily as (
+  select event_type, epoch_ms(ts) // 86400000 as day,
+         count(*)::BIGINT as n
+  from events group by 1, 2
+),
+d2 as (
+  select event_type, day::BIGINT as day, ((day + 3) % 7)::BIGINT as dow, n
+  from daily
+),
+b as (
+  select event_type, day, dow, n,
+         median(n) over (
+           partition by event_type, dow order by day
+           rows between 3 preceding and 1 preceding
+         ) as expected
+  from d2
+)
+select event_type, day, dow, n,
+       cast(expected * 10 as bigint) as expected_decims,
+       (case when expected is not null and cast(n as double) > 2 * expected
+             then 1 else 0 end)::BIGINT as spike,
+       (case when expected is not null and cast(n as double) * 2 < expected
+             then 1 else 0 end)::BIGINT as dip
+from b
+"""
+
+
+#: paired case-variant probe: docs 2k/2k+1 spell ONE path in lower/upper
+#: case; content diverges on every third pair (the case-sensitive hosts'
+#: signature). Pair key and host derive from the parity-stripped id.
+_CASE_PROBE_HOST_EXPR = (
+    "'h' || cast((doc_id - doc_id % 2) % 10 as varchar(10)) || '.example'"
+)
+
+
+def q_url_case_sensitivity_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path case-sensitivity probing: fetch the same path in two case
+    spellings and compare content — hosts where the pair DIVERGES are
+    case-sensitive, and the canonicalizer must NOT lowercase their
+    paths (lowercasing the scheme/host is always safe; the path only
+    on probed-insensitive hosts — the policy input url_hygiene_audit's
+    case counter needs). Closed-form pair compare via one pair-key
+    groupBy; per-host rollup."""
+    p = _t(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id - doc_id % 2 as bigint) as pair_key",
+        f"{_CASE_PROBE_HOST_EXPR} as host",
+        "md5('body-' || cast(doc_id - doc_id % 2 as varchar(20)) ||"
+        " case when doc_id % 2 = 1 and (doc_id - doc_id % 2) % 3 = 0"
+        " then ' v2' else '' end) as content_hash",
+    )
+    pairs = p.groupBy("pair_key", "host").agg(
+        F.countDistinct("content_hash").cast("long").alias("n_variants"),
+        F.count("*").cast("long").alias("n_probes"),
+    ).filter(F.col("n_probes") == 2)
+    return pairs.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(
+            F.expr("case when n_variants > 1 then 1 else 0 end")
+        ).cast("long").alias("n_divergent"),
+    ).selectExpr(
+        "host",
+        "n_pairs",
+        "n_divergent",
+        "cast(case when n_divergent > 0 then 1 else 0 end as bigint)"
+        " as case_sensitive",
+        "cast((n_divergent * cast(1000000 as bigint)) div n_pairs"
+        " as bigint) as divergent_ppm",
+    )
+
+
+SQL_URL_CASE_SENSITIVITY_PROBE = f"""
+with p as (
+  select (doc_id - doc_id % 2)::BIGINT as pair_key,
+         {_CASE_PROBE_HOST_EXPR} as host,
+         md5('body-' || cast(doc_id - doc_id % 2 as varchar(20)) ||
+             case when doc_id % 2 = 1 and (doc_id - doc_id % 2) % 3 = 0
+             then ' v2' else '' end) as content_hash
+  from documents
+),
+pairs as (
+  select pair_key, host,
+         count(distinct content_hash)::BIGINT as n_variants,
+         count(*)::BIGINT as n_probes
+  from p group by pair_key, host
+),
+ok_pairs as (select * from pairs where n_probes = 2)
+select host, count(*)::BIGINT as n_pairs,
+       sum(case when n_variants > 1 then 1 else 0 end)::BIGINT
+         as n_divergent,
+       (case when sum(case when n_variants > 1 then 1 else 0 end) > 0
+             then 1 else 0 end)::BIGINT as case_sensitive,
+       ((sum(case when n_variants > 1 then 1 else 0 end) * 1000000)
+        // count(*))::BIGINT as divergent_ppm
+from ok_pairs group by host
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -16580,6 +16736,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "warc_nearest_snapshot_select": QueryDef(
         q_warc_nearest_snapshot_select, SQL_WARC_NEAREST_SNAPSHOT_SELECT
+    ),
+    "event_seasonal_anomaly": QueryDef(
+        q_event_seasonal_anomaly, SQL_EVENT_SEASONAL_ANOMALY
+    ),
+    "url_case_sensitivity_probe": QueryDef(
+        q_url_case_sensitivity_probe, SQL_URL_CASE_SENSITIVITY_PROBE
     ),
 }
 
