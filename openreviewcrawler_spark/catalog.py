@@ -16037,6 +16037,224 @@ from ok_pairs group by host
 """
 
 
+# --- session-51: paired t-test, hreflang clusters, singleflight -------------
+
+
+def q_event_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test of per-user spend across the two observation
+    halves (same midpoint split as event_type_share_drift): each
+    user's cent difference d = second − first is one paired sample;
+    t = mean(d)·√n / sd(d) — the within-subject test the unpaired
+    Welch z (event_ab_test_zscore) can't replace when the cohort is
+    identical across periods. Differences are exact BIGINT cents;
+    moments accumulate DECIMAL(38,0); the t formula is per-value
+    double + one sqrt, floor-milli. ONE row."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "cast(unix_millis(cast(ts as timestamp)) as bigint) as ts_ms",
+        "cast(value as decimal(18,4)) as v",
+    )
+    span = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"))
+    per = ev.crossJoin(F.broadcast(span)).selectExpr(
+        "user_id",
+        "case when ts_ms * 2 < lo + hi then 0 else 1 end as h",
+        "v",
+    ).groupBy("user_id").agg(
+        F.expr(
+            "cast(floor(sum(case when h = 1 then v else cast(0 as"
+            " decimal(18,4)) end) * 100) as bigint)"
+            " - cast(floor(sum(case when h = 0 then v else cast(0 as"
+            " decimal(18,4)) end) * 100) as bigint) as d"
+        )
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("cast(d as decimal(38,0))")).alias("sd_"),
+        F.sum(F.expr("cast(d * d as decimal(38,0))")).alias("sdd"),
+    )
+    return agg.selectExpr(
+        "n",
+        "cast(sd_ as bigint) as sum_diff_cents",
+        "cast(floor((cast(sd_ as double) / cast(n as double))"
+        " / sqrt((cast(sdd as double) - cast(sd_ as double)"
+        " * cast(sd_ as double) / cast(n as double))"
+        " / cast(n - 1 as double) / cast(n as double))"
+        " * cast(1000 as double)) as bigint) as t_stat_milli",
+    )
+
+
+SQL_EVENT_PAIRED_TTEST = """
+with ev as (
+  select user_id, epoch_ms(ts) as ts_ms, value::DECIMAL(18,4) as v
+  from events
+),
+span as (select min(ts_ms) as lo, max(ts_ms) as hi from ev),
+per as (
+  select user_id,
+         cast(floor(sum(case when ts_ms * 2 >= lo + hi then v
+                        else 0::DECIMAL(18,4) end) * 100) as bigint)
+         - cast(floor(sum(case when ts_ms * 2 < lo + hi then v
+                          else 0::DECIMAL(18,4) end) * 100) as bigint) as d
+  from ev cross join span
+  group by user_id
+),
+agg as (
+  select count(*)::BIGINT as n,
+         sum(cast(d as decimal(38,0))) as sd_,
+         sum(cast(d * d as decimal(38,0))) as sdd
+  from per
+)
+select n, cast(sd_ as bigint) as sum_diff_cents,
+       cast(floor((cast(sd_ as double) / cast(n as double))
+         / sqrt((cast(sdd as double) - cast(sd_ as double)
+           * cast(sd_ as double) / cast(n as double))
+           / cast(n - 1 as double) / cast(n as double))
+         * cast(1000 as double)) as bigint) as t_stat_milli
+from agg
+"""
+
+
+#: hreflang cluster synthesis: page clusters of up to 3 language
+#: variants; every 4th cluster is missing its 'de' variant
+_HREFLANG_LANGS = ("en", "fr", "de")
+
+
+def q_url_hreflang_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate-cluster audit: language variants of the same
+    page grouped by cluster key; per host, how many clusters exist and
+    how many are COMPLETE (all {len(_HREFLANG_LANGS)} language
+    variants present) — incomplete clusters mean the crawler holds an
+    alternate map that search/dedup can't trust (a missing variant's
+    traffic collapses onto the wrong language). One scan, cluster
+    groupBy, host rollup."""
+    k = len(_HREFLANG_LANGS)
+    variants = _t(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id div 3 as bigint) as cluster_key",
+        "'h' || cast((doc_id div 3) % 9 as varchar(10)) || '.example'"
+        " as host",
+        f"array({', '.join(repr(l) for l in _HREFLANG_LANGS)})"
+        "[cast(doc_id % 3 as int)] as lang",
+    ).filter(
+        # every 4th cluster drops its 'de' variant
+        "not (cast(doc_id div 3 as bigint) % 4 = 0 and doc_id % 3 = 2)"
+    )
+    clusters = variants.groupBy("cluster_key", "host").agg(
+        F.countDistinct("lang").cast("long").alias("n_langs")
+    )
+    return clusters.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(
+            F.expr(f"case when n_langs = {k} then 1 else 0 end")
+        ).cast("long").alias("n_complete"),
+    ).selectExpr(
+        "host",
+        "n_clusters",
+        "n_complete",
+        "cast((n_complete * cast(1000000 as bigint)) div n_clusters"
+        " as bigint) as complete_ppm",
+    )
+
+
+def _sql_url_hreflang_cluster_audit() -> str:
+    k = len(_HREFLANG_LANGS)
+    langs = ", ".join(f"'{l}'" for l in _HREFLANG_LANGS)
+    return f"""
+with variants as (
+  select (doc_id // 3)::BIGINT as cluster_key,
+         'h' || cast((doc_id // 3) % 9 as varchar(10)) || '.example' as host,
+         ([{langs}])[(doc_id % 3)::INT + 1] as lang
+  from documents
+  where not ((doc_id // 3) % 4 = 0 and doc_id % 3 = 2)
+),
+clusters as (
+  select cluster_key, host, count(distinct lang)::BIGINT as n_langs
+  from variants group by cluster_key, host
+)
+select host, count(*)::BIGINT as n_clusters,
+       sum(case when n_langs = {k} then 1 else 0 end)::BIGINT as n_complete,
+       ((sum(case when n_langs = {k} then 1 else 0 end) * 1000000)
+        // count(*))::BIGINT as complete_ppm
+from clusters group by host
+"""
+
+
+#: requests within this window of their group leader coalesce
+_SINGLEFLIGHT_WINDOW = 50
+
+
+def q_crawl_singleflight_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-flight request coalescing: concurrent fetches of the same
+    URL within {_SINGLEFLIGHT_WINDOW} ms of the group leader collapse
+    into one origin request (the Go singleflight / CDN request-collapse
+    discipline) — per URL, how many requests arrive, how many origin
+    fetches remain, and the saved-request share. Gaps-and-islands per
+    URL on the request timeline (island opens when the gap to the
+    previous request exceeds the window). Output is the per-url ledger
+    the fetch-tier cache sizes from."""
+    reqs = _t(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id % 150 as bigint) as url_key",
+        "cast((doc_id * doc_id) % 500 as bigint) as req_ts",
+        "doc_id",
+    )
+    w = Window.partitionBy("url_key").orderBy("req_ts", "doc_id")
+    run = (
+        Window.partitionBy("url_key")
+        .orderBy("req_ts", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = reqs.withColumn("prev_ts", F.lag("req_ts").over(w)).withColumn(
+        "new_group",
+        F.expr(
+            "case when prev_ts is null"
+            f" or req_ts - prev_ts > {_SINGLEFLIGHT_WINDOW}"
+            " then 1 else 0 end"
+        ),
+    ).withColumn("grp", F.sum("new_group").over(run))
+    return marked.groupBy("url_key").agg(
+        F.count("*").cast("long").alias("n_requests"),
+        F.max("grp").cast("long").alias("n_origin_fetches"),
+    ).selectExpr(
+        "url_key",
+        "n_requests",
+        "n_origin_fetches",
+        "n_requests - n_origin_fetches as n_saved",
+        "cast(((n_requests - n_origin_fetches) * cast(1000000 as bigint))"
+        " div n_requests as bigint) as saved_ppm",
+    )
+
+
+SQL_CRAWL_SINGLEFLIGHT_COALESCE = f"""
+with reqs as (
+  select (doc_id % 150)::BIGINT as url_key,
+         ((doc_id * doc_id) % 500)::BIGINT as req_ts,
+         doc_id
+  from documents
+),
+marked as (
+  select url_key, req_ts, doc_id,
+         lag(req_ts) over (
+           partition by url_key order by req_ts, doc_id
+         ) as prev_ts
+  from reqs
+),
+grouped as (
+  select url_key,
+         sum(case when prev_ts is null
+                  or req_ts - prev_ts > {_SINGLEFLIGHT_WINDOW}
+                  then 1 else 0 end) over (
+           partition by url_key order by req_ts, doc_id
+           rows between unbounded preceding and current row
+         ) as grp
+  from marked
+)
+select url_key, count(*)::BIGINT as n_requests,
+       max(grp)::BIGINT as n_origin_fetches,
+       (count(*) - max(grp))::BIGINT as n_saved,
+       (((count(*) - max(grp)) * 1000000) // count(*))::BIGINT as saved_ppm
+from grouped group by url_key
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -16742,6 +16960,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "url_case_sensitivity_probe": QueryDef(
         q_url_case_sensitivity_probe, SQL_URL_CASE_SENSITIVITY_PROBE
+    ),
+    "event_paired_ttest": QueryDef(
+        q_event_paired_ttest, SQL_EVENT_PAIRED_TTEST
+    ),
+    "url_hreflang_cluster_audit": QueryDef(
+        q_url_hreflang_cluster_audit, _sql_url_hreflang_cluster_audit()
+    ),
+    "crawl_singleflight_coalesce": QueryDef(
+        q_crawl_singleflight_coalesce, SQL_CRAWL_SINGLEFLIGHT_COALESCE
     ),
 }
 
