@@ -16255,6 +16255,216 @@ from grouped group by url_key
 """
 
 
+# --- session-52: latency trend slope, in/out degree corr, depth vs
+#     conversion -------------------------------------------------------------
+
+
+def q_crawl_latency_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host latency TREND: the OLS slope of latency against request
+    sequence — a host whose latency climbs through the crawl is
+    degrading under our own load (the adaptive-delay controller reacts
+    to the level; this detects the derivative). Per-group regression
+    from exact DECIMAL(38,0) integer moments (the assortativity
+    recipe, grouped): slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²), per-value
+    double, floor to micro-ms-per-request. One groupBy."""
+    log = _t(spark, sf_dir, "documents").selectExpr(
+        f"{HOST_EXPR} as host",
+        "cast(doc_id as bigint) as x",
+        f"cast({_HEDGE_LAT_EXPR} as bigint) as y",
+    )
+    dec = "cast({e} as decimal(38,0))"
+    agg = log.groupBy("host").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.expr(dec.format(e="x"))).alias("sx"),
+        F.sum(F.expr(dec.format(e="y"))).alias("sy"),
+        F.sum(F.expr(dec.format(e="x * y"))).alias("sxy"),
+        F.sum(F.expr(dec.format(e="x * x"))).alias("sxx"),
+    )
+    return agg.selectExpr(
+        "host",
+        "cast(m as bigint) as n_fetches",
+        "cast(floor((cast(m as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+        " / (cast(m as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double))"
+        " * cast(1000000 as double)) as bigint) as slope_micro",
+    ).selectExpr(
+        "host",
+        "n_fetches",
+        "slope_micro",
+        "cast(case when slope_micro > 0 then 1 else 0 end as bigint)"
+        " as degrading",
+    )
+
+
+SQL_CRAWL_LATENCY_TREND_SLOPE = f"""
+with log as (
+  select {HOST_EXPR} as host, doc_id::BIGINT as x,
+         ({_HEDGE_LAT_EXPR})::BIGINT as y
+  from documents
+),
+agg as (
+  select host, count(*)::BIGINT as m,
+         sum(cast(x as decimal(38,0))) as sx,
+         sum(cast(y as decimal(38,0))) as sy,
+         sum(cast(x * y as decimal(38,0))) as sxy,
+         sum(cast(x * x as decimal(38,0))) as sxx
+  from log group by host
+),
+s as (
+  select host, m as n_fetches,
+         cast(floor((cast(m as double) * cast(sxy as double)
+           - cast(sx as double) * cast(sy as double))
+           / (cast(m as double) * cast(sxx as double)
+           - cast(sx as double) * cast(sx as double))
+           * cast(1000000 as double)) as bigint) as slope_micro
+  from agg
+)
+select host, n_fetches, slope_micro,
+       (case when slope_micro > 0 then 1 else 0 end)::BIGINT as degrading
+from s
+"""
+
+
+def q_graph_in_out_degree_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are hubs also authorities? ONE row: the Pearson correlation of
+    (in-degree, out-degree) over all nodes of the link graph — near 1
+    means navigation-heavy sites both collect and emit links (crawl
+    budget compounds there); near 0 means the classic web split into
+    hub and authority roles that HITS (graph_hits_rank) formalizes.
+    Two degree rollups full-outer-joined on node (missing side = 0),
+    then the shared _CORR_PROJ exact-moment projection."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    per = outd.join(ind, "node", "full_outer").selectExpr(
+        "coalesce(x, 0) as x", "coalesce(y, 0) as y"
+    )
+    dec = "cast({e} as decimal(38,0))"
+    agg = per.agg(
+        F.count("*").alias("m"),
+        F.sum(F.expr(dec.format(e="x"))).alias("sx"),
+        F.sum(F.expr(dec.format(e="y"))).alias("sy"),
+        F.sum(F.expr(dec.format(e="x * y"))).alias("sxy"),
+        F.sum(F.expr(dec.format(e="x * x"))).alias("sxx"),
+        F.sum(F.expr(dec.format(e="y * y"))).alias("syy"),
+    )
+    return agg.selectExpr("cast(m as bigint) as n_nodes", *_CORR_PROJ)
+
+
+SQL_GRAPH_IN_OUT_DEGREE_CORR = f"""
+with e as (
+  select distinct (doc_id % 100) as src, ((doc_id * 7 + 3) % 83) as dst
+  from documents where (doc_id % 100) <> ((doc_id * 7 + 3) % 83)
+),
+outd as (select src as node, count(*)::BIGINT as x from e group by src),
+ind as (select dst as node, count(*)::BIGINT as y from e group by dst),
+per as (
+  select coalesce(x, 0) as x, coalesce(y, 0) as y
+  from outd full outer join ind on outd.node = ind.node
+),
+agg as (
+  select count(*) as m,
+         sum(cast(x as decimal(38,0))) as sx,
+         sum(cast(y as decimal(38,0))) as sy,
+         sum(cast(x * y as decimal(38,0))) as sxy,
+         sum(cast(x * x as decimal(38,0))) as sxx,
+         sum(cast(y * y as decimal(38,0))) as syy
+  from per
+)
+select cast(m as bigint) as n_nodes, {_CORR_PROJ[0]}
+from agg
+"""
+
+
+def q_event_depth_vs_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session depth: sessions (30-min lag-gap)
+    banded by their event count on the dyadic ladder, each band's
+    purchase-conversion rate — the engagement-depth curve behind
+    "do longer sessions convert more", which the funnel's step view
+    doesn't answer. One window pass, one per-session groupBy, a
+    ≤7-row band rollup."""
+    ev = _events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(run))
+    per = flagged.groupBy("user_id", "sess_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(
+            F.expr("case when event_type = 'purchase' then 1 else 0 end")
+        ).cast("long").alias("converted"),
+    )
+    b = per.selectExpr(
+        f"cast({_DEG_BUCKET_CASE.format(d='n_events')} as bigint) as band",
+        "converted",
+    )
+    return b.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).selectExpr(
+        "band",
+        "n_sessions",
+        "n_converted",
+        "cast((n_converted * cast(1000000 as bigint)) div n_sessions"
+        " as bigint) as cvr_ppm",
+    )
+
+
+SQL_EVENT_DEPTH_VS_CONVERSION = f"""
+with ev as ({_EVENTS_MS_CTE}),
+g as (
+  select user_id, event_id, event_type, ts_ms,
+         case when lag(ts_ms) over (
+                partition by user_id order by ts_ms, event_id
+              ) is null
+              or ts_ms - lag(ts_ms) over (
+                partition by user_id order by ts_ms, event_id
+              ) > 1800000
+              then 1 else 0 end as new_sess
+  from ev
+),
+s as (
+  select user_id, event_type,
+         sum(new_sess) over (
+           partition by user_id order by ts_ms, event_id
+           rows between unbounded preceding and current row
+         ) as sess_id
+  from g
+),
+per as (
+  select user_id, sess_id, count(*)::BIGINT as n_events,
+         max(case when event_type = 'purchase' then 1 else 0 end)::BIGINT
+           as converted
+  from s group by user_id, sess_id
+),
+b as (
+  select ({_DEG_BUCKET_CASE.format(d='n_events')})::BIGINT as band,
+         converted
+  from per
+)
+select band, count(*)::BIGINT as n_sessions,
+       sum(converted)::BIGINT as n_converted,
+       ((sum(converted) * 1000000) // count(*))::BIGINT as cvr_ppm
+from b group by band
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -16969,6 +17179,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_singleflight_coalesce": QueryDef(
         q_crawl_singleflight_coalesce, SQL_CRAWL_SINGLEFLIGHT_COALESCE
+    ),
+    "crawl_latency_trend_slope": QueryDef(
+        q_crawl_latency_trend_slope, SQL_CRAWL_LATENCY_TREND_SLOPE
+    ),
+    "graph_in_out_degree_corr": QueryDef(
+        q_graph_in_out_degree_corr, SQL_GRAPH_IN_OUT_DEGREE_CORR
+    ),
+    "event_depth_vs_conversion": QueryDef(
+        q_event_depth_vs_conversion, SQL_EVENT_DEPTH_VS_CONVERSION
     ),
 }
 
