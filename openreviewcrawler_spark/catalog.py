@@ -16465,6 +16465,213 @@ from b group by band
 """
 
 
+# --- session-53: duplicate discount, WAU overlap, quality drift -------------
+
+
+def q_traindata_duplicate_discount_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup via duplicate-discount sampling weights: instead of
+    dropping copies (dedup_exact's keeper), every copy of a document
+    gets weight 1/n_copies — the corpus keeps its support but each
+    CONTENT contributes one expected occurrence per epoch (the
+    repetition-control alternative when provenance diversity matters).
+    Per source: document count, effective document mass Σ 1/n_copies
+    (exact integer ppm per doc, summed), and the discount. One content
+    groupBy + one join back + one rollup — the dedup_exact plan with a
+    weight projection."""
+    d = _corpus(spark, sf_dir).selectExpr(
+        "doc_id", "md5(text) as h",
+        "case when doc_id >= 200000 then 'snapshot'"
+        " when doc_id >= 100000 then 'tailcut' else 'base' end as source",
+    )
+    copies = d.groupBy("h").agg(F.count("*").cast("long").alias("n_copies"))
+    j = d.join(copies, "h").selectExpr(
+        "source",
+        "cast(1000000 div n_copies as bigint) as w_ppm",
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w_ppm").cast("long").alias("effective_docs_ppm"),
+    ).selectExpr(
+        "source",
+        "n_docs",
+        "effective_docs_ppm",
+        "cast((n_docs * cast(1000000 as bigint) - effective_docs_ppm)"
+        " div n_docs as bigint) as discount_ppm",
+    )
+
+
+SQL_TRAINDATA_DUPLICATE_DISCOUNT_WEIGHTS = f"""
+with corpus as ({CORPUS_SQL}),
+d as (
+  select doc_id, md5(text) as h,
+         case when doc_id >= 200000 then 'snapshot'
+              when doc_id >= 100000 then 'tailcut' else 'base' end as source
+  from corpus
+),
+copies as (select h, count(*)::BIGINT as n_copies from d group by h),
+j as (
+  select d.source, (1000000 // n_copies)::BIGINT as w_ppm
+  from d join copies on d.h = copies.h
+)
+select source, count(*)::BIGINT as n_docs,
+       sum(w_ppm)::BIGINT as effective_docs_ppm,
+       ((count(*) * 1000000 - sum(w_ppm)) // count(*))::BIGINT
+         as discount_ppm
+from j group by source
+"""
+
+
+def q_event_wau_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week active-user stability: for every adjacent week
+    pair, the Jaccard overlap of the two active-user sets — the
+    stability number cohort retention (first-seen-anchored) doesn't
+    give: a product can hold WAU while churning 40% of its users every
+    week. Weekly distinct (week, user) rollup, self-join on week+1 ∧
+    user for the intersection, week totals attached by key. All
+    bounded by (weeks × users)."""
+    wu = _t(spark, sf_dir, "events").selectExpr(
+        "cast(unix_millis(cast(ts as timestamp)) div 604800000 as bigint)"
+        " as week",
+        "user_id",
+    ).distinct()
+    totals = wu.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    inter = (
+        wu.alias("a")
+        .join(
+            wu.alias("b"),
+            F.expr("a.week + 1 = b.week and a.user_id = b.user_id"),
+        )
+        .groupBy(F.expr("a.week").alias("week"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    pairs = (
+        totals.alias("ta")
+        .join(
+            totals.selectExpr("week - 1 as week", "n_users as n_b"), "week"
+        )
+        .join(inter, "week", "left")
+    )
+    return pairs.selectExpr(
+        "week",
+        "week + 1 as next_week",
+        "n_users as n_a",
+        "n_b",
+        "cast(coalesce(n_inter, 0) as bigint) as n_both",
+        "cast((coalesce(n_inter, 0) * cast(1000000 as bigint))"
+        " div (n_users + n_b - coalesce(n_inter, 0)) as bigint)"
+        " as jaccard_ppm",
+    )
+
+
+SQL_EVENT_WAU_OVERLAP_JACCARD = """
+with wu as (
+  select distinct epoch_ms(ts) // 604800000 as week, user_id from events
+),
+totals as (select week, count(*)::BIGINT as n_users from wu group by week),
+inter as (
+  select a.week, count(*)::BIGINT as n_inter
+  from wu a join wu b on a.week + 1 = b.week and a.user_id = b.user_id
+  group by a.week
+),
+pairs as (
+  select ta.week, ta.n_users, tb.n_users as n_b, inter.n_inter
+  from totals ta
+  join totals tb on ta.week + 1 = tb.week
+  left join inter on ta.week = inter.week
+)
+select week::BIGINT as week, (week + 1)::BIGINT as next_week,
+       n_users as n_a, n_b,
+       coalesce(n_inter, 0)::BIGINT as n_both,
+       ((coalesce(n_inter, 0) * 1000000)
+        // (n_users + n_b - coalesce(n_inter, 0)))::BIGINT as jaccard_ppm
+from pairs
+"""
+
+
+def q_corpus_quality_drift_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-metric drift between crawl epochs: per source, the
+    decimal-exact mean quality score in the even-position vs
+    odd-position epoch slices (the parity-stripped within-source
+    selector — doc_id % 2 is constant per source, the coprime trap)
+    and the signed delta in ppm — text_simhash_drift's vocabulary view
+    says WHAT changed; this says whether it got better or worse. Means
+    go through DECIMAL(18,4) sums (exact, associative) with per-row
+    double division + floor."""
+    score = quality_score_cols(F.col("text"))["quality_score"]
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "cast(case when doc_id % 40 - doc_id % 20 = 20"
+            " then 1 else 0 end as bigint)"
+        ).alias("epoch"),
+        score.cast("decimal(18,4)").alias("q"),
+    )
+    cells = d.groupBy("source", "epoch").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").alias("sq"),
+    )
+    piv = cells.groupBy("source").agg(
+        F.max(F.when(F.col("epoch") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("epoch") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("epoch") == 0, F.col("sq"))).alias("s0"),
+        F.max(F.when(F.col("epoch") == 1, F.col("sq"))).alias("s1"),
+    )
+    return piv.selectExpr(
+        "source",
+        "cast(n0 as bigint) as n_epoch0",
+        "cast(n1 as bigint) as n_epoch1",
+        "cast(floor(cast(s0 as double) / cast(n0 as double)"
+        " * cast(1000000 as double)) as bigint) as q0_ppm",
+        "cast(floor(cast(s1 as double) / cast(n1 as double)"
+        " * cast(1000000 as double)) as bigint) as q1_ppm",
+        "cast(floor(cast(s1 as double) / cast(n1 as double)"
+        " * cast(1000000 as double)) as bigint)"
+        " - cast(floor(cast(s0 as double) / cast(n0 as double)"
+        " * cast(1000000 as double)) as bigint) as drift_ppm",
+    )
+
+
+def _sql_corpus_quality_drift_epochs() -> str:
+    return f"""
+with {_SQL_QUALITY_M}, scored_src as (
+  select dd.source, m.doc_id,
+         round({_SQL_QUALITY_SCORE}::DOUBLE, 2) as q
+  from m join documents dd on m.doc_id = dd.doc_id
+),
+d as (
+  select source,
+         (case when doc_id % 40 - doc_id % 20 = 20 then 1 else 0 end)
+           ::BIGINT as epoch,
+         q::DECIMAL(18,4) as q
+  from scored_src
+),
+cells as (
+  select source, epoch, count(*)::BIGINT as n, sum(q) as sq
+  from d group by source, epoch
+),
+piv as (
+  select source,
+         max(case when epoch = 0 then n end) as n0,
+         max(case when epoch = 1 then n end) as n1,
+         max(case when epoch = 0 then sq end) as s0,
+         max(case when epoch = 1 then sq end) as s1
+  from cells group by source
+)
+select source, n0::BIGINT as n_epoch0, n1::BIGINT as n_epoch1,
+       cast(floor(cast(s0 as double) / cast(n0 as double)
+         * cast(1000000 as double)) as bigint) as q0_ppm,
+       cast(floor(cast(s1 as double) / cast(n1 as double)
+         * cast(1000000 as double)) as bigint) as q1_ppm,
+       cast(floor(cast(s1 as double) / cast(n1 as double)
+         * cast(1000000 as double)) as bigint)
+       - cast(floor(cast(s0 as double) / cast(n0 as double)
+         * cast(1000000 as double)) as bigint) as drift_ppm
+from piv
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -17188,6 +17395,16 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_depth_vs_conversion": QueryDef(
         q_event_depth_vs_conversion, SQL_EVENT_DEPTH_VS_CONVERSION
+    ),
+    "traindata_duplicate_discount_weights": QueryDef(
+        q_traindata_duplicate_discount_weights,
+        SQL_TRAINDATA_DUPLICATE_DISCOUNT_WEIGHTS,
+    ),
+    "event_wau_overlap_jaccard": QueryDef(
+        q_event_wau_overlap_jaccard, SQL_EVENT_WAU_OVERLAP_JACCARD
+    ),
+    "corpus_quality_drift_epochs": QueryDef(
+        q_corpus_quality_drift_epochs, _sql_corpus_quality_drift_epochs()
     ),
 }
 
