@@ -16672,6 +16672,206 @@ from piv
 """
 
 
+# --- session-54: community cut, error cascades, ship delay ------------------
+
+
+def q_graph_community_cut_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-quality readout over the LPA communities: how many
+    edges CROSS community boundaries (the cut), how many communities
+    survive, and the cut share — the complement of graph_modularity's
+    Q (modularity rewards internal density; the cut ratio directly
+    prices what a community-partitioned crawl would shuffle across
+    partitions). Labels from the same 2-round LPA entry; the edge
+    multiset joins the bounded label table twice on its existing
+    keys."""
+    labels = q_graph_label_propagation(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    cell5 = (F.col("doc_id") % 20) * 5
+    m = F.col("doc_id") % 3
+    edges = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (cell5 + m).alias("src"), (cell5 + (m + 1) % 5).alias("dst")
+                ),
+                F.struct(
+                    (cell5 + m).alias("src"), (cell5 + (m + 2) % 5).alias("dst")
+                ),
+                F.struct(
+                    (F.col("doc_id") % 100).alias("src"),
+                    ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*").filter(F.col("src") != F.col("dst")).distinct()
+    j = (
+        edges.join(
+            labels.selectExpr("node as src", "label as l_src"), "src"
+        ).join(labels.selectExpr("node as dst", "label as l_dst"), "dst")
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(
+            F.expr("case when l_src <> l_dst then 1 else 0 end")
+        ).cast("long").alias("n_cut"),
+    )
+    k = labels.agg(
+        F.countDistinct("label").cast("long").alias("n_communities")
+    )
+    return agg.crossJoin(F.broadcast(k)).selectExpr(
+        "n_edges",
+        "n_cut",
+        "n_communities",
+        "cast((n_cut * cast(1000000 as bigint)) div n_edges as bigint)"
+        " as cut_ppm",
+    )
+
+
+def _sql_graph_community_cut_ratio() -> str:
+    from .operators.rank import label_propagation_sql
+
+    lpa = label_propagation_sql(_TRI_EDGES_CTE, _RANK_NODES_CTE, n_iter=2)
+    return f"""
+with labels as (select * from ({lpa})),
+raw as ({_TRI_EDGES_CTE}),
+e as (select distinct src, dst from raw where src <> dst),
+j as (
+  select ls.label as l_src, ld.label as l_dst
+  from e join labels ls on e.src = ls.node
+        join labels ld on e.dst = ld.node
+),
+agg as (
+  select count(*)::BIGINT as n_edges,
+         sum(case when l_src <> l_dst then 1 else 0 end)::BIGINT as n_cut
+  from j
+),
+k as (select count(distinct label)::BIGINT as n_communities from labels)
+select n_edges, n_cut, n_communities,
+       ((n_cut * 1000000) // n_edges)::BIGINT as cut_ppm
+from agg cross join k
+"""
+
+
+#: a cascade minute carries at least this many error events
+_CASCADE_MIN_ERRORS = 2
+
+
+def q_event_error_cascade_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systemic-error episode detection: minutes whose error-event count
+    reaches {_CASCADE_MIN_ERRORS} merge into cascade EPISODES when
+    consecutive (gaps-and-islands over the bounded minute rollup —
+    never a window over the raw log), each episode reporting its span
+    and error mass — the incident-segmentation view that a flat error
+    rate (crawl_error_rate_by_host) can't give: one 10-minute cascade
+    and ten scattered errors read identically there."""
+    mins = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    ).selectExpr(
+        "cast(unix_millis(cast(ts as timestamp)) div 60000 as bigint)"
+        " as minute"
+    ).groupBy("minute").agg(F.count("*").cast("long").alias("n_errors"))
+    hot = mins.filter(F.col("n_errors") >= _CASCADE_MIN_ERRORS)
+    w = Window.orderBy("minute")
+    run = Window.orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = hot.withColumn("prev", F.lag("minute").over(w)).withColumn(
+        "new_ep",
+        F.expr("case when prev is null or minute - prev > 1 then 1 else 0 end"),
+    ).withColumn("episode", F.sum("new_ep").over(run))
+    return marked.groupBy("episode").agg(
+        F.min("minute").cast("long").alias("start_minute"),
+        F.max("minute").cast("long").alias("end_minute"),
+        F.count("*").cast("long").alias("n_minutes"),
+        F.sum("n_errors").cast("long").alias("n_errors"),
+    ).selectExpr(
+        "cast(episode as bigint) as episode",
+        "start_minute",
+        "end_minute",
+        "n_minutes",
+        "n_errors",
+    )
+
+
+SQL_EVENT_ERROR_CASCADE_WINDOWS = f"""
+with mins as (
+  select epoch_ms(ts) // 60000 as minute, count(*)::BIGINT as n_errors
+  from events where event_type = 'error' group by 1
+),
+hot as (select * from mins where n_errors >= {_CASCADE_MIN_ERRORS}),
+marked as (
+  select minute, n_errors, lag(minute) over (order by minute) as prev
+  from hot
+),
+ep as (
+  select minute, n_errors,
+         sum(case when prev is null or minute - prev > 1 then 1 else 0 end)
+           over (order by minute
+                 rows between unbounded preceding and current row)
+           as episode
+  from marked
+)
+select episode::BIGINT as episode,
+       min(minute)::BIGINT as start_minute,
+       max(minute)::BIGINT as end_minute,
+       count(*)::BIGINT as n_minutes,
+       sum(n_errors)::BIGINT as n_errors
+from ep group by episode
+"""
+
+
+def q_orders_ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency by priority class over the TPC-H pair: the
+    orders⋈lineitem join (the catalog's one genuinely BIG fact-fact
+    join — both sides scale with SF, shuffle on the order key, no
+    broadcast) rolled up to per-priority delay statistics: exact
+    integer day means and the max straggler. Every date math step is
+    epoch arithmetic on NTZ-cast timestamps (the parquet timestamp
+    lesson)."""
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "cast(unix_millis(cast(o_orderdate as timestamp)) as bigint) as od",
+    )
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "cast(unix_millis(cast(l_shipdate as timestamp)) as bigint) as sd",
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).selectExpr(
+        "o_orderpriority",
+        "cast((sd - od) div 86400000 as bigint) as delay_days",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.sum("delay_days").cast("long").alias("delay_days_total"),
+        F.max("delay_days").cast("long").alias("max_delay_days"),
+    ).selectExpr(
+        "o_orderpriority",
+        "n_lineitems",
+        "delay_days_total",
+        "cast(delay_days_total div n_lineitems as bigint) as mean_delay_days",
+        "max_delay_days",
+    )
+
+
+SQL_ORDERS_SHIP_DELAY_BY_PRIORITY = """
+with o as (
+  select o_orderkey, o_orderpriority, epoch_ms(o_orderdate) as od
+  from orders
+),
+li as (select l_orderkey, epoch_ms(l_shipdate) as sd from lineitem),
+j as (
+  select o.o_orderpriority, ((sd - od) // 86400000)::BIGINT as delay_days
+  from li join o on li.l_orderkey = o.o_orderkey
+)
+select o_orderpriority, count(*)::BIGINT as n_lineitems,
+       sum(delay_days)::BIGINT as delay_days_total,
+       (sum(delay_days) // count(*))::BIGINT as mean_delay_days,
+       max(delay_days)::BIGINT as max_delay_days
+from j group by o_orderpriority
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -17405,6 +17605,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "corpus_quality_drift_epochs": QueryDef(
         q_corpus_quality_drift_epochs, _sql_corpus_quality_drift_epochs()
+    ),
+    "graph_community_cut_ratio": QueryDef(
+        q_graph_community_cut_ratio, _sql_graph_community_cut_ratio()
+    ),
+    "event_error_cascade_windows": QueryDef(
+        q_event_error_cascade_windows, SQL_EVENT_ERROR_CASCADE_WINDOWS
+    ),
+    "orders_ship_delay_by_priority": QueryDef(
+        q_orders_ship_delay_by_priority, SQL_ORDERS_SHIP_DELAY_BY_PRIORITY
     ),
 }
 
