@@ -16872,6 +16872,126 @@ from j group by o_orderpriority
 """
 
 
+# --- session-55: supplier nation revenue, typosquat detection ---------------
+
+
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue rollup (TPC-H flavor): lineitem revenue
+    extendedprice·(1−discount) attributed through supplier → nation,
+    with each nation's share — the canonical star-join shape: the FACT
+    table shuffles once for the rollup while both dims ride broadcast
+    (supplier is O(SF) but tiny relative to lineitem — the explicit
+    hint is justified here exactly where dedup_ngram's corpus-sized
+    broadcast was the r3 scale-killer). Revenue is DECIMAL(18,4)
+    arithmetic floored to cents — never a double sum."""
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_suppkey",
+        "cast(cast(l_extendedprice as decimal(18,4))"
+        " * (cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4)))"
+        " as decimal(28,8)) as rev",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = li.join(
+        F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]
+    ).join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    agg = j.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.expr("cast(floor(sum(rev) * 100) as bigint)").alias(
+            "revenue_cents"
+        ),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn(
+        "__tot", F.sum("revenue_cents").over(wt)
+    ).selectExpr(
+        "n_name",
+        "n_lineitems",
+        "revenue_cents",
+        "cast((revenue_cents * cast(1000000 as bigint)) div __tot"
+        " as bigint) as revenue_share_ppm",
+    )
+
+
+SQL_SUPPLIER_NATION_REVENUE = """
+with li as (
+  select l_suppkey,
+         cast(l_extendedprice::DECIMAL(18,4)
+              * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))
+              as decimal(28,8)) as rev
+  from lineitem
+),
+j as (
+  select n.n_name, li.rev
+  from li join supplier s on li.l_suppkey = s.s_suppkey
+       join nation n on s.s_nationkey = n.n_nationkey
+),
+agg as (
+  select n_name, count(*)::BIGINT as n_lineitems,
+         cast(floor(sum(rev) * 100) as bigint) as revenue_cents
+  from j group by n_name
+)
+select n_name, n_lineitems, revenue_cents,
+       ((revenue_cents * 1000000) // (sum(revenue_cents) over ()))::BIGINT
+         as revenue_share_ppm
+from agg
+"""
+
+
+#: typosquat planting: every 25th doc is served from a one-character-off
+#: spelling of its source host ('srx' for 'src')
+_TYPO_HOST_EXPR = (
+    "case when doc_id % 25 = 0"
+    " then 'srx' || cast(doc_id % 20 as varchar(10)) || '.example'"
+    f" else {HOST_EXPR} end"
+)
+
+
+def q_url_typosquat_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat detection over the host inventory: pairs of DISTINCT
+    hosts at Levenshtein distance 1 where one side is drastically
+    smaller (the impersonator serves a sliver of traffic off a
+    one-keystroke spelling) — levenshtein is built into BOTH engines
+    with identical integer semantics, and the self-join runs on the
+    BOUNDED host dim (never the page table), smaller-name-first to
+    emit each pair once. The size-asymmetry gate (3× by
+    cross-multiplication) separates squatters from sibling brands."""
+    hosts = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_TYPO_HOST_EXPR} as host"
+    ).groupBy("host").agg(F.count("*").cast("long").alias("n_pages"))
+    a = hosts.selectExpr("host as host_a", "n_pages as n_a")
+    b = hosts.selectExpr("host as host_b", "n_pages as n_b")
+    pairs = a.join(
+        b,
+        F.expr(
+            "host_a < host_b and levenshtein(host_a, host_b) = 1"
+        ),
+    )
+    return pairs.selectExpr(
+        "host_a",
+        "host_b",
+        "n_a",
+        "n_b",
+        "cast(case when n_a > 3 * n_b or n_b > 3 * n_a then 1 else 0 end"
+        " as bigint) as squat_suspect",
+    )
+
+
+SQL_URL_TYPOSQUAT_DETECT = f"""
+with hosts as (
+  select {_TYPO_HOST_EXPR} as host, count(*)::BIGINT as n_pages
+  from documents group by 1
+)
+select a.host as host_a, b.host as host_b,
+       a.n_pages as n_a, b.n_pages as n_b,
+       (case when a.n_pages > 3 * b.n_pages
+               or b.n_pages > 3 * a.n_pages then 1 else 0 end)::BIGINT
+         as squat_suspect
+from hosts a join hosts b
+  on a.host < b.host and levenshtein(a.host, b.host) = 1
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -17614,6 +17734,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "orders_ship_delay_by_priority": QueryDef(
         q_orders_ship_delay_by_priority, SQL_ORDERS_SHIP_DELAY_BY_PRIORITY
+    ),
+    "supplier_nation_revenue": QueryDef(
+        q_supplier_nation_revenue, SQL_SUPPLIER_NATION_REVENUE
+    ),
+    "url_typosquat_detect": QueryDef(
+        q_url_typosquat_detect, SQL_URL_TYPOSQUAT_DETECT
     ),
 }
 
