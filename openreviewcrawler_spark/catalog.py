@@ -16992,6 +16992,122 @@ from hosts a join hosts b
 """
 
 
+# --- session-56: repeat customers, brand discount exposure ------------------
+
+
+def q_customer_repeat_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase segmentation over the orders fact: customers
+    banded by lifetime order count (one-time / 2-3 / 4+), each band's
+    customer count, order mass and revenue — the first table any
+    retention conversation opens with, and a pure two-rollup shape
+    (orders → per-customer → bounded band) with decimal-exact cents.
+    Complements event_rfm_segments (event-log tiers) on the ORDER
+    fact."""
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "cast(floor(cast(o_totalprice as decimal(18,4)) * 100) as bigint)"
+        " as cents",
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    b = per.selectExpr(
+        "case when n_orders = 1 then 'one_time'"
+        " when n_orders <= 3 then 'casual' else 'loyal' end as segment",
+        "n_orders",
+        "cents",
+    )
+    return b.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+SQL_CUSTOMER_REPEAT_SEGMENTS = """
+with o as (
+  select o_custkey,
+         cast(floor(o_totalprice::DECIMAL(18,4) * 100) as bigint) as cents
+  from orders
+),
+per as (
+  select o_custkey, count(*)::BIGINT as n_orders, sum(cents)::BIGINT as cents
+  from o group by o_custkey
+),
+b as (
+  select case when n_orders = 1 then 'one_time'
+              when n_orders <= 3 then 'casual' else 'loyal' end as segment,
+         n_orders, cents
+  from per
+)
+select segment, count(*)::BIGINT as n_customers,
+       sum(n_orders)::BIGINT as n_orders,
+       sum(cents)::BIGINT as revenue_cents
+from b group by segment
+"""
+
+
+def q_part_brand_discount_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount exposure: lineitem quantity and given-away
+    discount value rolled up through the part dim (broadcast — the
+    part table is a true dimension, O(SF) rows vs the lineitem fact),
+    with each brand's share of total discount spend — the procurement
+    face of the TPC-H pair that q1_pricing's flag rollup doesn't
+    split. Discount cents are DECIMAL-exact per row then floored
+    once."""
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "cast(l_quantity as bigint) as qty",
+        "cast(cast(l_extendedprice as decimal(18,4))"
+        " * cast(l_discount as decimal(18,4)) as decimal(28,8)) as disc",
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    agg = j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.sum("qty").cast("long").alias("quantity"),
+        F.expr("cast(floor(sum(disc) * 100) as bigint)").alias(
+            "discount_cents"
+        ),
+    )
+    wt = Window.partitionBy()
+    return agg.withColumn(
+        "__tot", F.sum("discount_cents").over(wt)
+    ).selectExpr(
+        "p_brand",
+        "n_lineitems",
+        "quantity",
+        "discount_cents",
+        "cast((discount_cents * cast(1000000 as bigint)) div __tot"
+        " as bigint) as discount_share_ppm",
+    )
+
+
+SQL_PART_BRAND_DISCOUNT_EXPOSURE = """
+with li as (
+  select l_partkey, l_quantity::BIGINT as qty,
+         cast(l_extendedprice::DECIMAL(18,4) * l_discount::DECIMAL(18,4)
+              as decimal(28,8)) as disc
+  from lineitem
+),
+j as (
+  select p.p_brand, li.qty, li.disc
+  from li join part p on li.l_partkey = p.p_partkey
+),
+agg as (
+  select p_brand, count(*)::BIGINT as n_lineitems,
+         sum(qty)::BIGINT as quantity,
+         cast(floor(sum(disc) * 100) as bigint) as discount_cents
+  from j group by p_brand
+)
+select p_brand, n_lineitems, quantity, discount_cents,
+       ((discount_cents * 1000000) // (sum(discount_cents) over ()))::BIGINT
+         as discount_share_ppm
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -17740,6 +17856,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "url_typosquat_detect": QueryDef(
         q_url_typosquat_detect, SQL_URL_TYPOSQUAT_DETECT
+    ),
+    "customer_repeat_segments": QueryDef(
+        q_customer_repeat_segments, SQL_CUSTOMER_REPEAT_SEGMENTS
+    ),
+    "part_brand_discount_exposure": QueryDef(
+        q_part_brand_discount_exposure, SQL_PART_BRAND_DISCOUNT_EXPOSURE
     ),
 }
 
