@@ -16879,10 +16879,9 @@ def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-nation revenue rollup (TPC-H flavor): lineitem revenue
     extendedprice·(1−discount) attributed through supplier → nation,
     with each nation's share — the canonical star-join shape: the FACT
-    table shuffles once for the rollup while both dims ride broadcast
-    (supplier is O(SF) but tiny relative to lineitem — the explicit
-    hint is justified here exactly where dedup_ngram's corpus-sized
-    broadcast was the r3 scale-killer). Revenue is DECIMAL(18,4)
+    table shuffles once for the rollup; the constant nation dim rides a
+    broadcast HINT while the O(SF) supplier dim is left to AQE (hinting
+    an SF-scaled relation is the r3 scale-killer class). Revenue is DECIMAL(18,4)
     arithmetic floored to cents — never a double sum."""
     li = _t(spark, sf_dir, "lineitem").selectExpr(
         "l_suppkey",
@@ -16892,9 +16891,13 @@ def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = li.join(
-        F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]
-    ).join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    # nation (25 rows) broadcasts by hint; supplier is O(SF) — no hint,
+    # AQE broadcasts it while it fits and shuffles it when it doesn't
+    # (the r3 lesson: a forced broadcast of an SF-scaled relation is the
+    # one way this plan dies at 100 TB)
+    j = li.join(s, li["l_suppkey"] == s["s_suppkey"]).join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    )
     agg = j.groupBy("n_name").agg(
         F.count("*").cast("long").alias("n_lineitems"),
         F.expr("cast(floor(sum(rev) * 100) as bigint)").alias(
@@ -17050,8 +17053,8 @@ from b group by segment
 
 def q_part_brand_discount_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand discount exposure: lineitem quantity and given-away
-    discount value rolled up through the part dim (broadcast — the
-    part table is a true dimension, O(SF) rows vs the lineitem fact),
+    discount value rolled up through the part dim (unhinted —
+    part is O(SF); AQE broadcasts it while it fits),
     with each brand's share of total discount spend — the procurement
     face of the TPC-H pair that q1_pricing's flag rollup doesn't
     split. Discount cents are DECIMAL-exact per row then floored
@@ -17063,7 +17066,9 @@ def q_part_brand_discount_exposure(spark: SparkSession, sf_dir: str) -> DataFram
         " * cast(l_discount as decimal(18,4)) as decimal(28,8)) as disc",
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # part is O(SF): no broadcast hint (AQE decides) — same rationale as
+    # supplier_nation_revenue
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     agg = j.groupBy("p_brand").agg(
         F.count("*").cast("long").alias("n_lineitems"),
         F.sum("qty").cast("long").alias("quantity"),
