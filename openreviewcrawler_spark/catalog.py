@@ -17113,6 +17113,120 @@ from agg
 """
 
 
+# --- session-57: market segment value, size/demand correlation --------------
+
+
+def q_customer_mktsegment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment value rollup: customers joined to their orders
+    (two O(SF) relations — a plain shuffle equi-join on the customer
+    key, NO broadcast hint anywhere), per segment the customer count,
+    order count, decimal-exact revenue and mean order value — the
+    segmentation read every GTM review starts from. Customers with no
+    orders still count (left join, zero-filled)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "cast(floor(cast(o_totalprice as decimal(18,4)) * 100) as bigint)"
+        " as cents",
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    j = c.join(per, c["c_custkey"] == per["o_custkey"], "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).cast("long").alias(
+            "n_orders"
+        ),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0))).cast("long").alias(
+            "revenue_cents"
+        ),
+    ).selectExpr(
+        "c_mktsegment",
+        "n_customers",
+        "n_orders",
+        "revenue_cents",
+        "cast(case when n_orders > 0 then revenue_cents div n_orders"
+        " else 0 end as bigint) as mean_order_cents",
+    )
+
+
+SQL_CUSTOMER_MKTSEGMENT_VALUE = """
+with o as (
+  select o_custkey,
+         cast(floor(o_totalprice::DECIMAL(18,4) * 100) as bigint) as cents
+  from orders
+),
+per as (
+  select o_custkey, count(*)::BIGINT as n_orders, sum(cents)::BIGINT as cents
+  from o group by o_custkey
+),
+j as (
+  select c.c_mktsegment, per.n_orders, per.cents
+  from customer c left join per on c.c_custkey = per.o_custkey
+)
+select c_mktsegment, count(*)::BIGINT as n_customers,
+       sum(coalesce(n_orders, 0))::BIGINT as n_orders,
+       sum(coalesce(cents, 0))::BIGINT as revenue_cents,
+       (case when sum(coalesce(n_orders, 0)) > 0
+             then sum(coalesce(cents, 0)) // sum(coalesce(n_orders, 0))
+             else 0 end)::BIGINT as mean_order_cents
+from j group by c_mktsegment
+"""
+
+
+def q_part_size_demand_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does part size predict demand? ONE row: Pearson correlation of
+    (p_size, lifetime quantity sold) over parts — merchandising's
+    "are big parts slow movers" check, the shared _CORR_PROJ
+    exact-moment projection over a per-part demand rollup joined to
+    the part dim on its key (parts with zero sales count at x=size,
+    y=0 through the left join)."""
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey", "cast(l_quantity as bigint) as qty"
+    ).groupBy("l_partkey").agg(F.sum("qty").cast("long").alias("y"))
+    p = _t(spark, sf_dir, "part").selectExpr(
+        "p_partkey", "cast(p_size as bigint) as x"
+    )
+    per = p.join(li, p["p_partkey"] == li["l_partkey"], "left").selectExpr(
+        "x", "coalesce(y, 0) as y"
+    )
+    dec = "cast({e} as decimal(38,0))"
+    agg = per.agg(
+        F.count("*").alias("m"),
+        F.sum(F.expr(dec.format(e="x"))).alias("sx"),
+        F.sum(F.expr(dec.format(e="y"))).alias("sy"),
+        F.sum(F.expr(dec.format(e="x * y"))).alias("sxy"),
+        F.sum(F.expr(dec.format(e="x * x"))).alias("sxx"),
+        F.sum(F.expr(dec.format(e="y * y"))).alias("syy"),
+    )
+    return agg.selectExpr("cast(m as bigint) as n_parts", *_CORR_PROJ)
+
+
+SQL_PART_SIZE_DEMAND_CORR = f"""
+with li as (
+  select l_partkey, sum(l_quantity::BIGINT)::BIGINT as y
+  from lineitem group by l_partkey
+),
+per as (
+  select p.p_size::BIGINT as x, coalesce(li.y, 0)::BIGINT as y
+  from part p left join li on p.p_partkey = li.l_partkey
+),
+agg as (
+  select count(*) as m,
+         sum(cast(x as decimal(38,0))) as sx,
+         sum(cast(y as decimal(38,0))) as sy,
+         sum(cast(x * y as decimal(38,0))) as sxy,
+         sum(cast(x * x as decimal(38,0))) as sxx,
+         sum(cast(y * y as decimal(38,0))) as syy
+  from per
+)
+select cast(m as bigint) as n_parts, {_CORR_PROJ[0]}
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -17867,6 +17981,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "part_brand_discount_exposure": QueryDef(
         q_part_brand_discount_exposure, SQL_PART_BRAND_DISCOUNT_EXPOSURE
+    ),
+    "customer_mktsegment_value": QueryDef(
+        q_customer_mktsegment_value, SQL_CUSTOMER_MKTSEGMENT_VALUE
+    ),
+    "part_size_demand_corr": QueryDef(
+        q_part_size_demand_corr, SQL_PART_SIZE_DEMAND_CORR
     ),
 }
 
