@@ -17227,6 +17227,82 @@ from agg
 """
 
 
+# --- session-58: deadline conversion ----------------------------------------
+
+#: conversion deadline after the first qualifying touch
+_DEADLINE_MS = 3600000
+
+
+def q_event_deadline_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-bounded conversion: of the users who ever sign up, how
+    many purchase within one hour of their FIRST signup vs ever — the
+    time-boxed variant the plain funnel (ordered steps, no clock)
+    can't express; the deadline is what separates an activation flow
+    that works from one users come back to days later. First-signup
+    per user is one groupBy; purchases join on the user key with pure
+    timestamp predicates. ONE summary row, integer ppm."""
+    ev = _events_ms(spark, sf_dir)
+    first_signup = ev.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts_ms").alias("s_ms"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms"
+    )
+    j = first_signup.join(purchases, "user_id", "left").groupBy(
+        "user_id"
+    ).agg(
+        F.max(
+            F.expr(
+                f"case when ts_ms >= s_ms and ts_ms < s_ms + {_DEADLINE_MS}"
+                " then 1 else 0 end"
+            )
+        ).alias("in_1h"),
+        F.max(
+            F.expr("case when ts_ms >= s_ms then 1 else 0 end")
+        ).alias("ever"),
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_signed_users"),
+        F.sum("in_1h").cast("long").alias("n_converted_1h"),
+        F.sum("ever").cast("long").alias("n_converted_ever"),
+    ).selectExpr(
+        "n_signed_users",
+        "n_converted_1h",
+        "n_converted_ever",
+        "cast((n_converted_1h * cast(1000000 as bigint))"
+        " div n_signed_users as bigint) as cvr_1h_ppm",
+        "cast((n_converted_ever * cast(1000000 as bigint))"
+        " div n_signed_users as bigint) as cvr_ever_ppm",
+    )
+
+
+SQL_EVENT_DEADLINE_CONVERSION = f"""
+with ev as ({_EVENTS_MS_CTE}),
+first_signup as (
+  select user_id, min(ts_ms) as s_ms
+  from ev where event_type = 'signup' group by user_id
+),
+purchases as (
+  select user_id, ts_ms from ev where event_type = 'purchase'
+),
+j as (
+  select f.user_id,
+         max(case when p.ts_ms >= f.s_ms
+                   and p.ts_ms < f.s_ms + {_DEADLINE_MS}
+                  then 1 else 0 end) as in_1h,
+         max(case when p.ts_ms >= f.s_ms then 1 else 0 end) as ever
+  from first_signup f left join purchases p on f.user_id = p.user_id
+  group by f.user_id
+)
+select count(*)::BIGINT as n_signed_users,
+       sum(in_1h)::BIGINT as n_converted_1h,
+       sum(ever)::BIGINT as n_converted_ever,
+       ((sum(in_1h) * 1000000) // count(*))::BIGINT as cvr_1h_ppm,
+       ((sum(ever) * 1000000) // count(*))::BIGINT as cvr_ever_ppm
+from j
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -17987,6 +18063,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "part_size_demand_corr": QueryDef(
         q_part_size_demand_corr, SQL_PART_SIZE_DEMAND_CORR
+    ),
+    "event_deadline_conversion": QueryDef(
+        q_event_deadline_conversion, SQL_EVENT_DEADLINE_CONVERSION
     ),
 }
 
