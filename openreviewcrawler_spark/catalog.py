@@ -17303,6 +17303,122 @@ from j
 """
 
 
+# --- session-59: egress billing, corruption resync --------------------------
+
+#: progressive egress price ladder: first 20 KB at 5 µ¢/KB, next 80 KB at
+#: 3, the rest at 1 — integer piecewise billing
+_EGRESS_T1_KB, _EGRESS_T2_KB = 20, 100
+_EGRESS_P1, _EGRESS_P2, _EGRESS_P3 = 5, 3, 1
+
+
+def q_crawl_egress_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive egress billing per host: fetched bytes priced on a
+    three-tier ladder (first {_EGRESS_T1_KB} KB at {_EGRESS_P1} µ¢/KB,
+    through {_EGRESS_T2_KB} KB at {_EGRESS_P2}, the rest at
+    {_EGRESS_P3}) — cloud-bill arithmetic as pure integer
+    least/greatest piecewise terms, the cost face of
+    crawl_bandwidth_admit's byte budget. One groupBy, codegen
+    projections."""
+    t1, t2 = _EGRESS_T1_KB, _EGRESS_T2_KB
+    p1, p2, p3 = _EGRESS_P1, _EGRESS_P2, _EGRESS_P3
+    hosts = _t(spark, sf_dir, "documents").selectExpr(
+        f"{HOST_EXPR} as host",
+        f"cast({_EST_BYTES_EXPR} as bigint) as b",
+    ).groupBy("host").agg(F.sum("b").cast("long").alias("bytes_total"))
+    return hosts.selectExpr(
+        "host",
+        "bytes_total",
+        "cast(bytes_total div 1024 as bigint) as kb_total",
+        f"cast(least(bytes_total div 1024, {t1}) * {p1}"
+        f" + least(greatest(bytes_total div 1024 - {t1}, 0), {t2 - t1})"
+        f" * {p2}"
+        f" + greatest(bytes_total div 1024 - {t2}, 0) * {p3}"
+        " as bigint) as billed_microcents",
+    )
+
+
+SQL_CRAWL_EGRESS_BILLING = f"""
+with hosts as (
+  select {HOST_EXPR} as host, sum({_EST_BYTES_EXPR})::BIGINT as bytes_total
+  from documents group by 1
+)
+select host, bytes_total,
+       (bytes_total // 1024)::BIGINT as kb_total,
+       (least(bytes_total // 1024, {_EGRESS_T1_KB}) * {_EGRESS_P1}
+        + least(greatest(bytes_total // 1024 - {_EGRESS_T1_KB}, 0),
+                {_EGRESS_T2_KB - _EGRESS_T1_KB}) * {_EGRESS_P2}
+        + greatest(bytes_total // 1024 - {_EGRESS_T2_KB}, 0) * {_EGRESS_P3})
+         ::BIGINT as billed_microcents
+from hosts
+"""
+
+
+#: planted corruption point inside every shard (byte offset)
+_CORRUPT_AT = 2000
+
+
+def q_warc_corruption_resync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive corruption-resync plan: given a corruption at byte
+    {_CORRUPT_AT} of every shard, where does the reader re-sync — the
+    first record boundary PAST the corruption point (CDX offsets make
+    this a filter + min, no byte scanning), how many records and bytes
+    are lost in the gap, and the survivor count. The recovery math an
+    archive operator runs before deciding between re-fetch and
+    accept-loss. Reuses the cdx layout, two bounded rollups."""
+    from .sources.warc import cdx_index
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    cdx = cdx_index(docs, n_shards=8).select("shard", "offset", "record_len")
+    c = _CORRUPT_AT
+    return cdx.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.min(
+            F.when(F.col("offset") >= c, F.col("offset"))
+        ).cast("long").alias("resync_offset"),
+        F.sum(
+            F.expr(
+                f"case when offset < {c} and offset + record_len > {c}"
+                " then 1 else 0 end"
+            )
+        ).cast("long").alias("n_torn"),
+        F.sum(
+            F.expr(f"case when offset >= {c} then 1 else 0 end")
+        ).cast("long").alias("n_recoverable"),
+    ).selectExpr(
+        "cast(shard as bigint) as shard",
+        "n_records",
+        "resync_offset",
+        f"cast(resync_offset - {c} as bigint) as bytes_skipped",
+        "n_torn",
+        "n_recoverable",
+    )
+
+
+SQL_WARC_CORRUPTION_RESYNC = f"""
+with cdx as ({SQL_WARC_CDX_INDEX})
+select shard::BIGINT as shard, count(*)::BIGINT as n_records,
+       min(case when "offset" >= {_CORRUPT_AT} then "offset" end)::BIGINT
+         as resync_offset,
+       (min(case when "offset" >= {_CORRUPT_AT} then "offset" end)
+        - {_CORRUPT_AT})::BIGINT as bytes_skipped,
+       sum(case when "offset" < {_CORRUPT_AT}
+                 and "offset" + record_len > {_CORRUPT_AT}
+                then 1 else 0 end)::BIGINT as n_torn,
+       sum(case when "offset" >= {_CORRUPT_AT} then 1 else 0 end)::BIGINT
+         as n_recoverable
+from cdx group by shard
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -18066,6 +18182,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_deadline_conversion": QueryDef(
         q_event_deadline_conversion, SQL_EVENT_DEADLINE_CONVERSION
+    ),
+    "crawl_egress_billing": QueryDef(
+        q_crawl_egress_billing, SQL_CRAWL_EGRESS_BILLING
+    ),
+    "warc_corruption_resync": QueryDef(
+        q_warc_corruption_resync, SQL_WARC_CORRUPTION_RESYNC
     ),
 }
 
