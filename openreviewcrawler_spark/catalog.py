@@ -17419,6 +17419,165 @@ from cdx group by shard
 """
 
 
+# --- session-60: deadline sweep, delay sweep --------------------------------
+
+#: conversion-deadline grid (minutes)
+_DEADLINE_GRID_MIN = (10, 60, 360)
+
+
+def q_event_deadline_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-deadline sweep: the event_deadline_conversion readout
+    at 10 min / 1 h / 6 h in ONE pass — the activation-window tuning
+    curve (where does the conversion curve saturate?). The per-user
+    first-signup/purchase join runs once; the 3-point grid explodes
+    over the joined rows BEFORE the flag aggregate, so the curve costs
+    one extra bounded rollup, not three pipelines."""
+    ev = _events_ms(spark, sf_dir)
+    first_signup = ev.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts_ms").alias("s_ms"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms"
+    )
+    grid = ", ".join(str(m) for m in _DEADLINE_GRID_MIN)
+    j = first_signup.join(purchases, "user_id", "left").select(
+        "user_id",
+        "s_ms",
+        "ts_ms",
+        F.explode(F.expr(f"array({grid})")).alias("deadline_min"),
+    )
+    per = j.groupBy("user_id", "deadline_min").agg(
+        F.max(
+            F.expr(
+                "case when ts_ms >= s_ms"
+                " and ts_ms < s_ms + cast(deadline_min as bigint) * 60000"
+                " then 1 else 0 end"
+            )
+        ).alias("converted")
+    )
+    return per.groupBy("deadline_min").agg(
+        F.count("*").cast("long").alias("n_signed_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).selectExpr(
+        "cast(deadline_min as bigint) as deadline_min",
+        "n_signed_users",
+        "n_converted",
+        "cast((n_converted * cast(1000000 as bigint)) div n_signed_users"
+        " as bigint) as cvr_ppm",
+    )
+
+
+SQL_EVENT_DEADLINE_SWEEP = f"""
+with ev as ({_EVENTS_MS_CTE}),
+first_signup as (
+  select user_id, min(ts_ms) as s_ms
+  from ev where event_type = 'signup' group by user_id
+),
+purchases as (
+  select user_id, ts_ms from ev where event_type = 'purchase'
+),
+j as (
+  select f.user_id, f.s_ms, p.ts_ms,
+         unnest([{", ".join(str(m) for m in _DEADLINE_GRID_MIN)}]) as
+           deadline_min
+  from first_signup f left join purchases p on f.user_id = p.user_id
+),
+per as (
+  select user_id, deadline_min,
+         max(case when ts_ms >= s_ms
+                   and ts_ms < s_ms + cast(deadline_min as bigint) * 60000
+                  then 1 else 0 end) as converted
+  from j group by user_id, deadline_min
+)
+select deadline_min::BIGINT as deadline_min,
+       count(*)::BIGINT as n_signed_users,
+       sum(converted)::BIGINT as n_converted,
+       ((sum(converted) * 1000000) // count(*))::BIGINT as cvr_ppm
+from per group by deadline_min
+"""
+
+
+#: politeness-delay grid (milliseconds between same-host fetches)
+_DELAY_GRID_MS = (1000, 2000, 5000)
+
+
+def q_crawl_delay_sweep_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-delay sensitivity: for each candidate crawl-delay,
+    the closed-form per-host serial makespan (n_urls × delay — the
+    same arithmetic crawl_host_makespan grounds), the bottleneck host
+    and how many hosts exceed a one-hour round — the table that
+    justifies a delay choice BEFORE burning a crawl on it. The
+    per-host rollup runs once; the 3-point grid fan-out is bounded."""
+    hosts = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_BINPACK_HOST_EXPR} as host"
+    ).groupBy("host").agg(F.count("*").cast("long").alias("n_urls"))
+    grid = ", ".join(str(m) for m in _DELAY_GRID_MS)
+    g = hosts.select(
+        "host", "n_urls", F.explode(F.expr(f"array({grid})")).alias("delay_ms")
+    ).selectExpr(
+        "host",
+        "n_urls",
+        "cast(delay_ms as bigint) as delay_ms",
+        "n_urls * cast(delay_ms as bigint) as makespan_ms",
+    )
+    agg = g.groupBy("delay_ms").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.max("makespan_ms").cast("long").alias("worst_makespan_ms"),
+        F.sum(
+            F.expr("case when makespan_ms > 3600000 then 1 else 0 end")
+        ).cast("long").alias("n_hosts_over_1h"),
+    )
+    # deterministic argmax without max_by-on-struct (DuckDB 1.0 lacks
+    # it, and engine tie rules differ): min host among the achievers
+    bott = g.join(
+        agg.select("delay_ms", "worst_makespan_ms"), "delay_ms"
+    ).filter(F.col("makespan_ms") == F.col("worst_makespan_ms")).groupBy(
+        "delay_ms"
+    ).agg(F.min("host").alias("bottleneck_host"))
+    return agg.join(bott, "delay_ms").select(
+        "delay_ms",
+        "n_hosts",
+        "worst_makespan_ms",
+        "bottleneck_host",
+        "n_hosts_over_1h",
+    )
+
+
+SQL_CRAWL_DELAY_SWEEP_MAKESPAN = f"""
+with hosts as (
+  select {_BINPACK_HOST_EXPR} as host, count(*)::BIGINT as n_urls
+  from documents group by 1
+),
+g as (
+  select host, n_urls,
+         unnest([{", ".join(str(m) for m in _DELAY_GRID_MS)}])::BIGINT
+           as delay_ms
+  from hosts
+),
+m as (
+  select host, n_urls, delay_ms,
+         (n_urls * delay_ms)::BIGINT as makespan_ms
+  from g
+),
+agg as (
+  select delay_ms, count(*)::BIGINT as n_hosts,
+         max(makespan_ms)::BIGINT as worst_makespan_ms,
+         sum(case when makespan_ms > 3600000 then 1 else 0 end)::BIGINT
+           as n_hosts_over_1h
+  from m group by delay_ms
+),
+bott as (
+  select m.delay_ms, min(m.host) as bottleneck_host
+  from m join agg on m.delay_ms = agg.delay_ms
+   and m.makespan_ms = agg.worst_makespan_ms
+  group by m.delay_ms
+)
+select agg.delay_ms, n_hosts, worst_makespan_ms, bottleneck_host,
+       n_hosts_over_1h
+from agg join bott on agg.delay_ms = bott.delay_ms
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -18188,6 +18347,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "warc_corruption_resync": QueryDef(
         q_warc_corruption_resync, SQL_WARC_CORRUPTION_RESYNC
+    ),
+    "event_deadline_sweep": QueryDef(
+        q_event_deadline_sweep, SQL_EVENT_DEADLINE_SWEEP
+    ),
+    "crawl_delay_sweep_makespan": QueryDef(
+        q_crawl_delay_sweep_makespan, SQL_CRAWL_DELAY_SWEEP_MAKESPAN
     ),
 }
 
