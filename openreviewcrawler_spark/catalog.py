@@ -17578,6 +17578,119 @@ from agg join bott on agg.delay_ms = bott.delay_ms
 """
 
 
+# --- session-61: frontier memory estimate, weekend value premium ------------
+
+
+def q_crawl_frontier_memory_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier memory budget: ONE row decomposing the per-row byte
+    cost of the frontier relation (url + host strings at observed
+    lengths, three fixed 8-byte BIGINT columns: seq, priority, seen
+    hash) — the number that sizes `spark.sql.shuffle.partitions` and
+    executor memory before the 10^10-row frontier exists (CLAUDE.md's
+    spill-aware rule needs exactly this estimate). Exact integer sums
+    off the canonical URL set; bytes-per-row is integer division."""
+    u = _urlset(spark, sf_dir).selectExpr(
+        "cast(length(url) as bigint) as ub",
+        "cast(length(host) as bigint) as hb",
+    )
+    return u.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("ub").cast("long").alias("url_bytes"),
+        F.sum("hb").cast("long").alias("host_bytes"),
+    ).selectExpr(
+        "n_rows",
+        "url_bytes",
+        "host_bytes",
+        "n_rows * cast(24 as bigint) as fixed_bytes",
+        "url_bytes + host_bytes + n_rows * cast(24 as bigint)"
+        " as total_bytes",
+        "cast((url_bytes + host_bytes + n_rows * cast(24 as bigint))"
+        " div n_rows as bigint) as bytes_per_row",
+    )
+
+
+SQL_CRAWL_FRONTIER_MEMORY_ESTIMATE = f"""
+with u as (
+  select length({CANON_URL_EXPR})::BIGINT as ub,
+         length({HOST_EXPR})::BIGINT as hb
+  from documents
+)
+select count(*)::BIGINT as n_rows,
+       sum(ub)::BIGINT as url_bytes,
+       sum(hb)::BIGINT as host_bytes,
+       (count(*) * 24)::BIGINT as fixed_bytes,
+       (sum(ub) + sum(hb) + count(*) * 24)::BIGINT as total_bytes,
+       ((sum(ub) + sum(hb) + count(*) * 24) // count(*))::BIGINT
+         as bytes_per_row
+from u
+"""
+
+
+def q_event_weekend_value_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend VALUE premium per event type: mean cents on weekend vs
+    weekday and the integer lift — event_weekday_profile counts
+    traffic; this prices it (a type whose weekend traffic halves but
+    whose basket doubles is a different product than the counts
+    suggest). Decimal-exact cent sums, day-of-week by epoch
+    arithmetic, max-CASE pivot over the 2-cell axis."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "case when (unix_millis(cast(ts as timestamp)) div 86400000 + 3)"
+        " % 7 >= 5 then 1 else 0 end as wk",
+        "cast(value as decimal(18,4)) as v",
+    )
+    cells = ev.groupBy("event_type", "wk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("cast(floor(sum(v) * 100) as bigint)").alias("cents"),
+    )
+    piv = cells.groupBy("event_type").agg(
+        F.max(F.when(F.col("wk") == 0, F.col("n"))).alias("n_wd"),
+        F.max(F.when(F.col("wk") == 1, F.col("n"))).alias("n_we"),
+        F.max(F.when(F.col("wk") == 0, F.col("cents"))).alias("c_wd"),
+        F.max(F.when(F.col("wk") == 1, F.col("cents"))).alias("c_we"),
+    )
+    return piv.selectExpr(
+        "event_type",
+        "cast(n_wd as bigint) as n_weekday",
+        "cast(n_we as bigint) as n_weekend",
+        "cast(c_wd div n_wd as bigint) as mean_weekday_cents",
+        "cast(c_we div n_we as bigint) as mean_weekend_cents",
+        "cast(((c_we div n_we) * cast(1000000 as bigint))"
+        " div nullif(c_wd div n_wd, 0) as bigint) as premium_ppm",
+    )
+
+
+SQL_EVENT_WEEKEND_VALUE_PREMIUM = """
+with ev as (
+  select event_type,
+         case when (epoch_ms(ts) // 86400000 + 3) % 7 >= 5
+              then 1 else 0 end as wk,
+         value::DECIMAL(18,4) as v
+  from events
+),
+cells as (
+  select event_type, wk, count(*)::BIGINT as n,
+         cast(floor(sum(v) * 100) as bigint) as cents
+  from ev group by event_type, wk
+),
+piv as (
+  select event_type,
+         max(case when wk = 0 then n end) as n_wd,
+         max(case when wk = 1 then n end) as n_we,
+         max(case when wk = 0 then cents end) as c_wd,
+         max(case when wk = 1 then cents end) as c_we
+  from cells group by event_type
+)
+select event_type,
+       n_wd::BIGINT as n_weekday, n_we::BIGINT as n_weekend,
+       (c_wd // n_wd)::BIGINT as mean_weekday_cents,
+       (c_we // n_we)::BIGINT as mean_weekend_cents,
+       (((c_we // n_we) * 1000000) // nullif(c_wd // n_wd, 0))::BIGINT
+         as premium_ppm
+from piv
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -18353,6 +18466,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_delay_sweep_makespan": QueryDef(
         q_crawl_delay_sweep_makespan, SQL_CRAWL_DELAY_SWEEP_MAKESPAN
+    ),
+    "crawl_frontier_memory_estimate": QueryDef(
+        q_crawl_frontier_memory_estimate, SQL_CRAWL_FRONTIER_MEMORY_ESTIMATE
+    ),
+    "event_weekend_value_premium": QueryDef(
+        q_event_weekend_value_premium, SQL_EVENT_WEEKEND_VALUE_PREMIUM
     ),
 }
 
