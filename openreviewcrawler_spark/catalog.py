@@ -17691,6 +17691,185 @@ from piv
 """
 
 
+# --- session-62: CUPED adjustment -------------------------------------------
+
+
+def q_event_ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B family: each user's
+    POST-period spend is adjusted by θ × (pre-period spend − pre
+    mean), θ = cov(pre, post)/var(pre) — the standard trick that
+    shrinks experiment confidence intervals by exactly ρ² without
+    touching the treatment effect (user-level md5 assignment, so pre
+    behavior is independent of variant). ONE row: θ, the variance
+    reduction, and raw vs adjusted per-variant means. Every moment is
+    an exact DECIMAL(38,0) integer sum (cents); θ/means are per-value
+    double arithmetic over those exact sums, floor-projected — the
+    assortativity float recipe end to end. Two bounded groupBys."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "cast(unix_millis(cast(ts as timestamp)) as bigint) as ts_ms",
+        "cast(value as decimal(18,4)) as v",
+    )
+    span = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"))
+    per = ev.crossJoin(F.broadcast(span)).selectExpr(
+        "user_id",
+        "case when ts_ms * 2 < lo + hi then 0 else 1 end as h",
+        "v",
+    ).groupBy("user_id").agg(
+        F.expr(
+            "cast(floor(sum(case when h = 0 then v else cast(0 as"
+            " decimal(18,4)) end) * 100) as bigint)"
+        ).alias("x"),
+        F.expr(
+            "cast(floor(sum(case when h = 1 then v else cast(0 as"
+            " decimal(18,4)) end) * 100) as bigint)"
+        ).alias("y"),
+    ).selectExpr(
+        "cast(cast(conv(substr(md5(cast(user_id as varchar(30))), 1, 8),"
+        " 16, 10) as bigint) % 2 as bigint) as variant",
+        "x",
+        "y",
+    )
+    dec = "cast({e} as decimal(38,0))"
+    cells = per.groupBy("variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum(F.expr(dec.format(e="x"))).alias("sxv"),
+        F.sum(F.expr(dec.format(e="y"))).alias("syv"),
+    )
+    g = per.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(dec.format(e="x"))).alias("sx"),
+        F.sum(F.expr(dec.format(e="y"))).alias("sy"),
+        F.sum(F.expr(dec.format(e="x * y"))).alias("sxy"),
+        F.sum(F.expr(dec.format(e="x * x"))).alias("sxx"),
+        F.sum(F.expr(dec.format(e="y * y"))).alias("syy"),
+    )
+    piv = cells.groupBy().agg(
+        F.max(F.when(F.col("variant") == 0, F.col("nv"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("nv"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("sxv"))).alias("sx_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("sxv"))).alias("sx_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("syv"))).alias("sy_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("syv"))).alias("sy_b"),
+    )
+    theta = (
+        "((cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+        " / (cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double)))"
+    )
+    adj = (
+        "(cast(sy_{v} as double) / cast(n_{v} as double) - " + theta +
+        " * (cast(sx_{v} as double) / cast(n_{v} as double)"
+        " - cast(sx as double) / cast(n as double)))"
+    )
+    rho2 = (
+        "((cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+        " * (cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+        " / ((cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double))"
+        " * (cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double))))"
+    )
+    return piv.crossJoin(F.broadcast(g)).selectExpr(
+        "cast(n as bigint) as n_users",
+        "cast(n_a as bigint) as n_a",
+        "cast(n_b as bigint) as n_b",
+        f"cast(floor({theta} * cast(1000000 as double)) as bigint)"
+        " as theta_micro",
+        f"cast(floor({rho2} * cast(1000000 as double)) as bigint)"
+        " as var_reduction_ppm",
+        "cast(cast(sy_a as bigint) div n_a as bigint) as raw_mean_a_cents",
+        "cast(cast(sy_b as bigint) div n_b as bigint) as raw_mean_b_cents",
+        f"cast(floor({adj.format(v='a')}) as bigint) as adj_mean_a_cents",
+        f"cast(floor({adj.format(v='b')}) as bigint) as adj_mean_b_cents",
+    )
+
+
+SQL_EVENT_AB_CUPED_ADJUST = """
+with ev as (
+  select user_id, epoch_ms(ts) as ts_ms, value::DECIMAL(18,4) as v
+  from events
+),
+span as (select min(ts_ms) as lo, max(ts_ms) as hi from ev),
+per0 as (
+  select user_id,
+         cast(floor(sum(case when ts_ms * 2 < lo + hi then v
+                        else 0::DECIMAL(18,4) end) * 100) as bigint) as x,
+         cast(floor(sum(case when ts_ms * 2 >= lo + hi then v
+                        else 0::DECIMAL(18,4) end) * 100) as bigint) as y
+  from ev cross join span
+  group by user_id
+),
+per as (
+  select ((('0x' || substr(md5(cast(user_id as varchar(30))), 1, 8))
+           ::BIGINT) % 2)::BIGINT as variant, x, y
+  from per0
+),
+cells as (
+  select variant, count(*)::BIGINT as nv,
+         sum(cast(x as decimal(38,0))) as sxv,
+         sum(cast(y as decimal(38,0))) as syv
+  from per group by variant
+),
+g as (
+  select count(*) as n,
+         sum(cast(x as decimal(38,0))) as sx,
+         sum(cast(y as decimal(38,0))) as sy,
+         sum(cast(x * y as decimal(38,0))) as sxy,
+         sum(cast(x * x as decimal(38,0))) as sxx,
+         sum(cast(y * y as decimal(38,0))) as syy
+  from per
+),
+piv as (
+  select max(case when variant = 0 then nv end) as n_a,
+         max(case when variant = 1 then nv end) as n_b,
+         max(case when variant = 0 then sxv end) as sx_a,
+         max(case when variant = 1 then sxv end) as sx_b,
+         max(case when variant = 0 then syv end) as sy_a,
+         max(case when variant = 1 then syv end) as sy_b
+  from cells
+)
+select cast(n as bigint) as n_users,
+       n_a::BIGINT as n_a, n_b::BIGINT as n_b,
+       cast(floor(((cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+         / (cast(n as double) * cast(sxx as double)
+         - cast(sx as double) * cast(sx as double)))
+         * cast(1000000 as double)) as bigint) as theta_micro,
+       cast(floor(((cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+         * (cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+         / ((cast(n as double) * cast(sxx as double)
+         - cast(sx as double) * cast(sx as double))
+         * (cast(n as double) * cast(syy as double)
+         - cast(sy as double) * cast(sy as double))))
+         * cast(1000000 as double)) as bigint) as var_reduction_ppm,
+       (sy_a::BIGINT // n_a)::BIGINT as raw_mean_a_cents,
+       (sy_b::BIGINT // n_b)::BIGINT as raw_mean_b_cents,
+       cast(floor(cast(sy_a as double) / cast(n_a as double)
+         - ((cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+         / (cast(n as double) * cast(sxx as double)
+         - cast(sx as double) * cast(sx as double)))
+         * (cast(sx_a as double) / cast(n_a as double)
+         - cast(sx as double) / cast(n as double))) as bigint)
+         as adj_mean_a_cents,
+       cast(floor(cast(sy_b as double) / cast(n_b as double)
+         - ((cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+         / (cast(n as double) * cast(sxx as double)
+         - cast(sx as double) * cast(sx as double)))
+         * (cast(sx_b as double) / cast(n_b as double)
+         - cast(sx as double) / cast(n as double))) as bigint)
+         as adj_mean_b_cents
+from piv cross join g
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -18472,6 +18651,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_weekend_value_premium": QueryDef(
         q_event_weekend_value_premium, SQL_EVENT_WEEKEND_VALUE_PREMIUM
+    ),
+    "event_ab_cuped_adjust": QueryDef(
+        q_event_ab_cuped_adjust, SQL_EVENT_AB_CUPED_ADJUST
     ),
 }
 
