@@ -17870,6 +17870,120 @@ from piv cross join g
 """
 
 
+# --- session-63: status class mix, local peaks ------------------------------
+
+#: planted status ladder: ~70% 200, 10% 301, 10% 404, 10% 503. NB each
+#: host's residue orbit is 5 slots spaced 20 apart, so hosts carry
+#: DIFFERENT class mixes (some see no 3xx/5xx) — which is exactly what a
+#: status-mix table is for
+_STATUS_EXPR = (
+    "case when (doc_id * 11) % 100 < 70 then 200"
+    " when (doc_id * 11) % 100 < 80 then 301"
+    " when (doc_id * 11) % 100 < 90 then 404 else 503 end"
+)
+
+
+def q_crawl_status_class_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP status-class mix per host: 2xx/3xx/4xx/5xx counts and the
+    health ppm (2xx share) — the fetch-log taxonomy that routes hosts
+    to the retry ladder (5xx), the redirect resolver (3xx) or the
+    pruner (4xx); crawl_error_rate_by_host's binary ok/fail can't
+    drive those three different reactions. One scan, one groupBy,
+    class via integer division of the status code."""
+    log = _t(spark, sf_dir, "documents").selectExpr(
+        f"{HOST_EXPR} as host",
+        f"cast({_STATUS_EXPR} as bigint) as status",
+    )
+    return log.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(F.expr("case when status div 100 = 2 then 1 else 0 end"))
+        .cast("long").alias("n_2xx"),
+        F.sum(F.expr("case when status div 100 = 3 then 1 else 0 end"))
+        .cast("long").alias("n_3xx"),
+        F.sum(F.expr("case when status div 100 = 4 then 1 else 0 end"))
+        .cast("long").alias("n_4xx"),
+        F.sum(F.expr("case when status div 100 = 5 then 1 else 0 end"))
+        .cast("long").alias("n_5xx"),
+    ).selectExpr(
+        "host",
+        "n_fetches",
+        "n_2xx",
+        "n_3xx",
+        "n_4xx",
+        "n_5xx",
+        "cast((n_2xx * cast(1000000 as bigint)) div n_fetches as bigint)"
+        " as healthy_ppm",
+    )
+
+
+SQL_CRAWL_STATUS_CLASS_MIX = f"""
+with log as (
+  select {HOST_EXPR} as host, ({_STATUS_EXPR})::BIGINT as status
+  from documents
+)
+select host, count(*)::BIGINT as n_fetches,
+       sum(case when status // 100 = 2 then 1 else 0 end)::BIGINT as n_2xx,
+       sum(case when status // 100 = 3 then 1 else 0 end)::BIGINT as n_3xx,
+       sum(case when status // 100 = 4 then 1 else 0 end)::BIGINT as n_4xx,
+       sum(case when status // 100 = 5 then 1 else 0 end)::BIGINT as n_5xx,
+       ((sum(case when status // 100 = 2 then 1 else 0 end) * 1000000)
+        // count(*))::BIGINT as healthy_ppm
+from log group by host
+"""
+
+
+def q_event_local_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local traffic peaks on the hourly load curve: hours strictly
+    above BOTH neighbors (lag/lead over the bounded hourly rollup)
+    with their prominence over the higher neighbor — the
+    peak-inventory a capacity planner reads next to the autoscale
+    schedule (crawl_autoscale_plan reacts hour-by-hour; peaks say
+    where the reactions cluster). Missing neighbors (series edges,
+    empty hours) disqualify — a peak needs both sides observed."""
+    hourly = _t(spark, sf_dir, "events").selectExpr(
+        "cast(unix_millis(cast(ts as timestamp)) div 3600000 as bigint)"
+        " as hour_b"
+    ).groupBy("hour_b").agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.orderBy("hour_b")
+    x = hourly.withColumn("prev_h", F.lag("hour_b").over(w)).withColumn(
+        "prev_n", F.lag("n_events").over(w)
+    ).withColumn("next_h", F.lead("hour_b").over(w)).withColumn(
+        "next_n", F.lead("n_events").over(w)
+    )
+    return x.filter(
+        F.expr(
+            "prev_h = hour_b - 1 and next_h = hour_b + 1"
+            " and n_events > prev_n and n_events > next_n"
+        )
+    ).selectExpr(
+        "hour_b",
+        "n_events",
+        "cast(n_events - greatest(prev_n, next_n) as bigint)"
+        " as prominence",
+    )
+
+
+SQL_EVENT_LOCAL_PEAK_DETECT = """
+with hourly as (
+  select epoch_ms(ts) // 3600000 as hour_b, count(*)::BIGINT as n_events
+  from events group by 1
+),
+x as (
+  select hour_b, n_events,
+         lag(hour_b) over (order by hour_b) as prev_h,
+         lag(n_events) over (order by hour_b) as prev_n,
+         lead(hour_b) over (order by hour_b) as next_h,
+         lead(n_events) over (order by hour_b) as next_n
+  from hourly
+)
+select hour_b::BIGINT as hour_b, n_events,
+       (n_events - greatest(prev_n, next_n))::BIGINT as prominence
+from x
+where prev_h = hour_b - 1 and next_h = hour_b + 1
+  and n_events > prev_n and n_events > next_n
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -18654,6 +18768,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_ab_cuped_adjust": QueryDef(
         q_event_ab_cuped_adjust, SQL_EVENT_AB_CUPED_ADJUST
+    ),
+    "crawl_status_class_mix": QueryDef(
+        q_crawl_status_class_mix, SQL_CRAWL_STATUS_CLASS_MIX
+    ),
+    "event_local_peak_detect": QueryDef(
+        q_event_local_peak_detect, SQL_EVENT_LOCAL_PEAK_DETECT
     ),
 }
 
