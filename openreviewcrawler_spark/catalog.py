@@ -17984,6 +17984,106 @@ where prev_h = hour_b - 1 and next_h = hour_b + 1
 """
 
 
+# --- session-64: harmonic reach, LTV age curve ------------------------------
+
+
+def q_graph_seed_harmonic_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic reach of the seed set: Σ n_d/d over the BFS depth
+    histogram (ln-free centrality — closeness needs a mean of
+    distances, harmonic keeps disconnection finite by construction),
+    plus the exact mean discovery depth — ONE row summarizing how
+    efficiently the seed list covers the graph; two seed lists compare
+    on this number directly. Pure integer arithmetic over the bounded
+    depth histogram (1e6 div d is the same integer in both engines)."""
+    h = q_graph_distance_histogram(spark, sf_dir).filter(
+        F.col("depth") >= 0
+    )
+    return h.agg(
+        F.sum("n_nodes").cast("long").alias("n_reached"),
+        F.sum(
+            F.expr(
+                "case when depth = 0 then cast(0 as bigint)"
+                " else n_nodes * (cast(1000000 as bigint) div depth) end"
+            )
+        ).cast("long").alias("harmonic_micro"),
+        F.expr(
+            "cast((sum(n_nodes * depth) * cast(1000 as bigint))"
+            " div sum(n_nodes) as bigint)"
+        ).alias("mean_depth_milli"),
+    )
+
+
+def _sql_graph_seed_harmonic_reach() -> str:
+    inner = _sql_graph_distance_histogram()
+    return f"""
+with h as (select * from ({inner}) where depth >= 0)
+select sum(n_nodes)::BIGINT as n_reached,
+       sum(case when depth = 0 then 0
+                else n_nodes * (1000000 // depth) end)::BIGINT
+         as harmonic_micro,
+       ((sum(n_nodes * depth) * 1000) // sum(n_nodes))::BIGINT
+         as mean_depth_milli
+from h
+"""
+
+
+def q_event_ltv_age_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate LTV curve by user age: revenue earned on each day
+    since a user's first appearance, cumulatively — the
+    all-cohorts-collapsed curve (event_cohort_value keeps the cohort ×
+    offset matrix; finance wants the single curve its area integrates
+    to). First-seen via one groupBy; the running sum is a window over
+    the BOUNDED age axis, never the raw log. Decimal-exact cents."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "cast(unix_millis(cast(ts as timestamp)) div 86400000 as bigint)"
+        " as day",
+        "cast(value as decimal(18,4)) as v",
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    aged = ev.join(first, "user_id").selectExpr(
+        "day - d0 as age_days", "v"
+    )
+    daily = aged.groupBy("age_days").agg(
+        F.expr("cast(floor(sum(v) * 100) as bigint)").alias("day_cents"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w = (
+        Window.orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn(
+        "cum_cents", F.sum("day_cents").over(w).cast("long")
+    ).selectExpr(
+        "age_days", "n_events", "day_cents", "cum_cents"
+    )
+
+
+SQL_EVENT_LTV_AGE_CURVE = """
+with ev as (
+  select user_id, epoch_ms(ts) // 86400000 as day,
+         value::DECIMAL(18,4) as v
+  from events
+),
+first as (select user_id, min(day) as d0 from ev group by user_id),
+aged as (
+  select (ev.day - first.d0)::BIGINT as age_days, v
+  from ev join first on ev.user_id = first.user_id
+),
+daily as (
+  select age_days, cast(floor(sum(v) * 100) as bigint) as day_cents,
+         count(*)::BIGINT as n_events
+  from aged group by age_days
+)
+select age_days, n_events, day_cents,
+       sum(day_cents) over (
+         order by age_days
+         rows between unbounded preceding and current row
+       )::BIGINT as cum_cents
+from daily
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -18774,6 +18874,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_local_peak_detect": QueryDef(
         q_event_local_peak_detect, SQL_EVENT_LOCAL_PEAK_DETECT
+    ),
+    "graph_seed_harmonic_reach": QueryDef(
+        q_graph_seed_harmonic_reach, _sql_graph_seed_harmonic_reach()
+    ),
+    "event_ltv_age_curve": QueryDef(
+        q_event_ltv_age_curve, SQL_EVENT_LTV_AGE_CURVE
     ),
 }
 
