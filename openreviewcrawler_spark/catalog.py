@@ -18084,6 +18084,188 @@ from daily
 """
 
 
+# --- session-65: adaptive timeout, session type pairs -----------------------
+
+
+def q_crawl_adaptive_timeout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host adaptive fetch timeout: p95 plus one (p95−p50) spread
+    — the order-statistic analog of mean+kσ that heavy tails can't
+    inflate (crawl_latency_mad_outliers flags the tail; this SETS the
+    knob), clamped to a 10 s ceiling, with the exact count of observed
+    fetches the plan would have cut. One quantile rollup + one
+    membership recount on the host key."""
+    log = _t(spark, sf_dir, "documents").select(
+        F.expr(HOST_EXPR).alias("host"),
+        F.expr(_HEDGE_LAT_EXPR).cast("long").alias("latency_ms"),
+    )
+    from .operators.scheduler import latency_quantiles
+
+    qs = latency_quantiles(log).selectExpr(
+        "host",
+        "n_fetches",
+        "p50_ms",
+        "p95_ms",
+        "least(p95_ms + (p95_ms - p50_ms), cast(10000 as bigint))"
+        " as timeout_ms",
+    )
+    cut = log.join(qs.select("host", "timeout_ms"), "host").groupBy(
+        "host"
+    ).agg(
+        F.sum(
+            F.expr("case when latency_ms > timeout_ms then 1 else 0 end")
+        ).cast("long").alias("n_would_cut")
+    )
+    return qs.join(cut, "host").selectExpr(
+        "host",
+        "n_fetches",
+        "p50_ms",
+        "p95_ms",
+        "timeout_ms",
+        "n_would_cut",
+        "cast((n_would_cut * cast(1000000 as bigint)) div n_fetches"
+        " as bigint) as cut_ppm",
+    )
+
+
+def _sql_crawl_adaptive_timeout_plan() -> str:
+    from .operators.scheduler import latency_quantiles_sql
+
+    inner = latency_quantiles_sql(
+        f"select {HOST_EXPR} as host,"
+        f" ({_HEDGE_LAT_EXPR})::BIGINT as latency_ms from documents"
+    )
+    return f"""
+with log as (
+  select {HOST_EXPR} as host, ({_HEDGE_LAT_EXPR})::BIGINT as latency_ms
+  from documents
+),
+qs as (
+  select host, n_fetches, p50_ms, p95_ms,
+         least(p95_ms + (p95_ms - p50_ms), 10000)::BIGINT as timeout_ms
+  from ({inner})
+),
+cut as (
+  select log.host,
+         sum(case when latency_ms > timeout_ms then 1 else 0 end)::BIGINT
+           as n_would_cut
+  from log join qs on log.host = qs.host
+  group by log.host
+)
+select qs.host, n_fetches, p50_ms, p95_ms, timeout_ms, n_would_cut,
+       ((n_would_cut * 1000000) // n_fetches)::BIGINT as cut_ppm
+from qs join cut on qs.host = cut.host
+"""
+
+
+def q_event_session_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session type co-occurrence lift: for each ordered type
+    pair (a < b), in how many sessions do BOTH occur vs the
+    independence expectation n_a·n_b/n — event_type_affinity measures
+    this per USER lifetime, which smears over months; the session
+    window is where 'users who view X also buy Y' actually operates.
+    Sessionize once (30-min lag-gap), distinct (session, type), then a
+    self-join bounded by |types|² through the session key and one
+    bounded rollup. Integer lift in ppm."""
+    ev = _events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    st = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(run)).selectExpr(
+        "user_id", "sess_id", "event_type"
+    ).distinct()
+    from .caching import track_persist
+
+    st = track_persist(st)
+    ns = st.selectExpr("user_id", "sess_id").distinct().agg(
+        F.count("*").cast("long").alias("ns")
+    )
+    per_type = st.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_t")
+    )
+    pairs = (
+        st.selectExpr("user_id", "sess_id", "event_type as type_a")
+        .join(
+            st.selectExpr("user_id", "sess_id", "event_type as type_b"),
+            ["user_id", "sess_id"],
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    j = (
+        pairs.join(
+            per_type.selectExpr("event_type as type_a", "n_t as n_a"),
+            "type_a",
+        )
+        .join(
+            per_type.selectExpr("event_type as type_b", "n_t as n_b"),
+            "type_b",
+        )
+    )
+    return j.crossJoin(F.broadcast(ns)).selectExpr(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        "cast((n_both * ns * cast(1000000 as bigint))"
+        " div (n_a * n_b) as bigint) as lift_ppm",
+    )
+
+
+SQL_EVENT_SESSION_TYPE_PAIRS = f"""
+with ev as ({_EVENTS_MS_CTE}),
+g as (
+  select user_id, event_id, event_type, ts_ms,
+         case when lag(ts_ms) over (
+                partition by user_id order by ts_ms, event_id
+              ) is null
+              or ts_ms - lag(ts_ms) over (
+                partition by user_id order by ts_ms, event_id
+              ) > 1800000
+              then 1 else 0 end as new_sess
+  from ev
+),
+s as (
+  select distinct user_id, event_type,
+         sum(new_sess) over (
+           partition by user_id order by ts_ms, event_id
+           rows between unbounded preceding and current row
+         ) as sess_id
+  from g
+),
+n_sess as (
+  select count(*)::BIGINT as ns
+  from (select distinct user_id, sess_id from s)
+),
+per_type as (
+  select event_type, count(*)::BIGINT as n_t from s group by event_type
+),
+pairs as (
+  select a.event_type as type_a, b.event_type as type_b,
+         count(*)::BIGINT as n_both
+  from s a join s b
+    on a.user_id = b.user_id and a.sess_id = b.sess_id
+   and a.event_type < b.event_type
+  group by a.event_type, b.event_type
+)
+select type_a, type_b, n_both,
+       ta.n_t as n_a, tb.n_t as n_b,
+       ((n_both * ns * 1000000) // (ta.n_t * tb.n_t))::BIGINT as lift_ppm
+from pairs
+join per_type ta on pairs.type_a = ta.event_type
+join per_type tb on pairs.type_b = tb.event_type
+cross join n_sess
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -18880,6 +19062,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_ltv_age_curve": QueryDef(
         q_event_ltv_age_curve, SQL_EVENT_LTV_AGE_CURVE
+    ),
+    "crawl_adaptive_timeout_plan": QueryDef(
+        q_crawl_adaptive_timeout_plan, _sql_crawl_adaptive_timeout_plan()
+    ),
+    "event_session_type_pairs": QueryDef(
+        q_event_session_type_pairs, SQL_EVENT_SESSION_TYPE_PAIRS
     ),
 }
 
