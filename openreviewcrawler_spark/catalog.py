@@ -18266,6 +18266,106 @@ cross join n_sess
 """
 
 
+# --- session-66: mixture HHI, power-user migration --------------------------
+
+
+def q_traindata_mixture_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture concentration per sampling temperature: the Herfindahl
+    index of each τ's domain weights (Σ share², integer ppm over the
+    exact ppm weights the sweep already emits) — the one-number
+    diversity readout that closes the temperature story: τ=1 mirrors
+    the corpus skew, higher τ provably flattens, and THIS is the
+    number a data-mix reviewer compares against the uniform floor
+    1/n_domains. Pure rollup over the bounded sweep table."""
+    sw = q_traindata_temperature_sweep(spark, sf_dir).select(
+        "tau", "weight_ppm"
+    )
+    return sw.groupBy("tau").agg(
+        F.count("*").cast("long").alias("n_domains"),
+        F.expr(
+            "cast(sum(weight_ppm * weight_ppm) div cast(1000000 as bigint)"
+            " as bigint)"
+        ).alias("hhi_ppm"),
+    ).selectExpr(
+        "tau",
+        "n_domains",
+        "hhi_ppm",
+        "cast(cast(1000000 as bigint) div n_domains as bigint)"
+        " as uniform_floor_ppm",
+    )
+
+
+def _sql_traindata_mixture_hhi() -> str:
+    return f"""
+with sw as (select tau, weight_ppm from ({SQL_TRAINDATA_TEMPERATURE_SWEEP}))
+select tau, count(*)::BIGINT as n_domains,
+       (sum(weight_ppm * weight_ppm) // 1000000)::BIGINT as hhi_ppm,
+       (1000000 // count(*))::BIGINT as uniform_floor_ppm
+from sw group by tau
+"""
+
+
+def q_event_power_user_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user band migration between the two observation halves:
+    each user's dyadic activity band (the heavy-user ladder) in epoch
+    0 vs epoch 1, rolled up to a band→band transition matrix —
+    event_heavy_user_share shows the curve at one instant; THIS shows
+    whether the top band is the same people or a rotating cast (the
+    difference between a loyal core and churn-and-replace). Users
+    absent from a half land in band -1. Bounded ladder² matrix."""
+    ev = _events_ms(spark, sf_dir)
+    span = ev.agg(F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi"))
+    per = ev.crossJoin(F.broadcast(span)).selectExpr(
+        "user_id",
+        "case when ts_ms * 2 < lo + hi then 0 else 1 end as h",
+    ).groupBy("user_id", "h").agg(F.count("*").cast("long").alias("n"))
+    banded = per.selectExpr(
+        "user_id",
+        "h",
+        f"cast({_DEG_BUCKET_CASE.format(d='n')} as bigint) as band",
+    )
+    a = banded.filter(F.col("h") == 0).select(
+        "user_id", F.col("band").alias("band_a")
+    )
+    b = banded.filter(F.col("h") == 1).select(
+        "user_id", F.col("band").alias("band_b")
+    )
+    m = a.join(b, "user_id", "full_outer").selectExpr(
+        "coalesce(band_a, -1) as band_a",
+        "coalesce(band_b, -1) as band_b",
+    )
+    return m.groupBy("band_a", "band_b").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+def _sql_event_power_user_migration() -> str:
+    return f"""
+with ev as ({_EVENTS_MS_CTE}),
+span as (select min(ts_ms) as lo, max(ts_ms) as hi from ev),
+per as (
+  select user_id,
+         case when ts_ms * 2 < lo + hi then 0 else 1 end as h,
+         count(*)::BIGINT as n
+  from ev cross join span
+  group by user_id, case when ts_ms * 2 < lo + hi then 0 else 1 end
+),
+banded as (
+  select user_id, h, ({_DEG_BUCKET_CASE.format(d='n')})::BIGINT as band
+  from per
+),
+a as (select user_id, band as band_a from banded where h = 0),
+b as (select user_id, band as band_b from banded where h = 1),
+m as (
+  select coalesce(band_a, -1) as band_a, coalesce(band_b, -1) as band_b
+  from a full outer join b on a.user_id = b.user_id
+)
+select band_a::BIGINT as band_a, band_b::BIGINT as band_b,
+       count(*)::BIGINT as n_users
+from m group by band_a, band_b
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19068,6 +19168,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_session_type_pairs": QueryDef(
         q_event_session_type_pairs, SQL_EVENT_SESSION_TYPE_PAIRS
+    ),
+    "traindata_mixture_hhi": QueryDef(
+        q_traindata_mixture_hhi, _sql_traindata_mixture_hhi()
+    ),
+    "event_power_user_migration": QueryDef(
+        q_event_power_user_migration, _sql_event_power_user_migration()
     ),
 }
 
