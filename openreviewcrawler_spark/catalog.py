@@ -18366,6 +18366,132 @@ from m group by band_a, band_b
 """
 
 
+# --- session-67: daily SRM trend, dedup granularity card --------------------
+
+
+def q_event_srm_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch BY DAY: the event_ab_srm_check χ² per
+    calendar day — a broken assignment rarely breaks globally; it
+    breaks after a deploy, and the global test dilutes a three-day
+    breakage into noise. Same exact-integer χ² against the 50/50
+    design, same 1-dof threshold, one bounded (day) rollup."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "cast(unix_millis(cast(ts as timestamp)) div 86400000 as bigint)"
+        " as day",
+        f"cast({_AB_VARIANT_EXPR} as bigint) % 2 as variant",
+    )
+    agg = ev.groupBy("day").agg(
+        F.sum(F.expr("case when variant = 0 then 1 else 0 end"))
+        .cast("long").alias("n_a"),
+        F.sum(F.expr("case when variant = 1 then 1 else 0 end"))
+        .cast("long").alias("n_b"),
+    )
+    return agg.selectExpr(
+        "day",
+        "n_a",
+        "n_b",
+        "cast(((n_a - n_b) * (n_a - n_b) * cast(1000 as bigint))"
+        " div (n_a + n_b) as bigint) as chi2_milli",
+    ).selectExpr(
+        "day",
+        "n_a",
+        "n_b",
+        "chi2_milli",
+        f"cast(case when chi2_milli > {_SRM_CHI2_MILLI_THRESHOLD}"
+        " then 1 else 0 end as bigint) as srm_flag",
+    )
+
+
+SQL_EVENT_SRM_DAILY_TREND = f"""
+with ev as (
+  select epoch_ms(ts) // 86400000 as day,
+         cast({_AB_VARIANT_EXPR} as bigint) % 2 as variant
+  from events
+),
+agg as (
+  select day,
+         sum(case when variant = 0 then 1 else 0 end)::BIGINT as n_a,
+         sum(case when variant = 1 then 1 else 0 end)::BIGINT as n_b
+  from ev group by day
+)
+select day::BIGINT as day, n_a, n_b,
+       (((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b))::BIGINT
+         as chi2_milli,
+       (case when ((n_a - n_b) * (n_a - n_b) * 1000) // (n_a + n_b)
+               > {_SRM_CHI2_MILLI_THRESHOLD} then 1 else 0 end)::BIGINT
+         as srm_flag
+from agg
+"""
+
+
+def q_dedup_granularity_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-granularity comparison card: exact duplicate share at the
+    DOCUMENT grain vs the PARAGRAPH grain (the same PARA_CHUNK_RE
+    chunks dedup_paragraph hashes), side by side — the one-table
+    answer to "which dedup tier buys more": document-level dedup
+    misses every shared paragraph inside distinct pages. Each grain is
+    one hash rollup over the duplicate-bearing corpus; the two
+    single-row summaries union (independent pipelines — the
+    union-embeds trap needs shared lineage, which these don't
+    have)."""
+    from .operators.dedup import PARA_CHUNK_RE
+
+    corpus = _corpus(spark, sf_dir)
+    doc = corpus.selectExpr("md5(text) as h").groupBy("h").agg(
+        F.count("*").cast("long").alias("n")
+    ).agg(
+        F.expr("cast('document' as string) as granularity"),
+        F.sum("n").cast("long").alias("n_units"),
+        F.count("*").cast("long").alias("n_unique"),
+    )
+    para = corpus.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{PARA_CHUNK_RE}', 0)")
+        ).alias("chunk")
+    ).selectExpr("md5(chunk) as h").groupBy("h").agg(
+        F.count("*").cast("long").alias("n")
+    ).agg(
+        F.expr("cast('paragraph' as string) as granularity"),
+        F.sum("n").cast("long").alias("n_units"),
+        F.count("*").cast("long").alias("n_unique"),
+    )
+    return doc.unionByName(para).selectExpr(
+        "granularity",
+        "n_units",
+        "n_unique",
+        "cast(((n_units - n_unique) * cast(1000000 as bigint))"
+        " div n_units as bigint) as dup_ppm",
+    )
+
+
+def _sql_dedup_granularity_card() -> str:
+    from .operators.dedup import PARA_CHUNK_RE
+
+    return f"""
+with corpus as ({CORPUS_SQL}),
+doc as (
+  select 'document' as granularity, sum(n)::BIGINT as n_units,
+         count(*)::BIGINT as n_unique
+  from (select md5(text) as h, count(*)::BIGINT as n
+        from corpus group by md5(text))
+),
+para as (
+  select 'paragraph' as granularity, sum(n)::BIGINT as n_units,
+         count(*)::BIGINT as n_unique
+  from (
+    select md5(chunk) as h, count(*)::BIGINT as n
+    from (select unnest(regexp_extract_all(text, '{PARA_CHUNK_RE}', 0))
+            as chunk from corpus)
+    group by md5(chunk)
+  )
+),
+u as (select * from doc union all select * from para)
+select granularity, n_units, n_unique,
+       (((n_units - n_unique) * 1000000) // n_units)::BIGINT as dup_ppm
+from u
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19174,6 +19300,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_power_user_migration": QueryDef(
         q_event_power_user_migration, _sql_event_power_user_migration()
+    ),
+    "event_srm_daily_trend": QueryDef(
+        q_event_srm_daily_trend, SQL_EVENT_SRM_DAILY_TREND
+    ),
+    "dedup_granularity_card": QueryDef(
+        q_dedup_granularity_card, _sql_dedup_granularity_card()
     ),
 }
 
