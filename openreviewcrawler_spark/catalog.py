@@ -18492,6 +18492,128 @@ from u
 """
 
 
+# --- session-68: A/B duration estimate, host discovery curve ----------------
+
+
+def q_event_ab_duration_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planning per event type: users per arm to
+    detect a 5% lift of the mean at ~80% power / α=0.05 via the
+    16·σ²/δ² rule of thumb, plus the days that takes at the observed
+    arrival rate — the 'how long must this test run' answer computed
+    BEFORE anyone launches (the ab_test/zscore entries judge after the
+    fact). σ² from exact DECIMAL cent moments; δ = mean/20; ceil by
+    integer arithmetic on floored doubles. One bounded groupBy."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "cast(unix_millis(cast(ts as timestamp)) div 86400000 as bigint)"
+        " as day",
+        "cast(floor(cast(value as decimal(18,4)) * 100) as bigint) as c",
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.sum(F.expr("cast(c as decimal(38,0))")).alias("s1"),
+        F.sum(F.expr("cast(c * c as decimal(38,0))")).alias("s2"),
+    )
+    var = (
+        "((cast(s2 as double) - cast(s1 as double) * cast(s1 as double)"
+        " / cast(n as double)) / cast(n - 1 as double))"
+    )
+    delta = "(cast(s1 as double) / cast(n as double) / cast(20 as double))"
+    need = (
+        f"cast(floor(16.0e0 * {var} / ({delta} * {delta})) as bigint) + 1"
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n",
+        "n_days",
+        f"{need} as n_per_arm",
+        f"cast((({need}) * 2 * n_days + n - 1) div n as bigint)"
+        " as est_days_to_run",
+    )
+
+
+SQL_EVENT_AB_DURATION_ESTIMATE = """
+with ev as (
+  select event_type, epoch_ms(ts) // 86400000 as day,
+         cast(floor(value::DECIMAL(18,4) * 100) as bigint) as c
+  from events
+),
+agg as (
+  select event_type, count(*)::BIGINT as n,
+         count(distinct day)::BIGINT as n_days,
+         sum(cast(c as decimal(38,0))) as s1,
+         sum(cast(c * c as decimal(38,0))) as s2
+  from ev group by event_type
+)
+select event_type, n, n_days,
+       cast(floor(16.0e0
+         * ((cast(s2 as double) - cast(s1 as double) * cast(s1 as double)
+             / cast(n as double)) / cast(n - 1 as double))
+         / ((cast(s1 as double) / cast(n as double) / cast(20 as double))
+            * (cast(s1 as double) / cast(n as double)
+               / cast(20 as double)))) as bigint) + 1 as n_per_arm,
+       cast(((cast(floor(16.0e0
+         * ((cast(s2 as double) - cast(s1 as double) * cast(s1 as double)
+             / cast(n as double)) / cast(n - 1 as double))
+         / ((cast(s1 as double) / cast(n as double) / cast(20 as double))
+            * (cast(s1 as double) / cast(n as double)
+               / cast(20 as double)))) as bigint) + 1)
+         * 2 * n_days + n - 1) // n as bigint) as est_days_to_run
+from agg
+"""
+
+
+#: planted discovery day for each host occurrence
+_DISCOVERY_DAY_EXPR = "cast((doc_id * 13) % 30 as bigint)"
+
+
+def q_crawl_host_discovery_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-discovery curve: per day, how many hosts were seen for the
+    FIRST time and the cumulative host count — a crawl that keeps
+    finding new hosts is still expanding its universe; a flat curve
+    says the seed orbit is exhausted and budget should shift to
+    recrawl (the host-level twin of text_vocab_growth's Heaps curve).
+    First-seen via one min-groupBy over the Zipf host synthesis;
+    cumulative over the bounded day axis."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_BINPACK_HOST_EXPR} as host",
+        f"{_DISCOVERY_DAY_EXPR} as day",
+    )
+    first = d.groupBy("host").agg(F.min("day").alias("first_day"))
+    daily = first.groupBy("first_day").agg(
+        F.count("*").cast("long").alias("n_new_hosts")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn(
+        "cum_hosts", F.sum("n_new_hosts").over(w).cast("long")
+    ).selectExpr(
+        "cast(first_day as bigint) as day", "n_new_hosts", "cum_hosts"
+    )
+
+
+SQL_CRAWL_HOST_DISCOVERY_CURVE = f"""
+with d as (
+  select {_BINPACK_HOST_EXPR} as host, {_DISCOVERY_DAY_EXPR} as day
+  from documents
+),
+first as (select host, min(day) as first_day from d group by host),
+daily as (
+  select first_day, count(*)::BIGINT as n_new_hosts
+  from first group by first_day
+)
+select first_day::BIGINT as day, n_new_hosts,
+       sum(n_new_hosts) over (
+         order by first_day
+         rows between unbounded preceding and current row
+       )::BIGINT as cum_hosts
+from daily
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19306,6 +19428,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "dedup_granularity_card": QueryDef(
         q_dedup_granularity_card, _sql_dedup_granularity_card()
+    ),
+    "event_ab_duration_estimate": QueryDef(
+        q_event_ab_duration_estimate, SQL_EVENT_AB_DURATION_ESTIMATE
+    ),
+    "crawl_host_discovery_curve": QueryDef(
+        q_crawl_host_discovery_curve, SQL_CRAWL_HOST_DISCOVERY_CURVE
     ),
 }
 
