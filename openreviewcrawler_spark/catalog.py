@@ -18614,6 +18614,78 @@ from daily
 """
 
 
+# --- session-69: average neighbor degree curve ------------------------------
+
+
+def q_graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k_nn(k) curve: for each out-degree k, the mean out-degree of
+    the nodes that degree-k nodes link TO — the detail view behind
+    graph_assortativity's single r (two graphs with equal r can have
+    very different mixing curves; schedulers care whether LOW-degree
+    pages link into hubs, which is exactly k_nn at small k). Shape:
+    one degree rollup, one edge join attaching the destination's
+    degree, one per-source sum, one bounded per-k rollup — every join
+    on existing keys, integer milli means."""
+    docs = _t(spark, sf_dir, "documents")
+    # the plain modular graph is near-uniform-degree (2 degree classes —
+    # the known uniform-collapse trap); the planted-cell + noise
+    # synthesis of graph_triangle_count gives a real degree spectrum
+    cell5 = (F.col("doc_id") % 20) * 5
+    m = F.col("doc_id") % 3
+    edges = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (cell5 + m).alias("src"), (cell5 + (m + 1) % 5).alias("dst")
+                ),
+                F.struct(
+                    (cell5 + m).alias("src"), (cell5 + (m + 2) % 5).alias("dst")
+                ),
+                F.struct(
+                    (F.col("doc_id") % 100).alias("src"),
+                    ((F.col("doc_id") * 7 + 3) % 83).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*").filter(F.col("src") != F.col("dst")).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    withnd = edges.join(
+        deg.selectExpr("src as dst", "d as nd"), "dst", "left"
+    ).selectExpr("src", "coalesce(nd, 0) as nd")
+    per_src = withnd.groupBy("src").agg(
+        F.sum("nd").cast("long").alias("nd_sum"),
+        F.count("*").cast("long").alias("k"),
+    )
+    return per_src.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("nd_sum").cast("long").alias("nd_total"),
+        F.sum("k").cast("long").alias("edge_total"),
+    ).selectExpr(
+        "cast(k as bigint) as k",
+        "n_nodes",
+        "cast((nd_total * cast(1000 as bigint)) div edge_total as bigint)"
+        " as knn_milli",
+    )
+
+
+SQL_GRAPH_KNN_DEGREE_CURVE = f"""
+with raw as ({_TRI_EDGES_CTE}),
+e as (select distinct src, dst from raw where src <> dst),
+deg as (select src, count(*)::BIGINT as d from e group by src),
+withnd as (
+  select e.src, coalesce(dd.d, 0) as nd
+  from e left join deg dd on e.dst = dd.src
+),
+per_src as (
+  select src, sum(nd)::BIGINT as nd_sum, count(*)::BIGINT as k
+  from withnd group by src
+)
+select k::BIGINT as k, count(*)::BIGINT as n_nodes,
+       ((sum(nd_sum) * 1000) // sum(k))::BIGINT as knn_milli
+from per_src group by k
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19434,6 +19506,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_host_discovery_curve": QueryDef(
         q_crawl_host_discovery_curve, SQL_CRAWL_HOST_DISCOVERY_CURVE
+    ),
+    "graph_knn_degree_curve": QueryDef(
+        q_graph_knn_degree_curve, SQL_GRAPH_KNN_DEGREE_CURVE
     ),
 }
 
