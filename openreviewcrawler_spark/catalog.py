@@ -18686,6 +18686,143 @@ from per_src group by k
 """
 
 
+# --- session-70: homograph detection, early-value LTV correlation -----------
+
+#: homograph planting (NB the synthetic 'srcN' sources contain no
+#: letter a — replace() on them was an identity and detected nothing):
+#: 'dаtaK' (Cyrillic а, U+0430) shadows the legitimate 'dataK' hosts;
+#: 'sаle' has no ASCII twin (a confusable that impersonates nobody)
+_HOMOGRAPH_HOST_EXPR = (
+    "case when doc_id % 33 = 0"
+    " then 'dаta' || cast(doc_id % 5 as varchar(10)) || '.example'"
+    " when doc_id % 41 = 0 then 'sаle.example'"
+    " when doc_id % 7 = 1"
+    " then 'data' || cast(doc_id % 5 as varchar(10)) || '.example'"
+    f" else {HOST_EXPR} end"
+)
+
+
+def q_url_homograph_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homograph (mixed-script lookalike) host detection: hosts whose
+    Cyrillic-for-Latin skeleton (translate of the confusable pairs)
+    collapses onto an EXISTING pure-ASCII host are phishing-grade
+    impersonations — the script-level cousin of url_typosquat_detect's
+    edit-distance check and url_idn_punycode_audit's encoding audit.
+    translate() is exact and identical in both engines; the skeleton
+    join runs on the bounded host inventory."""
+    hosts = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_HOMOGRAPH_HOST_EXPR} as host"
+    ).groupBy("host").agg(F.count("*").cast("long").alias("n_pages"))
+    marked = hosts.selectExpr(
+        "host",
+        "n_pages",
+        "translate(host, 'аеорсух', 'aeopcyx') as skeleton",
+        "case when host = translate(host, 'аеорсух', 'aeopcyx')"
+        " then 0 else 1 end as has_confusables",
+    )
+    ascii_hosts = marked.filter(F.col("has_confusables") == 0).select(
+        F.col("skeleton").alias("sk"), F.col("n_pages").alias("n_target")
+    )
+    return (
+        marked.filter(F.col("has_confusables") == 1)
+        .join(ascii_hosts, F.col("skeleton") == F.col("sk"), "left")
+        .selectExpr(
+            "host",
+            "n_pages",
+            "skeleton",
+            "cast(case when sk is not null then 1 else 0 end as bigint)"
+            " as impersonates_existing",
+            "cast(coalesce(n_target, 0) as bigint) as n_target_pages",
+        )
+    )
+
+
+SQL_URL_HOMOGRAPH_DETECT = f"""
+with hosts as (
+  select {_HOMOGRAPH_HOST_EXPR} as host, count(*)::BIGINT as n_pages
+  from documents group by 1
+),
+marked as (
+  select host, n_pages,
+         translate(host, 'аеорсух', 'aeopcyx') as skeleton,
+         case when host = translate(host, 'аеорсух', 'aeopcyx')
+              then 0 else 1 end as has_confusables
+  from hosts
+),
+ascii_hosts as (
+  select skeleton as sk, n_pages as n_target
+  from marked where has_confusables = 0
+)
+select m.host, m.n_pages, m.skeleton,
+       (case when a.sk is not null then 1 else 0 end)::BIGINT
+         as impersonates_existing,
+       coalesce(a.n_target, 0)::BIGINT as n_target_pages
+from marked m left join ascii_hosts a on m.skeleton = a.sk
+where m.has_confusables = 1
+"""
+
+
+def q_event_early_value_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does week-one spend predict lifetime value? ONE row: Pearson of
+    (first-7-days cents, total cents) per user — the growth-team
+    question behind every early-signal model, and if the answer is
+    high, event_ab_duration_estimate's tests can use week-1 spend as
+    the CUPED covariate for NEW users too. Shared _CORR_PROJ over
+    exact DECIMAL cent moments; week-one is epoch arithmetic off each
+    user's first event."""
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "cast(unix_millis(cast(ts as timestamp)) as bigint) as ts_ms",
+        "cast(value as decimal(18,4)) as v",
+    )
+    first = ev.groupBy("user_id").agg(F.min("ts_ms").alias("t0"))
+    per = ev.join(first, "user_id").groupBy("user_id").agg(
+        F.expr(
+            "cast(floor(sum(case when ts_ms < t0 + 604800000 then v"
+            " else cast(0 as decimal(18,4)) end) * 100) as bigint)"
+        ).alias("x"),
+        F.expr("cast(floor(sum(v) * 100) as bigint)").alias("y"),
+    )
+    dec = "cast({e} as decimal(38,0))"
+    agg = per.agg(
+        F.count("*").alias("m"),
+        F.sum(F.expr(dec.format(e="x"))).alias("sx"),
+        F.sum(F.expr(dec.format(e="y"))).alias("sy"),
+        F.sum(F.expr(dec.format(e="x * y"))).alias("sxy"),
+        F.sum(F.expr(dec.format(e="x * x"))).alias("sxx"),
+        F.sum(F.expr(dec.format(e="y * y"))).alias("syy"),
+    )
+    return agg.selectExpr("cast(m as bigint) as n_users", *_CORR_PROJ)
+
+
+SQL_EVENT_EARLY_VALUE_LTV_CORR = f"""
+with ev as (
+  select user_id, epoch_ms(ts) as ts_ms, value::DECIMAL(18,4) as v
+  from events
+),
+first as (select user_id, min(ts_ms) as t0 from ev group by user_id),
+per as (
+  select ev.user_id,
+         cast(floor(sum(case when ts_ms < t0 + 604800000 then v
+                        else 0::DECIMAL(18,4) end) * 100) as bigint) as x,
+         cast(floor(sum(v) * 100) as bigint) as y
+  from ev join first on ev.user_id = first.user_id
+  group by ev.user_id
+),
+agg as (
+  select count(*) as m,
+         sum(cast(x as decimal(38,0))) as sx,
+         sum(cast(y as decimal(38,0))) as sy,
+         sum(cast(x * y as decimal(38,0))) as sxy,
+         sum(cast(x * x as decimal(38,0))) as sxx,
+         sum(cast(y * y as decimal(38,0))) as syy
+  from per
+)
+select cast(m as bigint) as n_users, {_CORR_PROJ[0]}
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19509,6 +19646,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "graph_knn_degree_curve": QueryDef(
         q_graph_knn_degree_curve, SQL_GRAPH_KNN_DEGREE_CURVE
+    ),
+    "url_homograph_detect": QueryDef(
+        q_url_homograph_detect, SQL_URL_HOMOGRAPH_DETECT
+    ),
+    "event_early_value_ltv_corr": QueryDef(
+        q_event_early_value_ltv_corr, SQL_EVENT_EARLY_VALUE_LTV_CORR
     ),
 }
 
