@@ -18823,6 +18823,92 @@ from agg
 """
 
 
+# --- session-71: rolling revenue, error budget burn -------------------------
+
+
+def q_event_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-OBSERVED-day revenue: per day, that day's cents and
+    the ROWS-frame trailing week (6 preceding + current over the
+    bounded daily rollup — the event_dau_forecast_backtest discipline:
+    an explicit ROWS frame over observed days, never RANGE over
+    wall-clock, so gaps don't silently shrink the window) — the
+    smoothed topline the daily number is too noisy to read. Integer
+    cents throughout."""
+    daily = _t(spark, sf_dir, "events").selectExpr(
+        "cast(unix_millis(cast(ts as timestamp)) div 86400000 as bigint)"
+        " as day",
+        "cast(value as decimal(18,4)) as v",
+    ).groupBy("day").agg(
+        F.expr("cast(floor(sum(v) * 100) as bigint)").alias("day_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.withColumn(
+        "trailing_7d_cents", F.sum("day_cents").over(w).cast("long")
+    ).withColumn(
+        "n_days_in_window", F.count("*").over(w).cast("long")
+    ).selectExpr(
+        "day", "day_cents", "trailing_7d_cents", "n_days_in_window"
+    )
+
+
+SQL_EVENT_ROLLING_REVENUE_7D = """
+with daily as (
+  select epoch_ms(ts) // 86400000 as day,
+         cast(floor(sum(value::DECIMAL(18,4)) * 100) as bigint) as day_cents
+  from events group by 1
+)
+select day::BIGINT as day, day_cents,
+       sum(day_cents) over (
+         order by day rows between 6 preceding and current row
+       )::BIGINT as trailing_7d_cents,
+       count(*) over (
+         order by day rows between 6 preceding and current row
+       )::BIGINT as n_days_in_window
+from daily
+"""
+
+
+#: SLO: 99% fetch success => a 10000-ppm failure budget
+_SLO_BUDGET_PPM = 10000
+
+
+def q_crawl_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn per host: the observed failure rate
+    expressed as a multiple of the 99%-SLO budget ({_SLO_BUDGET_PPM}
+    ppm) in milli-units — burn 1000 = exactly on budget, above =
+    eating into it (the breaker and the retry ladder both key off
+    this one number in real fleets). Pure projection over the
+    error-rate rollup."""
+    er = q_crawl_error_rate_by_host(spark, sf_dir)
+    return er.selectExpr(
+        "host",
+        "n_attempts",
+        "n_failures",
+        "fail_ppm",
+        f"cast((fail_ppm * cast(1000 as bigint)) div {_SLO_BUDGET_PPM}"
+        " as bigint) as burn_x_milli",
+    ).selectExpr(
+        "host",
+        "n_attempts",
+        "n_failures",
+        "fail_ppm",
+        "burn_x_milli",
+        "cast(case when burn_x_milli > 1000 then 1 else 0 end as bigint)"
+        " as budget_exhausted",
+    )
+
+
+def _sql_crawl_error_budget_burn() -> str:
+    return f"""
+with er as ({SQL_CRAWL_ERROR_RATE_BY_HOST})
+select host, n_attempts, n_failures, fail_ppm,
+       ((fail_ppm * 1000) // {_SLO_BUDGET_PPM})::BIGINT as burn_x_milli,
+       (case when ((fail_ppm * 1000) // {_SLO_BUDGET_PPM}) > 1000
+             then 1 else 0 end)::BIGINT as budget_exhausted
+from er
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19652,6 +19738,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_early_value_ltv_corr": QueryDef(
         q_event_early_value_ltv_corr, SQL_EVENT_EARLY_VALUE_LTV_CORR
+    ),
+    "event_rolling_revenue_7d": QueryDef(
+        q_event_rolling_revenue_7d, SQL_EVENT_ROLLING_REVENUE_7D
+    ),
+    "crawl_error_budget_burn": QueryDef(
+        q_crawl_error_budget_burn, _sql_crawl_error_budget_burn()
     ),
 }
 
