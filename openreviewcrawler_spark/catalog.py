@@ -18909,6 +18909,89 @@ from er
 """
 
 
+# --- session-72: redirect cycle census, hapax share -------------------------
+
+
+def q_crawl_redirect_cycle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-loop census: the unresolved chains from the
+    pointer-doubling resolver grouped by where they ended up pointing
+    (after 2^5 doublings every member of one loop points INSIDE that
+    loop, so the landing pointer fingerprints the loop's
+    neighborhood) — the triage list behind the resolver's boolean
+    flag: one row per loop cluster with its member count and walked
+    hops, so the dust-rule writer sees WHICH traps dominate. Bounded
+    rollup over the resolver output."""
+    res = q_crawl_redirect_resolve(spark, sf_dir).filter(
+        ~F.col("resolved")
+    )
+    return res.groupBy(F.col("final_url").alias("loop_anchor")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("hops").cast("long").alias("min_hops"),
+        F.max("hops").cast("long").alias("max_hops"),
+    )
+
+
+def _sql_crawl_redirect_cycle_census() -> str:
+    inner = _sql_redirect_resolve(rounds=5)
+    return f"""
+with res as ({inner})
+select final_url as loop_anchor, count(*)::BIGINT as n_members,
+       min(hops)::BIGINT as min_hops, max(hops)::BIGINT as max_hops
+from res where not resolved
+group by final_url
+"""
+
+
+def q_text_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOCUMENT hapax share per source: of each document's
+    distinct tokens, how many occur exactly once in that document,
+    aggregated per source — the repetition-complement lexical signal
+    (a keyword-stuffed page repeats everything: few within-doc
+    hapaxes). NB source-LEVEL hapaxes are degenerate on this corpus
+    (a ~30-word recycled vocabulary has none) — the document grain is
+    both non-degenerate and the one the per-page quality gate wants.
+    One token explode, a (source, doc, token) rollup, a bounded
+    per-source rollup."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    tf = tok.groupBy("source", "doc_id", "token").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return tf.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.expr("case when n = 1 then 1 else 0 end"))
+        .cast("long").alias("n_hapax"),
+    ).selectExpr(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "cast((n_hapax * cast(1000000 as bigint)) div n_types as bigint)"
+        " as hapax_ppm",
+    )
+
+
+SQL_TEXT_HAPAX_SHARE = """
+with tok as (
+  select source, doc_id, unnest(string_split(text, ' ')) as token
+  from documents
+),
+tf as (
+  select source, doc_id, token, count(*)::BIGINT as n
+  from tok group by source, doc_id, token
+)
+select source, sum(n)::BIGINT as n_tokens, count(*)::BIGINT as n_types,
+       sum(case when n = 1 then 1 else 0 end)::BIGINT as n_hapax,
+       ((sum(case when n = 1 then 1 else 0 end) * 1000000)
+        // count(*))::BIGINT as hapax_ppm
+from tf group by source
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19744,6 +19827,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_error_budget_burn": QueryDef(
         q_crawl_error_budget_burn, _sql_crawl_error_budget_burn()
+    ),
+    "crawl_redirect_cycle_census": QueryDef(
+        q_crawl_redirect_cycle_census, _sql_crawl_redirect_cycle_census()
+    ),
+    "text_hapax_share": QueryDef(
+        q_text_hapax_share, SQL_TEXT_HAPAX_SHARE
     ),
 }
 
