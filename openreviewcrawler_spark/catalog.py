@@ -18992,6 +18992,82 @@ from tf group by source
 """
 
 
+# --- session-73: cache TTL sweep --------------------------------------------
+
+#: candidate cache TTLs (same time unit as the request timeline)
+_CACHE_TTL_GRID = (50, 150, 400)
+
+
+def q_crawl_cache_ttl_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Response-cache TTL sweep: at each candidate TTL, how many
+    repeat requests would have hit a per-URL cache (gap to the
+    previous request ≤ TTL — the lag idiom over the singleflight
+    request timeline) vs gone to origin — the hit-rate/staleness
+    tradeoff curve read BEFORE provisioning the cache tier
+    (singleflight collapses concurrent requests; the cache collapses
+    RECENT ones). Grid explodes after the one per-URL lag pass; per
+    TTL one bounded rollup."""
+    reqs = _t(spark, sf_dir, "documents").selectExpr(
+        "cast(doc_id % 150 as bigint) as url_key",
+        "cast((doc_id * doc_id) % 500 as bigint) as req_ts",
+        "doc_id",
+    )
+    w = Window.partitionBy("url_key").orderBy("req_ts", "doc_id")
+    lagged = reqs.withColumn("prev_ts", F.lag("req_ts").over(w))
+    grid = ", ".join(str(t) for t in _CACHE_TTL_GRID)
+    g = lagged.select(
+        "url_key",
+        "req_ts",
+        "prev_ts",
+        F.explode(F.expr(f"array({grid})")).alias("ttl"),
+    ).selectExpr(
+        "cast(ttl as bigint) as ttl",
+        "case when prev_ts is not null and req_ts - prev_ts <= ttl"
+        " then 1 else 0 end as hit",
+    )
+    return g.groupBy("ttl").agg(
+        F.count("*").cast("long").alias("n_requests"),
+        F.sum("hit").cast("long").alias("n_cache_hits"),
+    ).selectExpr(
+        "ttl",
+        "n_requests",
+        "n_cache_hits",
+        "n_requests - n_cache_hits as n_origin_fetches",
+        "cast((n_cache_hits * cast(1000000 as bigint)) div n_requests"
+        " as bigint) as hit_ppm",
+    )
+
+
+SQL_CRAWL_CACHE_TTL_SWEEP = f"""
+with reqs as (
+  select (doc_id % 150)::BIGINT as url_key,
+         ((doc_id * doc_id) % 500)::BIGINT as req_ts,
+         doc_id
+  from documents
+),
+lagged as (
+  select url_key, req_ts,
+         lag(req_ts) over (
+           partition by url_key order by req_ts, doc_id
+         ) as prev_ts
+  from reqs
+),
+g as (
+  select unnest([{", ".join(str(t) for t in _CACHE_TTL_GRID)}])::BIGINT
+           as ttl,
+         case when prev_ts is not null and req_ts - prev_ts <=
+           unnest([{", ".join(str(t) for t in _CACHE_TTL_GRID)}])
+           then 1 else 0 end as hit
+  from lagged
+)
+select ttl, count(*)::BIGINT as n_requests,
+       sum(hit)::BIGINT as n_cache_hits,
+       (count(*) - sum(hit))::BIGINT as n_origin_fetches,
+       ((sum(hit) * 1000000) // count(*))::BIGINT as hit_ppm
+from g group by ttl
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19833,6 +19909,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_hapax_share": QueryDef(
         q_text_hapax_share, SQL_TEXT_HAPAX_SHARE
+    ),
+    "crawl_cache_ttl_sweep": QueryDef(
+        q_crawl_cache_ttl_sweep, SQL_CRAWL_CACHE_TTL_SWEEP
     ),
 }
 
