@@ -19068,6 +19068,74 @@ from g group by ttl
 """
 
 
+# --- session-74: Amdahl speedup model ---------------------------------------
+
+#: fixed serial floor (driver barriers, broadcast builds) in ms — the
+#: measured r4 crawl-round constant's order of magnitude
+_AMDAHL_SERIAL_MS = 6000
+_AMDAHL_CORE_GRID = (2, 8, 32)
+
+
+def q_crawl_amdahl_speedup_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amdahl speedup model for the crawl round: parallel work W from
+    the frontier's byte mass (1 ms per 100 bytes — the fetch+parse
+    cost proxy), serial floor S from the measured per-round driver
+    cost, T(c) = S + W/c over the {2, 8, 32}-core grid with speedup
+    and strong-scaling efficiency vs the 2-core base — the closed-form
+    twin of bench.py's measured N→4N criterion (BASELINE.json ≥0.8):
+    the model says WHERE the serial floor caps efficiency before a
+    single run burns. Integer arithmetic; one byte rollup + a 3-row
+    grid."""
+    w_ms = _t(spark, sf_dir, "documents").selectExpr(
+        f"cast({_EST_BYTES_EXPR} as bigint) as b"
+    ).agg(
+        F.expr("cast(sum(b) div 100 as bigint)").alias("w_ms")
+    )
+    grid = ", ".join(str(c) for c in _AMDAHL_CORE_GRID)
+    s = _AMDAHL_SERIAL_MS
+    base = _AMDAHL_CORE_GRID[0]
+    g = w_ms.select(
+        "w_ms", F.explode(F.expr(f"array({grid})")).alias("cores")
+    ).selectExpr(
+        "cast(cores as bigint) as cores",
+        "w_ms",
+        f"cast({s} + w_ms div cores as bigint) as t_ms",
+        f"cast({s} + w_ms div {base} as bigint) as t_base_ms",
+    )
+    return g.selectExpr(
+        "cores",
+        "w_ms",
+        "t_ms",
+        "cast((t_base_ms * cast(1000 as bigint)) div t_ms as bigint)"
+        " as speedup_milli",
+        f"cast((t_base_ms * cast(1000000 as bigint) * {base})"
+        " div (t_ms * cores) as bigint) as strong_efficiency_ppm",
+    )
+
+
+SQL_CRAWL_AMDAHL_SPEEDUP_MODEL = f"""
+with w as (
+  select (sum({_EST_BYTES_EXPR}) // 100)::BIGINT as w_ms from documents
+),
+g as (
+  select unnest([{", ".join(str(c) for c in _AMDAHL_CORE_GRID)}])::BIGINT
+           as cores,
+         w_ms,
+         ({_AMDAHL_SERIAL_MS} + w_ms //
+           unnest([{", ".join(str(c) for c in _AMDAHL_CORE_GRID)}]))::BIGINT
+           as t_ms,
+         ({_AMDAHL_SERIAL_MS} + w_ms // {_AMDAHL_CORE_GRID[0]})::BIGINT
+           as t_base_ms
+  from w
+)
+select cores, w_ms, t_ms,
+       ((t_base_ms * 1000) // t_ms)::BIGINT as speedup_milli,
+       ((t_base_ms * 1000000 * {_AMDAHL_CORE_GRID[0]})
+        // (t_ms * cores))::BIGINT as strong_efficiency_ppm
+from g
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19912,6 +19980,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_cache_ttl_sweep": QueryDef(
         q_crawl_cache_ttl_sweep, SQL_CRAWL_CACHE_TTL_SWEEP
+    ),
+    "crawl_amdahl_speedup_model": QueryDef(
+        q_crawl_amdahl_speedup_model, SQL_CRAWL_AMDAHL_SPEEDUP_MODEL
     ),
 }
 
