@@ -19136,6 +19136,53 @@ from g
 """
 
 
+# --- session-75: fairness trend ---------------------------------------------
+
+
+def q_crawl_fairness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain fairness index BY HOUR: how evenly each hour's fetch volume
+    spreads across hosts ((Σx)²·10⁶ div (n·Σx²) — exact integer ppm,
+    the crawl_fairness_index recipe) on the hourly axis — the static
+    index says the crawl WAS fair on average; the trend catches the
+    hours one host monopolized the fleet (exactly when politeness
+    complaints arrive). Host = the event-log user hash stand-in; two
+    bounded rollups."""
+    f = _t(spark, sf_dir, "events").selectExpr(
+        "cast(unix_millis(cast(ts as timestamp)) div 3600000 as bigint)"
+        " as hour_b",
+        "cast(user_id % 7 as bigint) as host_id",
+    )
+    cells = f.groupBy("hour_b", "host_id").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    return cells.groupBy("hour_b").agg(
+        F.count("*").cast("long").alias("n_hosts_active"),
+        F.sum("x").cast("long").alias("n_fetches"),
+        F.expr(
+            "cast((sum(x) * sum(x) * cast(1000000 as bigint))"
+            " div (count(*) * sum(x * x)) as bigint)"
+        ).alias("jain_ppm"),
+    )
+
+
+SQL_CRAWL_FAIRNESS_TREND = """
+with f as (
+  select epoch_ms(ts) // 3600000 as hour_b,
+         (user_id % 7)::BIGINT as host_id
+  from events
+),
+cells as (
+  select hour_b, host_id, count(*)::BIGINT as x
+  from f group by hour_b, host_id
+)
+select hour_b::BIGINT as hour_b, count(*)::BIGINT as n_hosts_active,
+       sum(x)::BIGINT as n_fetches,
+       ((sum(x) * sum(x) * 1000000) // (count(*) * sum(x * x)))::BIGINT
+         as jain_ppm
+from cells group by hour_b
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -19983,6 +20030,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_amdahl_speedup_model": QueryDef(
         q_crawl_amdahl_speedup_model, SQL_CRAWL_AMDAHL_SPEEDUP_MODEL
+    ),
+    "crawl_fairness_trend": QueryDef(
+        q_crawl_fairness_trend, SQL_CRAWL_FAIRNESS_TREND
     ),
 }
 
