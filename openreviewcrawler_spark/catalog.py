@@ -19183,6 +19183,76 @@ from cells group by hour_b
 """
 
 
+# --- session-76: 24-hour autocorrelation ------------------------------------
+
+
+def q_event_hourly_autocorr_24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24 autocorrelation of the hourly load curve: ONE row, the
+    Pearson of (events in hour t, events in hour t+24) over all hour
+    pairs 24 apart — the statistic that PROVES daily periodicity
+    before anyone trusts event_hourly_seasonality's per-hour means or
+    the seasonal anomaly baseline. Missing hours count as zero via a
+    dense union of both sides' keys. Self-join of the bounded hourly
+    rollup on hour+24, then the shared _CORR_PROJ exact moments."""
+    hourly = _t(spark, sf_dir, "events").selectExpr(
+        "cast(unix_millis(cast(ts as timestamp)) div 3600000 as bigint)"
+        " as hour_b"
+    ).groupBy("hour_b").agg(F.count("*").cast("long").alias("n"))
+    span = hourly.agg(
+        F.min("hour_b").alias("lo"), F.max("hour_b").alias("hi")
+    )
+    a = hourly.selectExpr("hour_b", "n as x")
+    b = hourly.selectExpr("hour_b - 24 as hour_b", "n as y")
+    per = (
+        a.join(b, "hour_b", "full_outer")
+        .crossJoin(F.broadcast(span))
+        .filter(
+            # keep only hours whose lag-24 partner is inside the series
+            F.expr("hour_b >= lo and hour_b + 24 <= hi")
+        )
+        .selectExpr("coalesce(x, 0) as x", "coalesce(y, 0) as y")
+    )
+    dec = "cast({e} as decimal(38,0))"
+    agg = per.agg(
+        F.count("*").alias("m"),
+        F.sum(F.expr(dec.format(e="x"))).alias("sx"),
+        F.sum(F.expr(dec.format(e="y"))).alias("sy"),
+        F.sum(F.expr(dec.format(e="x * y"))).alias("sxy"),
+        F.sum(F.expr(dec.format(e="x * x"))).alias("sxx"),
+        F.sum(F.expr(dec.format(e="y * y"))).alias("syy"),
+    )
+    return agg.selectExpr("cast(m as bigint) as n_hour_pairs", *_CORR_PROJ)
+
+
+SQL_EVENT_HOURLY_AUTOCORR_24 = f"""
+with hourly as (
+  select epoch_ms(ts) // 3600000 as hour_b, count(*)::BIGINT as n
+  from events group by 1
+),
+span as (select min(hour_b) as lo, max(hour_b) as hi from hourly),
+a as (select hour_b, n as x from hourly),
+b as (select hour_b - 24 as hour_b, n as y from hourly),
+per as (
+  select coalesce(x, 0) as x, coalesce(y, 0) as y
+  from a full outer join b on a.hour_b = b.hour_b
+       cross join span
+  where coalesce(a.hour_b, b.hour_b) >= lo
+    and coalesce(a.hour_b, b.hour_b) + 24 <= hi
+),
+agg as (
+  select count(*) as m,
+         sum(cast(x as decimal(38,0))) as sx,
+         sum(cast(y as decimal(38,0))) as sy,
+         sum(cast(x * y as decimal(38,0))) as sxy,
+         sum(cast(x * x as decimal(38,0))) as sxx,
+         sum(cast(y * y as decimal(38,0))) as syy
+  from per
+)
+select cast(m as bigint) as n_hour_pairs, {_CORR_PROJ[0]}
+from agg
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "dedup_incremental": QueryDef(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "traindata_pack_sequences": QueryDef(
@@ -20033,6 +20103,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "crawl_fairness_trend": QueryDef(
         q_crawl_fairness_trend, SQL_CRAWL_FAIRNESS_TREND
+    ),
+    "event_hourly_autocorr_24": QueryDef(
+        q_event_hourly_autocorr_24, SQL_EVENT_HOURLY_AUTOCORR_24
     ),
 }
 
