@@ -47,8 +47,32 @@ def asof_join(
     ``right`` must have at most one row per (key, ts) — ties among
     right versions at the same instant are a dimension-modeling bug the
     caller owns (mirrors DuckDB ASOF JOIN semantics). Left rows with no
-    eligible right row keep NULL values (left-outer asof)."""
+    eligible right row keep NULL values (left-outer asof).
+
+    Timestamps are integral (epoch-ms BIGINT by convention, any integer
+    order key works); a timestamp-typed right ts would silently come
+    back as epoch SECONDS through the final long cast, so it is
+    rejected here. ``value_cols`` and ``asof_ts_name`` must not collide
+    with left's non-key columns — the union projection would otherwise
+    produce duplicate/ambiguous output columns (r4 ADVICE)."""
     rts = right_ts_col or ts_col
+    overlap = set(value_cols) & (set(left.columns) - set(key_cols))
+    if overlap:
+        raise ValueError(
+            f"value_cols {sorted(overlap)} collide with left non-key columns; "
+            "rename them on one side before the asof join"
+        )
+    if asof_ts_name in set(left.columns) - set(key_cols):
+        raise ValueError(
+            f"asof_ts_name {asof_ts_name!r} collides with a left column"
+        )
+    rts_type = right.schema[rts].dataType.simpleString()
+    if rts_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"right ts column {rts!r} is {rts_type}; asof_join expects an "
+            "integral order key (epoch-ms bigint) — cast timestamps with "
+            "unix_millis() first (cast('long') on a timestamp is SECONDS)"
+        )
     lcols = left.columns
     r = right.select(
         *key_cols,

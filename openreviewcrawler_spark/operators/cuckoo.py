@@ -182,7 +182,46 @@ class CuckooFilter:
         fp = _fingerprints(keys)
         i1 = self._i1(keys)
         i2 = self._alt(i1, fp)
-        for n, (f, b1, b2) in enumerate(zip(fp, i1, i2)):
+        # Deletions interact only at (bucket, fingerprint) granularity: two
+        # keys whose four candidate pairs are all distinct cannot consume
+        # each other's occurrences, so they are order-independent and take
+        # the fully vectorized path (the add_many model). Only the rare
+        # in-batch pair collisions (16-bit fp) keep the sequential per-key
+        # walk, which their occurrence-counting semantics require.
+        pairs = np.concatenate(
+            [i1 * np.int64(1 << 16) + fp, i2 * np.int64(1 << 16) + fp]
+        )
+        _, inv, cnt = np.unique(pairs, return_inverse=True, return_counts=True)
+        per_key = cnt[inv].reshape(2, -1).max(axis=0) > 1
+        clean = np.nonzero(~per_key)[0]
+        if len(clean):
+            fpc, b1c, b2c = fp[clean], i1[clean], i2[clean]
+            eq1 = self.table[b1c] == fpc[:, None]
+            hit1 = eq1.any(axis=1)
+            self.table[b1c[hit1], eq1.argmax(axis=1)[hit1]] = 0
+            miss = np.nonzero(~hit1)[0]
+            eq2 = self.table[b2c[miss]] == fpc[miss, None]
+            hit2 = eq2.any(axis=1)
+            self.table[b2c[miss[hit2]], eq2.argmax(axis=1)[hit2]] = 0
+            found = hit1.copy()
+            found[miss[hit2]] = True
+            rest = np.nonzero(~found)[0]
+            if len(rest) and len(self.stash):
+                sb = self.stash[:, 0][None, :]
+                sf = self.stash[:, 1][None, :]
+                fpl = fpc[rest].astype(np.int64)[:, None]
+                m1 = (b1c[rest][:, None] == sb) & (fpl == sf)
+                m2 = (b2c[rest][:, None] == sb) & (fpl == sf)
+                has1, has2 = m1.any(axis=1), m2.any(axis=1)
+                shit = has1 | has2
+                row = np.where(has1, m1.argmax(axis=1), m2.argmax(axis=1))
+                if shit.any():
+                    # distinct pairs -> distinct stash rows, safe to batch
+                    self.stash = np.delete(self.stash, row[shit], axis=0)
+                    found[rest[shit]] = True
+            out[clean] = found
+        for n in np.nonzero(per_key)[0]:
+            f, b1, b2 = fp[n], i1[n], i2[n]
             hit = False
             for b in (int(b1), int(b2)):
                 pos = np.nonzero(self.table[b] == f)[0]

@@ -257,22 +257,27 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, max_depth: int = 8) -> DataFra
     level-by-level, reference crawler.py fetch loop — this is that
     traversal as a distributed frontier expansion).
 
-    Scale shape: classic frontier-only iteration. Each level is ONE
-    equi-join of the CURRENT frontier (small) onto edges by src plus one
-    anti-join against the accumulated distance table — never a
-    whole-graph recomputation. Every level is persisted through the
-    tracked-cache registry before the union (the r3 "self-join embeds the
-    upstream plan" lesson: the anti-join's build side reads cache, and
-    the accumulated table is a union of CACHED levels, so no branch
-    re-runs upstream synthesis). One count() barrier per level is the
-    BFS-inherent sync point; the loop stops at the first empty frontier,
-    so bounded diameter => bounded rounds regardless of graph size.
+    Scale shape: classic frontier-only iteration (the Pregel superstep).
+    Each level is ONE equi-join of the CURRENT frontier (small) onto edges
+    by src plus one anti-join against the accumulated distance table —
+    never a whole-graph recomputation. Every level is materialized with an
+    EAGER ``localCheckpoint`` (r5): persist alone caches data but keeps
+    the plan, so level d's analysis re-embedded level d-1's whole union
+    tree and Catalyst re-analysis went superlinear in depth (the r4
+    diameter lesson, now fixed at the operator); the checkpoint makes
+    every level a flat leaf, the accumulated table a union of flat leaves,
+    and the empty-frontier probe a near-free ``take(1)`` over cached
+    blocks. At cluster scale this is the GraphX/Pregel per-superstep
+    materialization (swap ``checkpoint()`` to reliable storage if
+    executor loss must be survivable mid-traversal). Bounded diameter =>
+    bounded rounds regardless of graph size.
     """
     from ..caching import track_persist
 
     e = track_persist(edges.select("src", "dst").distinct())
-    dist = track_persist(
+    dist = (
         seeds.select("node").distinct().withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
     )
     frontier = dist
     for d in range(1, max_depth + 1):
@@ -281,12 +286,14 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, max_depth: int = 8) -> DataFra
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = track_persist(
-            nxt.join(dist, "node", "left_anti").withColumn("depth", F.lit(d))
+        new = (
+            nxt.join(dist, "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
         )
-        if new.count() == 0:
+        if not new.take(1):
             break
-        dist = track_persist(dist.unionByName(new))
+        dist = dist.unionByName(new)
         frontier = new
     return dist.select(
         F.col("node").cast("long").alias("node"),

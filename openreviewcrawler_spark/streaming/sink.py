@@ -51,11 +51,16 @@ def merge_upsert(
 ) -> DataFrame:
     """Latest-wins MERGE of ``batch`` into ``existing`` by ``key_cols``.
 
-    Within the batch, the row with the highest ``order_col`` per key wins
-    (ties broken by nothing — callers pass a total order like
-    ``(ts_ms, event_id)`` packed into one column, or accept any of the
-    tied rows). Pure batch logic, reused by tests directly."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    Within the batch, the row with the highest ``order_col`` per key wins.
+    ``order_col`` ties are broken by ``xxhash64`` over the full row — a
+    DETERMINISTIC total order, so a crash-replayed batch durably commits
+    the same winner the original attempt would have (row_number over a
+    partial order picks a partitioning-dependent winner; r4 ADVICE).
+    Rows tied on the hash are byte-identical, so any winner is the same
+    row. Pure batch logic, reused by tests directly."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.xxhash64(*batch.columns).desc()
+    )
     latest = (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -78,7 +83,18 @@ def upsert_batch_fn(
     mark_key = f"stream_batch:{table}"
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        last = int(store.extra().get(mark_key, -1))
+        extra = store.extra()
+        # The sink numbers snapshots by micro-batch id, which would clobber
+        # a crawl pipeline's round-numbered manifests if both shared one
+        # store (r4 ADVICE). Claim the store exclusively: every sink commit
+        # stamps `sink_store`; a store with prior NON-sink commits refuses.
+        if store.latest_round() is not None and not extra.get("sink_store"):
+            raise ValueError(
+                f"SnapshotStore at {store.root!r} has non-sink commits; "
+                "upsert sinks require a dedicated store root (batch-id "
+                "snapshot numbering would clobber crawl round manifests)"
+            )
+        last = int(extra.get(mark_key, -1))
         if batch_id <= last:
             return  # replayed batch already committed — exactly-once
         spark = batch.sparkSession
@@ -87,7 +103,9 @@ def upsert_batch_fn(
         # stage under the batch id; a replay after a pre-commit crash
         # overwrites the same directory, never duplicating
         store.stage_replace(merged, table, round_no=int(batch_id))
-        store.commit(int(batch_id), extra={mark_key: int(batch_id)})
+        store.commit(
+            int(batch_id), extra={mark_key: int(batch_id), "sink_store": True}
+        )
 
     return _merge
 

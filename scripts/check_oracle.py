@@ -41,6 +41,65 @@ def df_multiset(rows, cols):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def norm_spark_type(t: str) -> str:
+    """Collapse a Spark simpleString dtype to a width-aware token."""
+    t = t.lower()
+    simple = {
+        "bigint": "i64", "long": "i64", "int": "i32", "integer": "i32",
+        "smallint": "i16", "tinyint": "i8", "double": "f64", "float": "f32",
+        "string": "str", "boolean": "bool", "date": "date", "binary": "bytes",
+    }
+    if t in simple:
+        return simple[t]
+    if t.startswith("timestamp"):
+        return "ts"
+    if t.startswith("decimal"):
+        return "dec" + t[len("decimal"):].replace(" ", "")
+    return t  # arrays/maps/structs pass through (banned separately by tests)
+
+
+def norm_duck_type(t: str) -> str:
+    """Collapse a DuckDB DESCRIBE type to the same token space.
+
+    HUGEINT/UHUGEINT deliberately normalize to 128-bit tokens that can
+    NEVER equal a Spark type: the driver's typed hash diverges on integer
+    width even when repr() of the values agrees (crawl_bandwidth_admit,
+    round 4) — so width mismatches must fail locally.
+    """
+    t = t.upper()
+    simple = {
+        "BIGINT": "i64", "INTEGER": "i32", "INT": "i32", "SMALLINT": "i16",
+        "TINYINT": "i8", "HUGEINT": "i128", "UHUGEINT": "u128",
+        "UBIGINT": "u64", "UINTEGER": "u32", "DOUBLE": "f64", "FLOAT": "f32",
+        "REAL": "f32", "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+        "BLOB": "bytes",
+    }
+    if t in simple:
+        return simple[t]
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.startswith("DECIMAL"):
+        return "dec" + t[len("DECIMAL"):].replace(" ", "")
+    return t.lower()
+
+
+def type_mismatches(spark_dtypes, duck_desc):
+    """Column-by-column dtype comparison (case-insensitive names).
+
+    Returns a list of 'col: spark=<tok> duckdb=<tok>' strings for every
+    column whose normalized types differ. This is the local stand-in for
+    the driver's TYPED value hash (r1 float repr, r3 arrays, r4 integer
+    width were all classes the value-only compare could not see).
+    """
+    s = {n.lower(): norm_spark_type(t) for n, t in spark_dtypes}
+    d = {r[0].lower(): norm_duck_type(r[1]) for r in duck_desc}
+    out = []
+    for col in sorted(set(s) & set(d)):
+        if s[col] != d[col]:
+            out.append(f"{col}: spark={s[col]} duckdb={d[col]}")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -84,6 +143,16 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             problems.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
+        try:
+            tmis = type_mismatches(sdf.dtypes, con.execute("describe " + qd.sql).fetchall())
+        except Exception as e:  # describe failure is itself a gate failure
+            tmis = [f"describe-error {type(e).__name__}: {str(e)[:200]}"]
+        if tmis:
+            problems.append("dtype " + "; ".join(tmis))
+        nested = [f"{n}:{t}" for n, t in sdf.dtypes
+                  if t.startswith(("array", "map", "struct"))]
+        if nested:  # r3's robots_parse class: driver hash can't take arrays
+            problems.append("nested-output " + "; ".join(nested))
         if not problems:
             sm, dm = df_multiset(srows, scols), df_multiset(drows, dcols)
             if sm != dm:

@@ -59,6 +59,54 @@ class TestFilterProperties:
         # are fingerprint collisions with surviving keys — rare by design
         assert flt.might_contain_many(due).mean() < 0.01
 
+    def test_vectorized_delete_matches_sequential_reference(self):
+        """r5: delete_many's bulk path (vectorized lookups for keys with
+        unique (bucket,fp) pairs, per-key only under in-batch collisions)
+        must be state- and flag-identical to the pure sequential walk —
+        including on a batch DENSE with duplicates and fp collisions."""
+
+        def seq_delete(flt: CuckooFilter, keys: np.ndarray) -> np.ndarray:
+            from openreviewcrawler_spark.operators.cuckoo import _fingerprints
+
+            flt._flush_stash()
+            out = np.zeros(len(keys), dtype=bool)
+            fp, i1 = _fingerprints(keys), flt._i1(keys)
+            i2 = flt._alt(i1, fp)
+            for n, (f, b1, b2) in enumerate(zip(fp, i1, i2)):
+                hit = False
+                for b in (int(b1), int(b2)):
+                    pos = np.nonzero(flt.table[b] == f)[0]
+                    if len(pos):
+                        flt.table[b, pos[0]] = 0
+                        hit = True
+                        break
+                if not hit and len(flt.stash):
+                    m = np.nonzero((flt.stash[:, 0] == b1) & (flt.stash[:, 1] == f))[0]
+                    if len(m) == 0:
+                        m = np.nonzero(
+                            (flt.stash[:, 0] == b2) & (flt.stash[:, 1] == f)
+                        )[0]
+                    if len(m):
+                        flt.stash = np.delete(flt.stash, m[0], axis=0)
+                        hit = True
+                out[n] = hit
+            return out
+
+        base = _keys(5000, seed=11)
+        # tiny table -> heavy stash traffic; duplicated + never-inserted keys
+        batch = np.concatenate([base[:800], base[:800], _keys(400, seed=13)])
+        for n_buckets in (256, 4096):
+            a = CuckooFilter(n_buckets)
+            a.add_many(base)
+            b = CuckooFilter.from_bytes(a.to_bytes())
+            fa = a.delete_many(batch)
+            fb = seq_delete(b, batch)
+            assert np.array_equal(fa, fb)
+            assert np.array_equal(a.table, b.table)
+            assert np.array_equal(
+                np.sort(a.stash, axis=0), np.sort(b.stash, axis=0)
+            )
+
     def test_merge_is_lookup_union(self):
         a_keys, b_keys = _keys(2000, seed=21), _keys(2000, seed=22)
         n = CuckooFilter.sized_for(4000).n_buckets
