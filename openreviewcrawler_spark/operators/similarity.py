@@ -750,8 +750,21 @@ def recall_eval(vectors: DataFrame, n_queries: int = 16, k: int = 5) -> DataFram
     output), the LSH side is the capped band join. The overlap count is
     an equi-join on (query_id, cand_id); recall = n_hit / n_brute,
     floor-truncated (tie-digit round() trap)."""
-    brute = brute_topk(vectors, n_queries, k).select("query_id", "cand_id")
-    approx = ann_lsh_topk(vectors, n_queries, k).select("query_id", "cand_id")
+    # each ranking feeds TWO consumers (its per-query count + the overlap
+    # join); an eager checkpoint of the k x sample rows (<= 80) runs each
+    # ranker pipeline exactly ONCE — unpersisted, both pipelines re-ran per
+    # consumer (the r3 "self-join embeds the upstream plan" class, ~2x the
+    # whole entry: measured 7.6 s -> see BENCH.md r5 notes)
+    brute = (
+        brute_topk(vectors, n_queries, k)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    approx = (
+        ann_lsh_topk(vectors, n_queries, k)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
     nb = brute.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_brute")
     )
