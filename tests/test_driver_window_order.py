@@ -29,3 +29,16 @@ def test_oracle_sql_alignment():
 def test_ledger_matches_catalog_names():
     unknown = sorted(set(LAST_DRIVER_ROUND) - set(CATALOG))
     assert unknown == []  # a renamed entry would silently lose its history
+
+
+def test_bogus_sf_dir_raises_not_empty(spark):
+    """Driver-contract robustness: a wrong sf_dir must fail loudly
+    (PATH_NOT_FOUND), never return an empty-but-schema-valid result the
+    harness would record as 0-row 'success'."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from openreviewcrawler_spark.catalog import q_crawl_canonicalize
+
+    with pytest.raises(AnalysisException):
+        q_crawl_canonicalize(spark, "/root/testdata/sf9.9").collect()
