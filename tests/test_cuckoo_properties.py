@@ -75,3 +75,22 @@ def test_merge_and_roundtrip_preserve_membership(keys, n_parts):
         merged = merged.merge(p)
     merged = CuckooFilter.from_bytes(merged.to_bytes())
     assert merged.might_contain_many(arr).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(KEY, min_size=1, max_size=500), st.integers(2, 5))
+def test_bloom_partition_union_never_false_negative(keys, n_parts):
+    """Bloom tier algebra: partition-local builds OR-merged must see every
+    inserted key (bitset union = the treeAggregate combiner)."""
+    from openreviewcrawler_spark.operators.seen import BloomFilter
+
+    arr = np.array(sorted(set(keys)), dtype=np.int64)
+    proto = BloomFilter.sized_for(max(len(arr), 8))
+    parts = [BloomFilter(proto.n_bits, proto.k) for _ in range(n_parts)]
+    for i, k in enumerate(arr):
+        parts[i % n_parts].add_many(np.array([k], dtype=np.int64))
+    merged = BloomFilter(proto.n_bits, proto.k)
+    for p in parts:
+        merged.union_bytes(p.to_bytes())
+    merged = BloomFilter.from_bytes(merged.to_bytes(), proto.k)
+    assert merged.might_contain_many(arr).all()
