@@ -39,3 +39,20 @@ def test_series_matches_python_twin(urls):
     got = canonicalize_series(pd.Series(urls, dtype="object")).tolist()
     want = [canonicalize_url(u) for u in urls]
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_text_total_on_arbitrary_bytes(raw):
+    """extract_text/extract_outlinks must be TOTAL on arbitrary byte blobs
+    (a crawler parses whatever the wire delivers) and the bytes path must
+    equal the pre-decoded str path (the engine decodes once in
+    extract_batch; the oracle passes str)."""
+    from openreviewcrawler_spark.functions.htmltext import (
+        extract_outlinks,
+        extract_text,
+    )
+
+    s = raw.decode("utf-8", errors="replace")
+    assert extract_text(raw) == extract_text(s)
+    assert extract_outlinks(raw) == extract_outlinks(s)
